@@ -1,0 +1,55 @@
+"""Initial particle placement — parity with Simulator::setup
+(/root/reference/src/simulator.cu:411-460).
+
+Two modes, matching the `-i random|grid` flag:
+  * grid  — cubic lattice, spacing 0.9h, origin (h,h,h), z-fastest fill order,
+    truncated at N (simulator.cu:438-453).
+  * random — uniform in [1, box_dim-1]³ (simulator.cu:430-437). The reference
+    uses unseeded libc rand(); we use the JAX counter PRNG (seed 0 default) —
+    deterministic, splittable, TPU-generatable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusph.core.config import SimConfig
+from tpusph.core.state import FluidState, make_state, pad_state
+
+
+def grid_positions(cfg: SimConfig) -> np.ndarray:
+    """Lattice exactly as simulator.cu:438-453: spacing = 0.9h;
+    nx = floor((box-2h)/spacing)+1 per axis; position = h + spacing*(x,y,z);
+    filled z-fastest (x outer, y middle, z inner) until count == N."""
+    h = np.float32(cfg.h)
+    spacing = np.float32(0.9) * h
+    nx = int(np.floor((np.float32(cfg.box_dim) - 2 * h) / spacing)) + 1
+    n = cfg.num_particles
+    idx = np.arange(n, dtype=np.int64)
+    # z-fastest: count = x*(ny*nz) + y*nz + z
+    x = idx // (nx * nx)
+    y = (idx // nx) % nx
+    z = idx % nx
+    if n > nx**3:
+        raise ValueError(f"num_particles={n} exceeds lattice capacity {nx**3}")
+    pos = np.stack([x, y, z], axis=1).astype(np.float32)
+    return (h + spacing * pos).astype(np.float32)
+
+
+def random_positions(cfg: SimConfig, seed: int = 0) -> np.ndarray:
+    """Uniform in [1, box_dim-1]³ (simulator.cu:430-437: rand()/RAND_MAX *
+    (box-2) + 1). JAX PRNG replaces unseeded libc rand()."""
+    key = jax.random.PRNGKey(seed)
+    u = jax.random.uniform(key, (cfg.num_particles, 3), dtype=jnp.float32)
+    pos = u * (cfg.box_dim - 2.0) + 1.0
+    return np.asarray(pos, dtype=np.float32)
+
+
+def init_state(cfg: SimConfig, random_init: bool = False, seed: int = 0) -> FluidState:
+    """Build the padded initial FluidState for `cfg` (velocities etc. zero,
+    matching the Particle ctor, simulator.h:39-46)."""
+    pos = random_positions(cfg, seed) if random_init else grid_positions(cfg)
+    state = make_state(jnp.asarray(pos))
+    return pad_state(state, cfg.padded_num_particles)

@@ -1,0 +1,171 @@
+"""One SPH timestep — the TPU-native equivalent of the reference's four-kernel
+launch sequence (kernelBuildGrid → kernelUpdatePressureAndDensity →
+kernelUpdateForces → kernelUpdatePositions → kernelResetGrid,
+/root/reference/src/simulator.cu:462-497), fused into a single jitted function.
+
+Two interchangeable neighbor backends with identical physics:
+  * step_allpairs  — O(N²) oracle (tests / small N).
+  * step_cell_list — sort-based cell lists with 9 contiguous-window gathers
+    (the production path; see neighbors/cell_list.py).
+
+The cell-list path computes in *sorted* particle order (gather once, work on
+contiguous data) and scatters results back to the caller's particle order at
+the end, so the public state keeps stable particle identity exactly like the
+reference's fixed particle array.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpusph.core.config import SimConfig
+from tpusph.core.state import FluidState
+from tpusph.neighbors.allpairs import density_allpairs, forces_allpairs
+from tpusph.neighbors.cell_list import CellList, build_cell_list, window_candidates
+from tpusph.physics.integrate import integrate
+from tpusph.physics.kernels import pair_density, pair_force, pressure_from_density
+
+
+class StepAux(NamedTuple):
+    """Per-step diagnostics (the TPU analog of the reference's device-printf
+    OOB warnings, simulator.cu:60-73, plus capacity-overflow accounting that
+    the fixed-shape design requires)."""
+
+    oob_count: jnp.ndarray  # int32[] — particles outside the grid
+    window_overflow: jnp.ndarray  # int32[] — candidates beyond window capacity
+
+
+def _chunked(np_total: int, cfg: SimConfig) -> int:
+    b = cfg.effective_chunk_size
+    assert np_total % b == 0, (np_total, b)
+    return b
+
+
+def _density_pass_sorted(sp, key_s, valid_s, starts, cfg: SimConfig):
+    """Density + pressure for sorted targets (kernelUpdatePressureAndDensity,
+    simulator.cu:149-190). Returns (rho, p, overflow)."""
+    n = sp.shape[0]
+    b = _chunked(n, cfg)
+
+    def chunk(args):
+        tpos, tkey, tvalid = args
+        idx, mask, ovf = window_candidates(tkey, starts, n, cfg)
+        flat = idx.reshape(b, -1)
+        npos = sp[flat]  # [B, 9W, 3]
+        disp = tpos[:, None, :] - npos
+        contrib = pair_density(disp, cfg)
+        rho = jnp.sum(jnp.where(mask.reshape(b, -1), contrib, 0.0), axis=1)
+        rho, p = pressure_from_density(rho, cfg)
+        rho = jnp.where(tvalid, rho, 1.0)
+        return rho, jnp.where(tvalid, p, 0.0), ovf
+
+    rho, p, ovf = jax.lax.map(
+        chunk, (sp.reshape(-1, b, 3), key_s.reshape(-1, b), valid_s.reshape(-1, b))
+    )
+    return rho.reshape(-1), p.reshape(-1), jnp.sum(ovf).astype(jnp.int32)
+
+
+def _force_pass_sorted(sp, sv, rho_s, p_s, key_s, valid_s, starts, cfg: SimConfig):
+    """Pressure + viscosity forces for sorted targets (kernelUpdateForces,
+    simulator.cu:192-256)."""
+    n = sp.shape[0]
+    b = _chunked(n, cfg)
+
+    def chunk(args):
+        tpos, tvel, tp, tkey, tvalid = args
+        idx, mask, _ = window_candidates(tkey, starts, n, cfg)
+        flat = idx.reshape(b, -1)
+        npos = sp[flat]
+        nvel = sv[flat]
+        nrho = rho_s[flat]
+        np_ = p_s[flat]
+        disp = tpos[:, None, :] - npos
+        dv = nvel - tvel[:, None, :]
+        f = pair_force(disp, dv, tp[:, None], np_, nrho, cfg)
+        f = jnp.where(mask.reshape(b, -1)[..., None], f, 0.0)
+        f = jnp.sum(f, axis=1)
+        return jnp.where(tvalid[:, None], f, 0.0)
+
+    f = jax.lax.map(
+        chunk,
+        (
+            sp.reshape(-1, b, 3),
+            sv.reshape(-1, b, 3),
+            p_s.reshape(-1, b),
+            key_s.reshape(-1, b),
+            valid_s.reshape(-1, b),
+        ),
+    )
+    return f.reshape(-1, 3)
+
+
+def _finish(state: FluidState, force, density, pressure, cfg: SimConfig):
+    """Integrate valid particles; freeze invalid padding slots."""
+    x, v = integrate(state.position, state.velocity, force, density, cfg)
+    valid3 = state.valid[:, None]
+    return FluidState(
+        position=jnp.where(valid3, x, state.position),
+        velocity=jnp.where(valid3, v, state.velocity),
+        force=force,
+        density=density,
+        pressure=pressure,
+        valid=state.valid,
+    )
+
+
+def step_allpairs(state: FluidState, cfg: SimConfig):
+    """Oracle timestep: O(N²) masked pairs, same physics and integration."""
+    rho, p = density_allpairs(state.position, state.valid, cfg)
+    f = forces_allpairs(state.position, state.velocity, rho, p, state.valid, cfg)
+    new_state = _finish(state, f, rho, p, cfg)
+    aux = StepAux(
+        oob_count=jnp.int32(0),
+        window_overflow=jnp.int32(0),
+    )
+    return new_state, aux
+
+
+def step_cell_list(state: FluidState, cfg: SimConfig):
+    """Production timestep: sort → cell ranges → windowed density/force →
+    integrate → scatter back to original particle order."""
+    cl: CellList = build_cell_list(state.position, state.valid, cfg)
+    sp = state.position[cl.perm]
+    sv = state.velocity[cl.perm]
+
+    rho_s, p_s, ovf = _density_pass_sorted(
+        sp, cl.key_sorted, cl.valid_sorted, cl.starts, cfg
+    )
+    f_s = _force_pass_sorted(
+        sp, sv, rho_s, p_s, cl.key_sorted, cl.valid_sorted, cl.starts, cfg
+    )
+
+    # Scatter back to original order: sorted[i] corresponds to original[perm[i]].
+    n = state.num_slots
+    force = jnp.zeros((n, 3), jnp.float32).at[cl.perm].set(f_s)
+    density = jnp.ones((n,), jnp.float32).at[cl.perm].set(rho_s)
+    pressure = jnp.zeros((n,), jnp.float32).at[cl.perm].set(p_s)
+
+    new_state = _finish(state, force, density, pressure, cfg)
+    aux = StepAux(oob_count=cl.oob_count, window_overflow=ovf)
+    return new_state, aux
+
+
+BACKENDS = {
+    "allpairs": step_allpairs,
+    "cell_list": step_cell_list,
+}
+
+
+def make_step(cfg: SimConfig, backend: str = "cell_list"):
+    """Jitted `state -> (state, aux)` with cfg baked in as a static constant
+    (the analog of CUDA __constant__ deviceSettings, simulator.cu:19)."""
+    fn = BACKENDS[backend]
+
+    @jax.jit
+    def step(state: FluidState):
+        return fn(state, cfg)
+
+    return step
