@@ -1,0 +1,68 @@
+"""CLI smoke tests (-n/-i/-m parsing + timed report format, SURVEY.md §4f)."""
+
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    TPUSPH_FORCE_CPU="1",
+    XLA_FLAGS=os.environ.get("XLA_FLAGS", ""),
+)
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "tpusph", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=ENV,
+        timeout=600,
+    )
+
+
+def test_time_mode_report_format():
+    r = run_cli("-n", "256", "-i", "grid", "-m", "time", "--steps", "3")
+    assert r.returncode == 0, r.stderr
+    out = r.stdout
+    # Times table layout (times.h:12-36)
+    assert "Operation" in out and "Per frame" in out and "Total" in out
+    assert "Grid construction" in out
+    assert "SPH update" in out
+    assert "Data transfer" in out
+    assert re.search(r"\d+\.\d{5}", out)  # fixed 5-decimal values
+
+
+def test_invalid_init_mode_rejected():
+    r = run_cli("-n", "10", "-i", "bogus")
+    assert r.returncode == 1
+    assert "Program Options:" in r.stdout
+
+
+def test_invalid_exec_mode_rejected():
+    r = run_cli("-m", "bogus")
+    assert r.returncode == 1
+    assert "Program Options:" in r.stdout
+
+
+def test_help_flag():
+    r = run_cli("-?")
+    assert r.returncode == 1  # reference returns 1 after usage (main.cpp:50-52)
+    assert "Number of particles to simulate" in r.stdout
+
+
+def test_free_mode_headless_frames(tmp_path):
+    out = str(tmp_path / "frames")
+    r = run_cli(
+        "-n", "128", "-i", "random", "-m", "free",
+        "--frames", "2", "--out", out, "--click", "1:400,300",
+    )
+    assert r.returncode == 0, r.stderr
+    files = sorted(os.listdir(out))
+    assert files == ["frame_00000.png", "frame_00001.png"]
+    with open(os.path.join(out, files[0]), "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"

@@ -1,0 +1,79 @@
+"""Simulator driver tests (class Simulator parity + Times report)."""
+
+import numpy as np
+
+from tpusph.bench.times import Times, format_times
+from tpusph.core.config import default_config
+from tpusph.engine.simulator import Simulator
+from tpusph.viz.render import render_frame
+
+
+def test_simulate_and_get_position():
+    cfg = default_config(256, chunk_size=256)
+    sim = Simulator(cfg, random_init=True, seed=9)
+    sim.setup()
+    p0 = sim.get_position().copy()
+    assert p0.shape == (256, 3)
+    sim.simulate()
+    p1 = sim.get_position()
+    assert not np.allclose(p0, p1)  # gravity moved the fluid
+    assert p1.min() >= cfg.h - 1e-6 and p1.max() <= cfg.box_dim - cfg.h + 1e-6
+
+
+def test_simulate_and_time_accumulates():
+    cfg = default_config(256, chunk_size=256)
+    sim = Simulator(cfg)
+    sim.setup()
+    times = Times()
+    for _ in range(3):
+        sim.simulate_and_time(times)
+    assert times.iters == 3
+    assert times.build_grid > 0 and times.sph_update > 0 and times.memcpy > 0
+    report = format_times(times)
+    assert "Grid construction" in report and "SPH update" in report
+
+
+def test_capacity_growth_on_overflow():
+    """Start with a deliberately tiny window capacity; the driver must grow it
+    transparently rather than drop interactions."""
+    cfg = default_config(512, chunk_size=512, window_capacity=2)
+    sim = Simulator(cfg)
+    sim.setup()
+    sim.simulate()
+    assert sim.cfg.window_capacity > 2
+    # physics still matches a generous-capacity run
+    ref = Simulator(default_config(512, chunk_size=512, window_capacity=64))
+    ref.setup()
+    ref.simulate()
+    np.testing.assert_allclose(sim.get_position(), ref.get_position(), atol=1e-6)
+
+
+def test_click_during_simulate():
+    cfg = default_config(256, chunk_size=256)
+    sim = Simulator(cfg, random_init=True, seed=3)
+    sim.setup()
+    v_before = np.asarray(sim.state.velocity).copy()
+    sim.simulate(click=(400, 300))
+    # some particle must have received a kick beyond plain gravity
+    dv = np.abs(np.asarray(sim.state.velocity) - v_before).max()
+    assert dv > 1.0
+
+
+def test_move_particles_out_of_bounds_noop():
+    cfg = default_config(64, chunk_size=64)
+    sim = Simulator(cfg, random_init=True, seed=1)
+    sim.setup()
+    v0 = np.asarray(sim.state.velocity).copy()
+    sim.move_particles((10, 10))  # outside click box → ignored (display.cpp:24-27)
+    np.testing.assert_array_equal(np.asarray(sim.state.velocity), v0)
+
+
+def test_render_frame_shape_and_content():
+    cfg = default_config(128, chunk_size=128)
+    sim = Simulator(cfg, random_init=True, seed=2)
+    sim.setup()
+    img = render_frame(sim.get_position())
+    assert img.shape == (600, 800, 3)
+    assert img[..., 2].max() == 255  # blue particles present
+    white = (img == 255).all(axis=-1)
+    assert white.sum() > 100  # box wireframe present

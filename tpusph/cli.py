@@ -1,0 +1,115 @@
+"""CLI front end — parity with the reference driver
+(/root/reference/src/main.cpp:20-82):
+
+    sph -n <NUM_PARTICLES> -i <random/grid> -m <free/time>
+
+Same defaults (N=1000, grid init, time mode; main.cpp:21-23), same usage text
+(main.cpp:12-18), same 100-iteration timed benchmark printing the Times table
+(main.cpp:68-76). Extra TPU-era flags (--steps, --backend, --seed, --out,
+--frames) extend, never change, the reference surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _maybe_force_cpu() -> None:
+    """Honor TPUSPH_FORCE_CPU=1 (tests/CI): the axon sitecustomize overrides
+    jax_platforms via jax.config.update, so env vars alone can't win — we must
+    update the config before the first backend use."""
+    if os.environ.get("TPUSPH_FORCE_CPU") == "1":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def usage() -> str:
+    return (
+        "Program Options:\n"
+        "  -n  <NUM_PARTICLES>    Number of particles to simulate\n"
+        "  -i  <random/grid>      Initialization mode: random or grid\n"
+        "  -m  <free/time>        Execution mode: free or timed\n"
+        "  -?                     This message\n"
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sph", add_help=False, usage="sph -n <N> -i <random/grid> -m <free/time>"
+    )
+    p.add_argument("-n", type=int, default=1000, dest="num_particles")
+    p.add_argument("-i", choices=["random", "grid"], default="grid", dest="init_mode")
+    p.add_argument("-m", choices=["free", "time"], default="time", dest="exec_mode")
+    p.add_argument("-?", "--help", action="store_true", dest="show_help")
+    # TPU-era extensions
+    p.add_argument("--steps", type=int, default=100, help="timed-mode iterations")
+    p.add_argument(
+        "--backend", choices=["cell_list", "allpairs"], default="cell_list"
+    )
+    p.add_argument("--seed", type=int, default=0, help="PRNG seed for -i random")
+    p.add_argument("--frames", type=int, default=0, help="free mode: frame-dump count")
+    p.add_argument("--out", type=str, default="frames", help="free mode: output dir")
+    p.add_argument(
+        "--click",
+        type=str,
+        default=None,
+        help="free mode: 'frame:px,py' scripted click, repeatable",
+        action="append",
+    )
+    p.add_argument("--window-capacity", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args_in = sys.argv[1:] if argv is None else argv
+    parser = build_parser()
+    try:
+        args = parser.parse_args(args_in)
+    except SystemExit:
+        print(usage(), end="")
+        return 1
+    if args.show_help:
+        print(usage(), end="")
+        return 1
+
+    _maybe_force_cpu()
+    from tpusph.core.config import default_config
+    from tpusph.engine.simulator import Simulator
+
+    kw = {}
+    if args.window_capacity:
+        kw["window_capacity"] = args.window_capacity
+    cfg = default_config(args.num_particles, **kw)
+    sim = Simulator(
+        cfg,
+        backend=args.backend,
+        random_init=(args.init_mode == "random"),
+        seed=args.seed,
+    )
+    sim.setup()
+
+    if args.exec_mode == "time":
+        from tpusph.bench.times import Times, display_times
+
+        times = Times()
+        for _ in range(args.steps):
+            sim.simulate_and_time(times)
+        display_times(times)
+    else:
+        from tpusph.viz.render import run_free_mode
+
+        clicks = {}
+        for spec in args.click or []:
+            frame, xy = spec.split(":")
+            x, y = xy.split(",")
+            clicks[int(frame)] = (int(x), int(y))
+        run_free_mode(sim, frames=args.frames, out_dir=args.out, clicks=clicks)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,154 @@
+"""Simulator — the host-side driver, mirroring `class Simulator`
+(/root/reference/src/simulator.h:53-74, src/simulator.cu:370-546) with a
+functional JAX core.
+
+API parity:
+  * Simulator(cfg)            ← Simulator(Settings*)       (cu:370-375)
+  * setup()                   ← setup()                    (cu:411-460)
+  * simulate(click=None)      ← simulate() + mouse globals (cu:462-497)
+  * simulate_and_time(times)  ← simulateAndTime(Times*)    (cu:499-546)
+  * get_position()            ← getPosition()              (cu:407-409)
+  * move_particles(click)     ← declared-but-never-defined in the reference
+                                (simulator.h:73); implemented here.
+
+TPU-native differences:
+  * State is HBM-resident across steps; only positions cross to host, and only
+    when get_position() is called (the reference pays a D2H memcpy every step,
+    cu:479-480 — we fetch lazily/async instead).
+  * Static capacity management: window overflow is detected in the step aux;
+    the driver transparently re-traces with doubled capacity and replays the
+    step, so fixed shapes never silently drop interactions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusph.bench.times import Times
+from tpusph.core.config import SimConfig
+from tpusph.core.init import init_state
+from tpusph.core.state import FluidState
+from tpusph.engine.step import build_phase, make_step, update_phase
+from tpusph.interact.impulse import click_in_box, make_impulse
+
+
+class Simulator:
+    def __init__(
+        self,
+        cfg: SimConfig,
+        backend: str = "cell_list",
+        random_init: bool = False,
+        seed: int = 0,
+    ):
+        cfg.validate()
+        self.cfg = cfg
+        self.backend = backend
+        self.random_init = random_init
+        self.seed = seed
+        self.state: FluidState | None = None
+        self._position_host: np.ndarray | None = None
+        self._build_fns()
+
+    # ------------------------------------------------------------------ setup
+    def _build_fns(self) -> None:
+        cfg = self.cfg
+        self._step = make_step(cfg, self.backend)
+        self._impulse = make_impulse(cfg)
+        if self.backend == "cell_list":
+            self._build = jax.jit(lambda s: build_phase(s, cfg))
+            self._update = jax.jit(lambda s, cl: update_phase(s, cl, cfg))
+        else:
+            self._build = None
+            self._update = None
+
+    def setup(self) -> None:
+        """Initialize particle state (Simulator::setup, cu:411-460)."""
+        self.state = init_state(self.cfg, self.random_init, self.seed)
+        self._position_host = None
+
+    # ------------------------------------------------------------- stepping
+    def _grow_capacity(self) -> None:
+        new_cap = self.cfg.window_capacity * 2
+        self.cfg = dataclasses.replace(self.cfg, window_capacity=new_cap)
+        self._build_fns()
+
+    def simulate(self, click: tuple[int, int] | None = None) -> None:
+        """One untimed timestep (+ optional click impulse, cu:462-497).
+        Replays with doubled window capacity if the fixed-size neighbor
+        windows overflowed (never silently drops interactions)."""
+        assert self.state is not None, "call setup() first"
+        pre_pos = self.state.position
+        for _ in range(8):  # capacity-growth retries
+            new_state, aux = self._step(self.state)
+            if int(aux.window_overflow) == 0:
+                break
+            self._grow_capacity()
+        else:
+            raise RuntimeError("window capacity growth failed to converge")
+        if click is not None and click_in_box(*click):
+            new_state = self._impulse(
+                new_state, pre_pos, jnp.asarray(click, jnp.int32)
+            )
+        self.state = new_state
+        self._position_host = None
+        self.last_aux = aux
+
+    def simulate_and_time(self, times: Times) -> None:
+        """Timed timestep with the reference's three phase brackets
+        (simulateAndTime, cu:499-546): grid build / SPH update / host copy.
+        Phases are fenced with block_until_ready so each measures device time.
+        """
+        assert self.state is not None, "call setup() first"
+        assert self.backend == "cell_list", "timed mode uses the cell_list backend"
+
+        t0 = time.perf_counter()
+        cl = self._build(self.state)
+        jax.block_until_ready(cl)
+        t1 = time.perf_counter()
+        times.build_grid += t1 - t0
+
+        new_state, aux = self._update(self.state, cl)
+        jax.block_until_ready(new_state)
+        t2 = time.perf_counter()
+        times.sph_update += t2 - t1
+
+        if int(aux.window_overflow) > 0:
+            # Re-trace with more capacity and replay (untimed — a re-trace is
+            # a compilation event, not a steady-state cost).
+            self._grow_capacity()
+            self.simulate_and_time(times)
+            return
+
+        # Per-step D2H position copy, like cu:532-533.
+        pos = np.asarray(jax.device_get(new_state.position))
+        t3 = time.perf_counter()
+        times.memcpy += t3 - t2
+
+        self.state = new_state
+        self._position_host = pos[: self.cfg.num_particles]
+        times.iters += 1
+
+    # --------------------------------------------------------------- queries
+    def get_position(self) -> np.ndarray:
+        """Host-side f32[N,3] position snapshot (getPosition, cu:407-409)."""
+        assert self.state is not None, "call setup() first"
+        if self._position_host is None:
+            pos = np.asarray(jax.device_get(self.state.position))
+            self._position_host = pos[: self.cfg.num_particles]
+        return self._position_host
+
+    def move_particles(self, click: tuple[int, int]) -> None:
+        """Apply a click impulse outside the step loop — implements the
+        reference's declared-but-undefined Simulator::moveParticles."""
+        assert self.state is not None, "call setup() first"
+        if not click_in_box(*click):
+            return
+        self.state = self._impulse(
+            self.state, self.state.position, jnp.asarray(click, jnp.int32)
+        )
+        self._position_host = None

