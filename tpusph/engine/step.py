@@ -26,6 +26,7 @@ from tpusph.core.state import FluidState
 from tpusph.neighbors.allpairs import density_allpairs, forces_allpairs
 from tpusph.neighbors.cell_list import CellList, build_cell_list, window_candidates
 from tpusph.physics.integrate import integrate
+from tpusph.utils.chunking import pick_chunk
 from tpusph.physics.kernels import pair_density, pair_force, pressure_from_density
 
 
@@ -39,9 +40,7 @@ class StepAux(NamedTuple):
 
 
 def _chunked(np_total: int, cfg: SimConfig) -> int:
-    b = cfg.effective_chunk_size
-    assert np_total % b == 0, (np_total, b)
-    return b
+    return pick_chunk(np_total, cfg.chunk_size)
 
 
 def _density_pass_sorted(sp, key_s, valid_s, starts, cfg: SimConfig):

@@ -17,12 +17,11 @@ import jax.numpy as jnp
 
 from tpusph.core.config import SimConfig
 from tpusph.physics.kernels import pair_density, pair_force, pressure_from_density
+from tpusph.utils.chunking import pick_chunk
 
 
 def _chunks(n: int, cfg: SimConfig) -> int:
-    b = cfg.effective_chunk_size
-    assert n % b == 0, (n, b)
-    return n // b
+    return n // pick_chunk(n, cfg.chunk_size)
 
 
 def density_allpairs(position, valid, cfg: SimConfig):
