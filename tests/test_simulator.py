@@ -36,13 +36,13 @@ def test_simulate_and_time_accumulates():
 def test_capacity_growth_on_overflow():
     """Start with a deliberately tiny window capacity; the driver must grow it
     transparently rather than drop interactions."""
-    cfg = default_config(512, chunk_size=512, window_capacity=2)
+    cfg = default_config(512, chunk_size=512, tile_cand_capacity=64)
     sim = Simulator(cfg)
     sim.setup()
     sim.simulate()
-    assert sim.cfg.window_capacity > 2
+    assert sim.cfg.tile_cand_capacity > 64
     # physics still matches a generous-capacity run
-    ref = Simulator(default_config(512, chunk_size=512, window_capacity=64))
+    ref = Simulator(default_config(512, chunk_size=512))
     ref.setup()
     ref.simulate()
     np.testing.assert_allclose(sim.get_position(), ref.get_position(), atol=1e-6)

@@ -58,10 +58,19 @@ class SimConfig:
     eps: float = EPS_F
 
     # --- TPU-native capacity knobs (static under jit; no dynamic shapes) ---
-    # Max particles per 3-cell x-window gathered per (dy, dz) neighbor column.
+    # Max particles per 3-cell x-window gathered per (dy, dz) neighbor column
+    # (used by the per-target window API; the engine's hot path uses tiles).
     # Overflow is *detected* (aux.window_overflow) rather than silently dropped;
     # the engine re-traces with a larger capacity when tripped.
     window_capacity: int = 48
+    # Tile formulation (the hot path): sorted particles are processed in tiles
+    # of `tile_size` targets; each tile's 9 neighbor columns are CONTIGUOUS
+    # slices of the sorted arrays (DMA-friendly dynamic slices, no gathers)
+    # holding up to `tile_cand_capacity` candidates shared by the whole tile.
+    # Capacity must cover tile_size + ~2×max-cell-occupancy; overflow is
+    # detected and the driver re-traces larger.
+    tile_size: int = 256
+    tile_cand_capacity: int = 768
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192

@@ -73,8 +73,11 @@ class Simulator:
 
     # ------------------------------------------------------------- stepping
     def _grow_capacity(self) -> None:
-        new_cap = self.cfg.window_capacity * 2
-        self.cfg = dataclasses.replace(self.cfg, window_capacity=new_cap)
+        self.cfg = dataclasses.replace(
+            self.cfg,
+            tile_cand_capacity=self.cfg.tile_cand_capacity * 2,
+            window_capacity=self.cfg.window_capacity * 2,
+        )
         self._build_fns()
 
     def simulate(self, click: tuple[int, int] | None = None) -> None:

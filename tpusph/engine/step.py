@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from tpusph.core.config import SimConfig
 from tpusph.core.state import FluidState
 from tpusph.neighbors.allpairs import density_allpairs, forces_allpairs
-from tpusph.neighbors.cell_list import CellList, build_cell_list, window_candidates
+from tpusph.neighbors.cell_list import CellList, build_cell_list
 from tpusph.physics.integrate import integrate
 from tpusph.utils.chunking import pick_chunk
 from tpusph.physics.kernels import pair_density, pair_force, pressure_from_density
@@ -39,63 +39,115 @@ class StepAux(NamedTuple):
     window_overflow: jnp.ndarray  # int32[] — candidates beyond window capacity
 
 
-def _chunked(np_total: int, cfg: SimConfig) -> int:
-    return pick_chunk(np_total, cfg.chunk_size)
+def _tile_shape(n: int, cfg: SimConfig) -> tuple[int, int]:
+    """(tile_size, candidate_capacity) with tile_size dividing n."""
+    t = pick_chunk(n, cfg.tile_size)
+    return t, cfg.tile_cand_capacity
+
+
+def _tile_ranges(tkey, tvalid, offset: int, starts, cfg: SimConfig, cap: int):
+    """Contiguous sorted-array range holding ALL candidates at flat-key offset
+    `offset` for every valid target in the tile: keys span [kmin−1+off,
+    kmax+2+off) in flat-cell space, which is one contiguous slice after the
+    row-major sort. Returns (start, cnt, full_cnt)."""
+    nc = cfg.num_cells
+    big = jnp.int32(nc)
+    kmin = jnp.min(jnp.where(tvalid, tkey, big))
+    kmax = jnp.max(jnp.where(tvalid, tkey, -1))
+    lo_cell = jnp.clip(kmin + offset - 1, 0, nc)
+    hi_cell = jnp.clip(kmax + offset + 2, lo_cell, nc)
+    start = starts[lo_cell]
+    full_cnt = starts[hi_cell] - start
+    return start, jnp.minimum(full_cnt, cap), full_cnt
+
+
+def _column_offsets_py(cfg: SimConfig) -> list[int]:
+    c = cfg.num_cells_per_dim
+    return [dy * c + dz * c * c for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
 def _density_pass_sorted(sp, key_s, valid_s, starts, cfg: SimConfig):
     """Density + pressure for sorted targets (kernelUpdatePressureAndDensity,
-    simulator.cu:149-190). Returns (rho, p, overflow)."""
+    simulator.cu:149-190), tile formulation: each tile's 9 neighbor columns
+    are contiguous dynamic slices shared by all targets in the tile (DMA
+    traffic instead of per-element gathers). Returns (rho, p, overflow)."""
     n = sp.shape[0]
-    b = _chunked(n, cfg)
+    t, cap = _tile_shape(n, cfg)
+    offsets = _column_offsets_py(cfg)
+    # pad so dynamic_slice never clamps (start ≤ n always holds)
+    sp_pad = jnp.concatenate([sp, jnp.zeros((cap, 3), sp.dtype)])
+    key_pad = jnp.concatenate(
+        [key_s, jnp.full((cap,), jnp.int32(2**30), jnp.int32)]
+    )
+    lane = jnp.arange(cap, dtype=jnp.int32)
 
-    def chunk(args):
+    def tile(args):
         tpos, tkey, tvalid = args
-        idx, mask, ovf = window_candidates(tkey, starts, n, cfg)
-        flat = idx.reshape(b, -1)
-        npos = sp[flat]  # [B, 9W, 3]
-        disp = tpos[:, None, :] - npos
-        contrib = pair_density(disp, cfg)
-        rho = jnp.sum(jnp.where(mask.reshape(b, -1), contrib, 0.0), axis=1)
+        rho = jnp.zeros((t,), jnp.float32)
+        ovf = jnp.int32(0)
+        for off in offsets:
+            start, cnt, full = _tile_ranges(tkey, tvalid, off, starts, cfg, cap)
+            cand = jax.lax.dynamic_slice(sp_pad, (start, 0), (cap, 3))
+            ckey = jax.lax.dynamic_slice(key_pad, (start,), (cap,))
+            # Tile slices can overlap across columns when the tile spans ≥C
+            # cells; the key-difference mask assigns each stencil pair to
+            # exactly one column (the 27 accepted diffs are disjoint).
+            diff = ckey[None, :] - tkey[:, None]
+            hit = (diff >= off - 1) & (diff <= off + 1) & (lane < cnt)[None, :]
+            disp = tpos[:, None, :] - cand[None, :, :]
+            w = pair_density(disp, cfg)  # [T, cap]
+            rho += jnp.sum(jnp.where(hit, w, 0.0), axis=1)
+            ovf += jnp.maximum(full - cap, 0)
         rho, p = pressure_from_density(rho, cfg)
         rho = jnp.where(tvalid, rho, 1.0)
         return rho, jnp.where(tvalid, p, 0.0), ovf
 
     rho, p, ovf = jax.lax.map(
-        chunk, (sp.reshape(-1, b, 3), key_s.reshape(-1, b), valid_s.reshape(-1, b))
+        tile, (sp.reshape(-1, t, 3), key_s.reshape(-1, t), valid_s.reshape(-1, t))
     )
     return rho.reshape(-1), p.reshape(-1), jnp.sum(ovf).astype(jnp.int32)
 
 
 def _force_pass_sorted(sp, sv, rho_s, p_s, key_s, valid_s, starts, cfg: SimConfig):
     """Pressure + viscosity forces for sorted targets (kernelUpdateForces,
-    simulator.cu:192-256)."""
+    simulator.cu:192-256), tile formulation. Candidate fields are packed into
+    one f32[n, 8] array so each column is a single dynamic slice."""
     n = sp.shape[0]
-    b = _chunked(n, cfg)
+    t, cap = _tile_shape(n, cfg)
+    offsets = _column_offsets_py(cfg)
+    packed = jnp.concatenate([sp, sv, rho_s[:, None], p_s[:, None]], axis=1)
+    pad = jnp.zeros((cap, 8), packed.dtype).at[:, 6].set(1.0)  # padding ρ=1
+    packed = jnp.concatenate([packed, pad])
+    key_pad = jnp.concatenate(
+        [key_s, jnp.full((cap,), jnp.int32(2**30), jnp.int32)]
+    )
+    lane = jnp.arange(cap, dtype=jnp.int32)
 
-    def chunk(args):
+    def tile(args):
         tpos, tvel, tp, tkey, tvalid = args
-        idx, mask, _ = window_candidates(tkey, starts, n, cfg)
-        flat = idx.reshape(b, -1)
-        npos = sp[flat]
-        nvel = sv[flat]
-        nrho = rho_s[flat]
-        np_ = p_s[flat]
-        disp = tpos[:, None, :] - npos
-        dv = nvel - tvel[:, None, :]
-        f = pair_force(disp, dv, tp[:, None], np_, nrho, cfg)
-        f = jnp.where(mask.reshape(b, -1)[..., None], f, 0.0)
-        f = jnp.sum(f, axis=1)
+        f = jnp.zeros((t, 3), jnp.float32)
+        for off in offsets:
+            start, cnt, _ = _tile_ranges(tkey, tvalid, off, starts, cfg, cap)
+            cand = jax.lax.dynamic_slice(packed, (start, 0), (cap, 8))
+            ckey = jax.lax.dynamic_slice(key_pad, (start,), (cap,))
+            diff = ckey[None, :] - tkey[:, None]
+            hit = (diff >= off - 1) & (diff <= off + 1) & (lane < cnt)[None, :]
+            disp = tpos[:, None, :] - cand[None, :, :3]
+            dv = cand[None, :, 3:6] - tvel[:, None, :]
+            fij = pair_force(
+                disp, dv, tp[:, None], cand[None, :, 7], cand[None, :, 6], cfg
+            )
+            f += jnp.sum(jnp.where(hit[..., None], fij, 0.0), axis=1)
         return jnp.where(tvalid[:, None], f, 0.0)
 
     f = jax.lax.map(
-        chunk,
+        tile,
         (
-            sp.reshape(-1, b, 3),
-            sv.reshape(-1, b, 3),
-            p_s.reshape(-1, b),
-            key_s.reshape(-1, b),
-            valid_s.reshape(-1, b),
+            sp.reshape(-1, t, 3),
+            sv.reshape(-1, t, 3),
+            p_s.reshape(-1, t),
+            key_s.reshape(-1, t),
+            valid_s.reshape(-1, t),
         ),
     )
     return f.reshape(-1, 3)
