@@ -71,6 +71,13 @@ class SimConfig:
     # detected and the driver re-traces larger.
     tile_size: int = 256
     tile_cand_capacity: int = 768
+    # Pallas megakernel knobs: targets per program, and the static per-column
+    # candidate capacity (must cover tile span + ~3×max-cell-occupancy;
+    # overflow detected in prep, auto-grown by the driver). The kernel loops
+    # over ceil(cnt/128) live lane-blocks, so compute scales with occupancy,
+    # not with this capacity.
+    pallas_tile: int = 64
+    pallas_col_capacity: int = 384
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192

@@ -217,9 +217,48 @@ def step_cell_list(state: FluidState, cfg: SimConfig):
     return update_phase(state, cl, cfg)
 
 
+def update_phase_pallas(state: FluidState, cl: CellList, cfg: SimConfig, interpret=False):
+    """SPH-update phase with the Pallas megakernels (pallas/fused.py) in place
+    of the XLA tile passes — identical math and masks."""
+    from tpusph.pallas.fused import density_pallas, force_pallas, tile_columns
+
+    sp = state.position[cl.perm]
+    sv = state.velocity[cl.perm]
+    col_start, col_cnt, ovf = tile_columns(
+        cl.key_sorted, cl.valid_sorted, cl.starts, cfg, cfg.pallas_tile,
+        cfg.pallas_col_capacity,
+    )
+    raw_rho = density_pallas(
+        sp, cl.key_sorted, (col_start, col_cnt), cfg, interpret=interpret
+    )
+    rho_s, p_s = pressure_from_density(raw_rho, cfg)
+    rho_s = jnp.where(cl.valid_sorted, rho_s, 1.0)
+    p_s = jnp.where(cl.valid_sorted, p_s, 0.0)
+    f_s = force_pallas(
+        sp, sv, rho_s, p_s, cl.key_sorted, (col_start, col_cnt), cfg,
+        interpret=interpret,
+    )
+    f_s = jnp.where(cl.valid_sorted[:, None], f_s, 0.0)
+
+    n = state.num_slots
+    force = jnp.zeros((n, 3), jnp.float32).at[cl.perm].set(f_s)
+    density = jnp.ones((n,), jnp.float32).at[cl.perm].set(rho_s)
+    pressure = jnp.zeros((n,), jnp.float32).at[cl.perm].set(p_s)
+    new_state = _finish(state, force, density, pressure, cfg)
+    aux = StepAux(oob_count=cl.oob_count, window_overflow=ovf)
+    return new_state, aux
+
+
+def step_pallas(state: FluidState, cfg: SimConfig, interpret=False):
+    """Fused-megakernel timestep (BASELINE.json config #4)."""
+    cl = build_phase(state, cfg)
+    return update_phase_pallas(state, cl, cfg, interpret=interpret)
+
+
 BACKENDS = {
     "allpairs": step_allpairs,
     "cell_list": step_cell_list,
+    "pallas": step_pallas,
 }
 
 
