@@ -1,11 +1,17 @@
 """Headline benchmark: SPH timesteps/sec at N=262,144 on one TPU chip.
 
 Protocol mirrors the reference's `-m time` mode (100 timesteps, grid init,
-/root/reference/src/main.cpp:68-76) on the BASELINE.json headline config.
+/root/reference/src/main.cpp:68-76) on the BASELINE.json headline config,
+using the production engine: sort-based cell lists + fused Pallas density and
+force megakernels, chained on-device via lax.scan (steps are sequentially
+dependent; scan removes per-step host dispatch, matching how a production
+sim loop runs). Capacity overflow is checked after the run — a nonzero count
+re-runs with doubled capacity so the timed physics is never degraded.
+
 Prints ONE JSON line; vs_baseline is relative to the 100 steps/s north-star
 target (BASELINE.json: ">=100 timesteps/sec at 262k particles").
 
-Env overrides: TPUSPH_BENCH_N (particle count), TPUSPH_BENCH_STEPS.
+Env overrides: TPUSPH_BENCH_N, TPUSPH_BENCH_STEPS, TPUSPH_BENCH_BACKEND.
 """
 
 from __future__ import annotations
@@ -18,33 +24,63 @@ import time
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from tpusph.core.config import default_config
     from tpusph.core.init import init_state
-    from tpusph.engine.step import make_step
+    from tpusph.engine.step import BACKENDS, step_pallas_sorted
 
     n = int(os.environ.get("TPUSPH_BENCH_N", 262_144))
     steps = int(os.environ.get("TPUSPH_BENCH_STEPS", 100))
-    warmup = 3
+    backend = os.environ.get("TPUSPH_BENCH_BACKEND", "pallas_sorted")
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if not on_tpu and backend == "pallas_sorted":
+        backend = "cell_list"  # Pallas compiled path needs TPU
 
+    cap = None  # use config default; grown on overflow
     cfg = default_config(n)
-    state = init_state(cfg)
-    step = make_step(cfg, "cell_list")
 
-    # warmup (compile + capacity sanity)
-    for _ in range(warmup):
-        state, aux = step(state)
-    jax.block_until_ready(state)
-    if int(aux.window_overflow) > 0:
-        print(
-            f"warning: window overflow {int(aux.window_overflow)} at warmup",
-            file=sys.stderr,
+    def make_run(cfg):
+        step = (
+            step_pallas_sorted
+            if backend == "pallas_sorted"
+            else BACKENDS[backend]
         )
 
+        @jax.jit
+        def run(state, k):
+            def body(s, _):
+                s2, aux = step(s, cfg)
+                return s2, aux.window_overflow
+            s2, ovf = jax.lax.scan(body, state, None, length=int(k))
+            return s2, jnp.sum(ovf)
+
+        return run
+
+    state0 = init_state(cfg)
+
+    # warmup: compile + verify capacity holds over the full horizon
+    for _ in range(6):
+        run = make_run(cfg)
+        _, ovf = run(state0, steps)
+        if int(jax.device_get(ovf)) == 0:
+            break
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, pallas_col_capacity=cfg.pallas_col_capacity * 2,
+            tile_cand_capacity=cfg.tile_cand_capacity * 2,
+        )
+        print(
+            f"capacity overflow; growing to {cfg.pallas_col_capacity}",
+            file=sys.stderr,
+        )
+    else:
+        print("warning: capacity growth did not converge", file=sys.stderr)
+
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, aux = step(state)
-    jax.block_until_ready(state)
+    final, ovf = run(state0, steps)
+    jax.device_get(ovf)
     dt = time.perf_counter() - t0
 
     steps_per_sec = steps / dt

@@ -1,0 +1,63 @@
+"""Native C++ host-runtime library tests (native/sphnative.cpp)."""
+
+import ctypes
+import ctypes.util
+
+import numpy as np
+import pytest
+
+from tpusph.core.config import default_config
+from tpusph.core.init import grid_positions
+from tpusph.neighbors.morton import morton_encode
+from tpusph.utils.native import (
+    get_lib,
+    morton_encode_native,
+    reference_random_positions,
+    render_frame_native,
+)
+from tpusph.viz.render import _render_frame_numpy
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="native lib unavailable")
+
+
+def test_reference_random_matches_libc():
+    """The native init must replay libc's exact rand() sequence — the parity
+    property that lets us reproduce the reference's unseeded random scenes."""
+    pos = reference_random_positions(4, 10.0, seed=1)
+    libc = ctypes.CDLL(ctypes.util.find_library("c"))
+    libc.srand(1)
+    expected = []
+    for _ in range(12):
+        expected.append(libc.rand() / 2147483647.0 * 8.0 + 1.0)
+    np.testing.assert_allclose(pos.ravel(), np.float32(expected), rtol=1e-6)
+    assert pos.min() >= 1.0 and pos.max() <= 9.0
+
+
+def test_native_grid_matches_python():
+    cfg = default_config(1000)
+    lib = get_lib()
+    out = np.empty((1000, 3), np.float32)
+    k = lib.sph_grid_init(1000, ctypes.c_float(0.1), ctypes.c_float(10.0),
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    assert k == 1000
+    np.testing.assert_allclose(out, grid_positions(cfg), atol=1e-6)
+
+
+def test_native_morton_matches_python():
+    rng = np.random.default_rng(0)
+    cells = rng.integers(0, 512, size=(500, 3), dtype=np.int32)
+    import jax.numpy as jnp
+
+    np.testing.assert_array_equal(
+        morton_encode_native(cells), np.asarray(morton_encode(jnp.asarray(cells)))
+    )
+
+
+def test_native_render_matches_numpy():
+    rng = np.random.default_rng(1)
+    pos = rng.uniform(1, 9, size=(200, 3)).astype(np.float32)
+    a = render_frame_native(pos)
+    b = _render_frame_numpy(pos)
+    assert a.shape == b.shape == (600, 800, 3)
+    # identical particle pixels; wireframe sampling may differ by a pixel
+    np.testing.assert_array_equal(a[..., 2] == 255, b[..., 2] == 255)

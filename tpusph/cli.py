@@ -48,7 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-era extensions
     p.add_argument("--steps", type=int, default=100, help="timed-mode iterations")
     p.add_argument(
-        "--backend", choices=["cell_list", "allpairs"], default="cell_list"
+        "--backend",
+        choices=["auto", "pallas", "cell_list", "allpairs"],
+        default="auto",
     )
     p.add_argument("--seed", type=int, default=0, help="PRNG seed for -i random")
     p.add_argument("--frames", type=int, default=0, help="free mode: frame-dump count")

@@ -38,9 +38,19 @@ def grid_positions(cfg: SimConfig) -> np.ndarray:
     return (h + spacing * pos).astype(np.float32)
 
 
-def random_positions(cfg: SimConfig, seed: int = 0) -> np.ndarray:
+def random_positions(
+    cfg: SimConfig, seed: int = 0, reference_rng: bool = False
+) -> np.ndarray:
     """Uniform in [1, box_dim-1]³ (simulator.cu:430-437: rand()/RAND_MAX *
-    (box-2) + 1). JAX PRNG replaces unseeded libc rand()."""
+    (box-2) + 1). Default: JAX counter PRNG. With reference_rng=True, uses the
+    native C++ library to reproduce the reference's libc rand() sequence
+    bit-exactly (glibc default seed when seed=1, like the unseeded reference)."""
+    if reference_rng:
+        from tpusph.utils.native import reference_random_positions
+
+        pos = reference_random_positions(cfg.num_particles, cfg.box_dim, seed=max(seed, 1))
+        if pos is not None:
+            return pos
     key = jax.random.PRNGKey(seed)
     u = jax.random.uniform(key, (cfg.num_particles, 3), dtype=jnp.float32)
     pos = u * (cfg.box_dim - 2.0) + 1.0

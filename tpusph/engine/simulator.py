@@ -33,7 +33,12 @@ from tpusph.bench.times import Times
 from tpusph.core.config import SimConfig
 from tpusph.core.init import init_state
 from tpusph.core.state import FluidState
-from tpusph.engine.step import build_phase, make_step, update_phase
+from tpusph.engine.step import (
+    build_phase,
+    make_step,
+    update_phase,
+    update_phase_pallas,
+)
 from tpusph.interact.impulse import click_in_box, make_impulse
 
 
@@ -41,12 +46,15 @@ class Simulator:
     def __init__(
         self,
         cfg: SimConfig,
-        backend: str = "cell_list",
+        backend: str = "auto",
         random_init: bool = False,
         seed: int = 0,
     ):
         cfg.validate()
         self.cfg = cfg
+        if backend == "auto":
+            # fused Pallas megakernels on TPU; XLA tile path elsewhere
+            backend = "pallas" if jax.default_backend() not in ("cpu",) else "cell_list"
         self.backend = backend
         self.random_init = random_init
         self.seed = seed
@@ -59,9 +67,10 @@ class Simulator:
         cfg = self.cfg
         self._step = make_step(cfg, self.backend)
         self._impulse = make_impulse(cfg)
-        if self.backend == "cell_list":
+        if self.backend in ("cell_list", "pallas"):
+            upd = update_phase_pallas if self.backend == "pallas" else update_phase
             self._build = jax.jit(lambda s: build_phase(s, cfg))
-            self._update = jax.jit(lambda s, cl: update_phase(s, cl, cfg))
+            self._update = jax.jit(lambda s, cl: upd(s, cl, cfg))
         else:
             self._build = None
             self._update = None
@@ -77,6 +86,7 @@ class Simulator:
             self.cfg,
             tile_cand_capacity=self.cfg.tile_cand_capacity * 2,
             window_capacity=self.cfg.window_capacity * 2,
+            pallas_col_capacity=self.cfg.pallas_col_capacity * 2,
         )
         self._build_fns()
 
@@ -107,7 +117,7 @@ class Simulator:
         Phases are fenced with block_until_ready so each measures device time.
         """
         assert self.state is not None, "call setup() first"
-        assert self.backend == "cell_list", "timed mode uses the cell_list backend"
+        assert self._update is not None, "timed mode needs a cell-list backend"
 
         t0 = time.perf_counter()
         cl = self._build(self.state)

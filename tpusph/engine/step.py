@@ -255,6 +255,47 @@ def step_pallas(state: FluidState, cfg: SimConfig, interpret=False):
     return update_phase_pallas(state, cl, cfg, interpret=interpret)
 
 
+def step_pallas_sorted(state: FluidState, cfg: SimConfig, interpret=False):
+    """Fused-megakernel timestep that RETURNS STATE IN SORTED ORDER instead of
+    scattering back to the caller's particle order. Physics is permutation-
+    invariant (the valid mask travels with the particles), so chained steps
+    (benchmarks, scan loops) save three full-state scatters per step; particle
+    identity is irrelevant for rendering (the reference draws unordered blue
+    points, display.cpp:52-57). Use step_pallas when stable identity matters
+    (golden trajectories, checkpoints)."""
+    from tpusph.pallas.fused import density_pallas, force_pallas, tile_columns
+
+    cl = build_phase(state, cfg)
+    sp = state.position[cl.perm]
+    sv = state.velocity[cl.perm]
+    valid_s = cl.valid_sorted
+    col_start, col_cnt, ovf = tile_columns(
+        cl.key_sorted, valid_s, cl.starts, cfg, cfg.pallas_tile,
+        cfg.pallas_col_capacity,
+    )
+    raw_rho = density_pallas(
+        sp, cl.key_sorted, (col_start, col_cnt), cfg, interpret=interpret
+    )
+    rho_s, p_s = pressure_from_density(raw_rho, cfg)
+    rho_s = jnp.where(valid_s, rho_s, 1.0)
+    p_s = jnp.where(valid_s, p_s, 0.0)
+    f_s = force_pallas(
+        sp, sv, rho_s, p_s, cl.key_sorted, (col_start, col_cnt), cfg,
+        interpret=interpret,
+    )
+    f_s = jnp.where(valid_s[:, None], f_s, 0.0)
+
+    x, v = integrate(sp, sv, f_s, rho_s, cfg)
+    x = jnp.where(valid_s[:, None], x, sp)
+    v = jnp.where(valid_s[:, None], v, sv)
+    new_state = FluidState(
+        position=x, velocity=v, force=f_s, density=rho_s, pressure=p_s,
+        valid=valid_s,
+    )
+    aux = StepAux(oob_count=cl.oob_count, window_overflow=ovf)
+    return new_state, aux
+
+
 BACKENDS = {
     "allpairs": step_allpairs,
     "cell_list": step_cell_list,

@@ -8,15 +8,24 @@ kernelUpdateForces, /root/reference/src/simulator.cu:149-256). Design:
     fields live in HBM as small *field-major* matrices (fields × particles) so
     a tile's stencil column is ONE contiguous dynamic slice per column.
   * Grid = one program per tile of PT sorted targets. The 9 (dy,dz) stencil
-    columns are DMA'd HBM→VMEM with double buffering (column c+1 in flight
-    while column c computes).
+    columns are DMA'd HBM→VMEM, double-buffered ACROSS tiles: tile i+1's nine
+    columns stream in while tile i computes (TPU scratch persists across the
+    sequential grid), hiding DMA latency entirely.
   * Column candidate counts are dynamic: the kernel loops over ceil(cnt/128)
     live 128-lane blocks only — dead blocks are skipped, so compute scales
     with occupancy instead of with the static capacity (the waste that bounds
     the pure-XLA path).
+  * Pair distances use the exact displacement form Σ(tᵢ−cᵢ)² — the MXU
+    identity |t|²+|c|²−2t·c was tried and rejected: catastrophic cancellation
+    (coordinates ~5, r² ~1e-4) costs ~6 significant digits and blows the 1e-4
+    density parity budget.
+  * Per-candidate force coefficients 1/(2ρ_j) and p_j/(2ρ_j) are precomputed
+    once per particle in prep (not once per pair), shrinking the inner loop.
   * Per-pair flat-key-difference masking assigns every stencil pair to exactly
     one column (the 27 accepted diffs are disjoint), so overlapping column
-    ranges never double-count (same invariant as the XLA tile path).
+    ranges never double-count. DMA starts are 128-aligned; the extra leading
+    lanes hold particles from cells below the range, which the key mask
+    rejects exactly.
 
 Capacity (col_cap) overflow is detected in the jnp prep step (tile_columns),
 never inside the kernel, and the driver re-traces larger.
@@ -34,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpusph.core.config import SimConfig
 
 LANES = 128
+KEY_PAD = float(2**24)  # padding-key sentinel, f32-exact, never key-matched
 
 
 def _offsets(cfg: SimConfig) -> list[int]:
@@ -43,7 +53,8 @@ def _offsets(cfg: SimConfig) -> list[int]:
 
 def tile_columns(key_s, valid_s, starts, cfg: SimConfig, pt: int, col_cap: int):
     """Per-tile stencil-column ranges (jnp prep, cheap).
-    Returns (col_start i32[ntiles,9], col_cnt i32[ntiles,9], overflow i32)."""
+    Returns (col_start i32[ntiles*9], col_cnt i32[ntiles*9], overflow i32),
+    flattened so the SMEM prefetch buffers aren't lane-padded."""
     n = key_s.shape[0]
     nc = cfg.num_cells
     ntiles = n // pt
@@ -62,7 +73,6 @@ def tile_columns(key_s, valid_s, starts, cfg: SimConfig, pt: int, col_cap: int):
     astart = (start // 128) * 128
     cnt = end - astart
     overflow = jnp.sum(jnp.maximum(cnt - col_cap, 0)).astype(jnp.int32)
-    # flattened [ntiles*9] so the SMEM prefetch buffers aren't lane-padded
     return (
         astart.astype(jnp.int32).reshape(-1),
         jnp.minimum(cnt, col_cap).astype(jnp.int32).reshape(-1),
@@ -70,14 +80,15 @@ def tile_columns(key_s, valid_s, starts, cfg: SimConfig, pt: int, col_cap: int):
     )
 
 
-def _pad_cols(mat: jnp.ndarray, col_cap: int, rho_row: int | None = None):
-    """Pad the field-major candidate matrix with col_cap junk columns so a
-    dynamic slice starting at n never clamps. Padding ρ is 1 (never hit, but
-    keeps the divide finite)."""
-    rows, _ = mat.shape
-    pad = jnp.zeros((rows, col_cap), mat.dtype)
-    if rho_row is not None:
-        pad = pad.at[rho_row].set(1.0)
+def _stack_cols(rows: list[jnp.ndarray], total_rows: int, col_cap: int, key_row: int):
+    """Stack field rows into a (total_rows, n+col_cap) candidate matrix:
+    sublane-padded to `total_rows`, lane-padded by col_cap so dynamic slices
+    never clamp. The padding key row gets KEY_PAD (never matched)."""
+    mat = jnp.concatenate(rows)
+    rows_n, n = mat.shape
+    if rows_n < total_rows:
+        mat = jnp.concatenate([mat, jnp.zeros((total_rows - rows_n, n), mat.dtype)])
+    pad = jnp.zeros((total_rows, col_cap), mat.dtype).at[key_row].set(KEY_PAD)
     return jnp.concatenate([mat, pad], axis=1)
 
 
@@ -87,76 +98,84 @@ def _density_kernel(
     col_start_ref, col_cnt_ref, tgt_ref, cols_hbm, rho_ref, cand, sem, *, cfg, col_cap
 ):
     i = pl.program_id(0)
-    pt = tgt_ref.shape[0]
     h2 = jnp.float32(cfg.h2)
-    dk = jnp.float32(cfg.d_kernel_coeff)
     cdim = jnp.float32(cfg.num_cells_per_dim)
 
-    tx = tgt_ref[:, 0:1]
-    ty = tgt_ref[:, 1:2]
-    tz = tgt_ref[:, 2:3]
+    tx, ty, tz = tgt_ref[:, 0:1], tgt_ref[:, 1:2], tgt_ref[:, 2:3]
     tkey = tgt_ref[:, 3:4]
 
-    def get_dma(c):
+    ntiles = pl.num_programs(0)
+
+    def get_dma(tile, c):
+        slot = tile % 2
         return pltpu.make_async_copy(
-            cols_hbm.at[:, pl.ds(pl.multiple_of(col_start_ref[i * 9 + c], 128), col_cap)],
-            cand.at[c],
-            sem.at[c],
+            cols_hbm.at[
+                :, pl.ds(pl.multiple_of(col_start_ref[tile * 9 + c], 128), col_cap)
+            ],
+            cand.at[slot, c],
+            sem.at[slot, c],
         )
 
-    for c0 in range(9):  # issue all column DMAs upfront (deep pipeline)
-        get_dma(c0).start()
+    @pl.when(i == 0)
+    def _():
+        for c0 in range(9):  # warm-up: tile 0's columns
+            get_dma(0, c0).start()
+
+    @pl.when(i + 1 < ntiles)
+    def _():
+        for c0 in range(9):  # prefetch tile i+1 while computing tile i
+            get_dma(i + 1, c0).start()
+
+    slot = i % 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
 
     def col_body(c, acc):
-        slot = c
-        get_dma(c).wait()
+        get_dma(i, c).wait()
         cnt = col_cnt_ref[i * 9 + c].astype(jnp.float32)
         cf = c.astype(jnp.float32)
         off = (jnp.mod(cf, 3.0) - 1.0) * cdim + (jnp.floor(cf / 3.0) - 1.0) * cdim * cdim
 
         def blk(b, acc):
             s = pl.multiple_of(b * LANES, LANES)
-            cx = cand[slot, 0, pl.ds(s, LANES)][None, :]
-            cy = cand[slot, 1, pl.ds(s, LANES)][None, :]
-            cz = cand[slot, 2, pl.ds(s, LANES)][None, :]
-            ck = cand[slot, 3, pl.ds(s, LANES)][None, :]
+            cx = cand[slot, c, 0, pl.ds(s, LANES)][None, :]
+            cy = cand[slot, c, 1, pl.ds(s, LANES)][None, :]
+            cz = cand[slot, c, 2, pl.ds(s, LANES)][None, :]
+            ck = cand[slot, c, 4, pl.ds(s, LANES)][None, :]
             dx = tx - cx
             dy = ty - cy
             dz = tz - cz
-            r2 = dx * dx + dy * dy + dz * dz
-            diff = ck - tkey  # f32-exact: keys < 2^24
-            live = (
-                (diff >= off - 1.0)
-                & (diff <= off + 1.0)
-                & (lane + s.astype(jnp.float32) < cnt)
-                & (r2 <= h2)
-            )
-            w = h2 - r2
+            r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
+            keyhit = jnp.abs((ck - tkey) - off) <= 1.0
+            live = keyhit & ((lane + s.astype(jnp.float32)) < cnt)
+            w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
             w = w * w * w
             return acc + jnp.where(live, w, 0.0)
 
         nb = pl.cdiv(col_cnt_ref[i * 9 + c], LANES)
         return jax.lax.fori_loop(0, nb, blk, acc)
 
+    pt = tgt_ref.shape[0]
     acc = jax.lax.fori_loop(0, 9, col_body, jnp.zeros((pt, LANES), jnp.float32))
-    rho_ref[0, 0, :] = jnp.float32(cfg.mass) * dk * jnp.sum(acc, axis=1)
+    rho_ref[0, 0, :] = (
+        jnp.float32(cfg.mass) * jnp.float32(cfg.d_kernel_coeff) * jnp.sum(acc, axis=1)
+    )
 
 
 def density_pallas(sp, key_s, starts_cols, cfg: SimConfig, *, interpret=False):
     """sp f32[n,3] sorted positions; starts_cols = (col_start, col_cnt) from
-    tile_columns. Returns raw density f32[n] (pre-clamp)."""
+    tile_columns. Returns raw density f32[n] (pre-clamp).
+
+"""
     n = sp.shape[0]
     pt = cfg.pallas_tile
     col_cap = cfg.pallas_col_capacity
     ntiles = n // pt
     col_start, col_cnt = starts_cols
 
-    cols = jnp.concatenate([sp.T, key_s[None, :].astype(jnp.float32)])
-    cols = jnp.concatenate(
-        [cols, jnp.zeros((8 - cols.shape[0], cols.shape[1]), cols.dtype)]
+    spare = jnp.zeros((1, sp.shape[0]), jnp.float32)
+    cols = _stack_cols(
+        [sp.T, spare, key_s[None, :].astype(jnp.float32)], 8, col_cap, key_row=4
     )
-    cols = _pad_cols(cols, col_cap)  # (8, n+cap)
     tgts = jnp.concatenate([sp, key_s[:, None].astype(jnp.float32)], axis=1)  # (n,4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -168,8 +187,8 @@ def density_pallas(sp, key_s, starts_cols, cfg: SimConfig, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, 1, pt), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((9, 8, col_cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.VMEM((2, 9, 8, col_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )
     rho = pl.pallas_call(
@@ -183,43 +202,53 @@ def density_pallas(sp, key_s, starts_cols, cfg: SimConfig, *, interpret=False):
 
 # ---------------------------------------------------------------- forces
 
+# candidate field rows for the force kernel
+_FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FC2, _FKEY = range(10)
+
+
 def _force_kernel(
     col_start_ref, col_cnt_ref, tgt_ref, cols_hbm, f_ref, cand, sem, *, cfg, col_cap
 ):
     i = pl.program_id(0)
-    pt = tgt_ref.shape[0]
     h = jnp.float32(cfg.h)
-    h2 = jnp.float32(cfg.h2)
     eps = jnp.float32(cfg.eps)
     m = jnp.float32(cfg.mass)
     vk = jnp.float32(cfg.v_kernel_coeff)
     mu = jnp.float32(cfg.viscosity)
     cdim = jnp.float32(cfg.num_cells_per_dim)
 
-    tx = tgt_ref[:, 0:1]
-    ty = tgt_ref[:, 1:2]
-    tz = tgt_ref[:, 2:3]
-    tvx = tgt_ref[:, 3:4]
-    tvy = tgt_ref[:, 4:5]
-    tvz = tgt_ref[:, 5:6]
+    tx, ty, tz = tgt_ref[:, 0:1], tgt_ref[:, 1:2], tgt_ref[:, 2:3]
+    tvx, tvy, tvz = tgt_ref[:, 3:4], tgt_ref[:, 4:5], tgt_ref[:, 5:6]
     tp = tgt_ref[:, 6:7]
     tkey = tgt_ref[:, 7:8]
 
-    def get_dma(c):
+    ntiles = pl.num_programs(0)
+
+    def get_dma(tile, c):
+        slot = tile % 2
         return pltpu.make_async_copy(
-            cols_hbm.at[:, pl.ds(pl.multiple_of(col_start_ref[i * 9 + c], 128), col_cap)],
-            cand.at[c],
-            sem.at[c],
+            cols_hbm.at[
+                :, pl.ds(pl.multiple_of(col_start_ref[tile * 9 + c], 128), col_cap)
+            ],
+            cand.at[slot, c],
+            sem.at[slot, c],
         )
 
-    for c0 in range(9):  # issue all column DMAs upfront (deep pipeline)
-        get_dma(c0).start()
+    @pl.when(i == 0)
+    def _():
+        for c0 in range(9):
+            get_dma(0, c0).start()
+
+    @pl.when(i + 1 < ntiles)
+    def _():
+        for c0 in range(9):
+            get_dma(i + 1, c0).start()
+
+    slot = i % 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
 
     def col_body(c, carry):
-        fx, fy, fz = carry
-        slot = c
-        get_dma(c).wait()
+        get_dma(i, c).wait()
         cnt = col_cnt_ref[i * 9 + c].astype(jnp.float32)
         cf = c.astype(jnp.float32)
         off = (jnp.mod(cf, 3.0) - 1.0) * cdim + (jnp.floor(cf / 3.0) - 1.0) * cdim * cdim
@@ -227,42 +256,38 @@ def _force_kernel(
         def blk(b, carry):
             fx, fy, fz = carry
             s = pl.multiple_of(b * LANES, LANES)
-            row = lambda r: cand[slot, r, pl.ds(s, LANES)][None, :]
-            cx, cy, cz = row(0), row(1), row(2)
-            cvx, cvy, cvz = row(3), row(4), row(5)
-            crho, cp, ck = row(6), row(7), row(8)
-            dx = tx - cx
-            dy = ty - cy
-            dz = tz - cz
+            row = lambda r: cand[slot, c, r, pl.ds(s, LANES)][None, :]
+            dx = tx - row(_FX)
+            dy = ty - row(_FY)
+            dz = tz - row(_FZ)
             r2 = dx * dx + dy * dy + dz * dz
             r = jnp.sqrt(r2)
-            diff = ck - tkey
-            hit = (
-                (diff >= off - 1.0)
-                & (diff <= off + 1.0)
-                & (lane + s.astype(jnp.float32) < cnt)
-            )
-            # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky  (cu:224-235, 99-117)
-            live_p = hit & (r2 <= h2) & (r >= eps)
+            keyhit = jnp.abs((row(_FKEY) - tkey) - off) <= 1.0
+            base = keyhit & ((lane + s.astype(jnp.float32)) < cnt) & (r >= eps)
+            # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's two minus
+            # signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r, cu:99-117, 224-235),
+            # so s_p = +m·vk·(p_i+p_j)/(2ρ_j)·(h−r)²/r times disp.
+            live_p = base & (r2 <= h * h)
             safe_r = jnp.where(live_p, r, 1.0)
             hr = h - safe_r
-            scale = (-vk) * hr * hr / safe_r
-            s_p = (-m) * (tp + cp) / (2.0 * crho) * scale
-            s_p = jnp.where(live_p, s_p, 0.0)
+            term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
+            s_p = jnp.where(live_p, (m * vk) * term * hr * hr / safe_r, 0.0)
             fx = fx + s_p * dx
             fy = fy + s_p * dy
             fz = fz + s_p * dz
-            # viscosity: μ m (v_j−v_i)·∇²W_visc/ρ_j  (cu:237-250, 119-130)
-            live_v = hit & (r <= h) & (r >= eps)
-            s_v = jnp.where(live_v, mu * m * vk * (h - r) / crho, 0.0)
-            fx = fx + s_v * (cvx - tvx)
-            fy = fy + s_v * (cvy - tvy)
-            fz = fz + s_v * (cvz - tvz)
+            # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h included,
+            # cu:119-130, 237-250); _FI2R is 1/(2ρ_j), hence the 2× constant.
+            live_v = base & (r <= h)
+            s_v = jnp.where(live_v, (2.0 * mu * m * vk) * (h - r) * row(_FI2R), 0.0)
+            fx = fx + s_v * (row(_FVX) - tvx)
+            fy = fy + s_v * (row(_FVY) - tvy)
+            fz = fz + s_v * (row(_FVZ) - tvz)
             return fx, fy, fz
 
         nb = pl.cdiv(col_cnt_ref[i * 9 + c], LANES)
-        return jax.lax.fori_loop(0, nb, blk, (fx, fy, fz))
+        return jax.lax.fori_loop(0, nb, blk, carry)
 
+    pt = tgt_ref.shape[0]
     zero = jnp.zeros((pt, LANES), jnp.float32)
     fx, fy, fz = jax.lax.fori_loop(0, 9, col_body, (zero, zero, zero))
     f_ref[0, :, 0] = jnp.sum(fx, axis=1)
@@ -278,13 +303,20 @@ def force_pallas(sp, sv, rho_s, p_s, key_s, starts_cols, cfg, *, interpret=False
     ntiles = n // pt
     col_start, col_cnt = starts_cols
 
-    cols = jnp.concatenate(
-        [sp.T, sv.T, rho_s[None, :], p_s[None, :], key_s[None, :].astype(jnp.float32)]
+    inv2rho = 0.5 / rho_s
+    cols = _stack_cols(
+        [
+            sp.T,
+            sv.T,
+            inv2rho[None, :],
+            (p_s * inv2rho)[None, :],
+            jnp.zeros((1, sp.shape[0]), jnp.float32),  # spare (_FC2 unused)
+            key_s[None, :].astype(jnp.float32),
+        ],
+        16,
+        col_cap,
+        key_row=_FKEY,
     )
-    cols = jnp.concatenate(  # pad field rows 9→16 for sublane tiling
-        [cols, jnp.zeros((16 - cols.shape[0], cols.shape[1]), cols.dtype)]
-    )
-    cols = _pad_cols(cols, col_cap, rho_row=6)  # (16, n+cap)
     tgts = jnp.concatenate(
         [sp, sv, p_s[:, None], key_s[:, None].astype(jnp.float32)], axis=1
     )  # (n, 8)
@@ -298,8 +330,8 @@ def force_pallas(sp, sv, rho_s, p_s, key_s, starts_cols, cfg, *, interpret=False
         ],
         out_specs=pl.BlockSpec((1, pt, 3), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((9, 16, col_cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.VMEM((2, 9, 16, col_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )
     f = pl.pallas_call(

@@ -52,7 +52,17 @@ def project(points: np.ndarray) -> np.ndarray:
 
 def render_frame(positions: np.ndarray) -> np.ndarray:
     """Rasterize one frame: black background, white box wireframe, blue 3-px
-    particles (display.cpp:35-57). Returns uint8[H, W, 3]."""
+    particles (display.cpp:35-57). Returns uint8[H, W, 3]. Uses the native
+    C++ rasterizer (native/sphnative.cpp) when available, numpy otherwise."""
+    from tpusph.utils.native import render_frame_native
+
+    native = render_frame_native(positions)
+    if native is not None:
+        return native
+    return _render_frame_numpy(positions)
+
+
+def _render_frame_numpy(positions: np.ndarray) -> np.ndarray:
     img = np.zeros((HEIGHT, WIDTH, 3), np.uint8)
 
     # box wireframe: sample each edge densely (cheap, 12 edges)
