@@ -24,6 +24,12 @@ import time
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: the 100-step scan program compiles once per
+    # kernel revision (~minutes through the remote-compile relay), then loads
+    # in seconds on every subsequent bench run
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
 
     from tpusph.core.config import default_config

@@ -119,18 +119,25 @@ class Simulator:
         assert self.state is not None, "call setup() first"
         assert self._update is not None, "timed mode needs a cell-list backend"
 
+        # Each phase is fenced with block_until_ready AND a scalar device_get:
+        # through the axon relay block_until_ready alone does not actually
+        # synchronize, so the scalar fetch is the reliable fence (it adds one
+        # host round-trip per phase — the same sync the reference pays with
+        # cudaDeviceSynchronize, simulator.cu:505-545).
         t0 = time.perf_counter()
         cl = self._build(self.state)
         jax.block_until_ready(cl)
+        jax.device_get(cl.oob_count)
         t1 = time.perf_counter()
         times.build_grid += t1 - t0
 
         new_state, aux = self._update(self.state, cl)
         jax.block_until_ready(new_state)
+        aux_host = jax.device_get(aux)
         t2 = time.perf_counter()
         times.sph_update += t2 - t1
 
-        if int(aux.window_overflow) > 0:
+        if int(aux_host.window_overflow) > 0:
             # Re-trace with more capacity and replay (untimed — a re-trace is
             # a compilation event, not a steady-state cost).
             self._grow_capacity()

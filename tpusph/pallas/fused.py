@@ -128,36 +128,40 @@ def _density_kernel(
 
     slot = i % 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
-
-    def col_body(c, acc):
-        get_dma(i, c).wait()
-        cnt = col_cnt_ref[i * 9 + c].astype(jnp.float32)
-        cf = c.astype(jnp.float32)
-        off = (jnp.mod(cf, 3.0) - 1.0) * cdim + (jnp.floor(cf / 3.0) - 1.0) * cdim * cdim
-
-        def blk(b, acc):
-            s = pl.multiple_of(b * LANES, LANES)
-            cx = cand[slot, c, 0, pl.ds(s, LANES)][None, :]
-            cy = cand[slot, c, 1, pl.ds(s, LANES)][None, :]
-            cz = cand[slot, c, 2, pl.ds(s, LANES)][None, :]
-            ck = cand[slot, c, 4, pl.ds(s, LANES)][None, :]
-            dx = tx - cx
-            dy = ty - cy
-            dz = tz - cz
-            r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
-            keyhit = jnp.abs((ck - tkey) - off) <= 1.0
-            live = keyhit & ((lane + s.astype(jnp.float32)) < cnt)
-            w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
-            w = w * w * w
-            return acc + jnp.where(live, w, 0.0)
-
-        nb = pl.cdiv(col_cnt_ref[i * 9 + c], LANES)
-        return jax.lax.fori_loop(0, nb, blk, acc)
+    offsets = _offsets(cfg)
 
     pt = tgt_ref.shape[0]
-    acc = jax.lax.fori_loop(0, 9, col_body, jnp.zeros((pt, LANES), jnp.float32))
+    acc = jnp.zeros((pt, LANES), jnp.float32)
+    accs = [acc]  # single mutable cell for the unrolled predicated blocks
+
+    for c in range(9):  # fully unrolled: offsets are compile-time constants
+        get_dma(i, c).wait()
+        cnt = col_cnt_ref[i * 9 + c].astype(jnp.float32)
+        off = jnp.float32(offsets[c])
+        for b in range(col_cap // LANES):
+            s = b * LANES
+
+            def blk(c=c, s=s, cnt=cnt, off=off):
+                cx = cand[slot, c, 0, pl.ds(s, LANES)][None, :]
+                cy = cand[slot, c, 1, pl.ds(s, LANES)][None, :]
+                cz = cand[slot, c, 2, pl.ds(s, LANES)][None, :]
+                ck = cand[slot, c, 3, pl.ds(s, LANES)][None, :]
+                dx = tx - cx
+                dy = ty - cy
+                dz = tz - cz
+                r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
+                keyhit = jnp.abs((ck - tkey) - off) <= 1.0
+                live = keyhit & ((lane + s) < cnt)
+                w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
+                w = w * w * w
+                return accs[0] + jnp.where(live, w, 0.0)
+
+            accs[0] = jax.lax.cond(s < col_cnt_ref[i * 9 + c], blk, lambda: accs[0])
+
     rho_ref[0, 0, :] = (
-        jnp.float32(cfg.mass) * jnp.float32(cfg.d_kernel_coeff) * jnp.sum(acc, axis=1)
+        jnp.float32(cfg.mass)
+        * jnp.float32(cfg.d_kernel_coeff)
+        * jnp.sum(accs[0], axis=1)
     )
 
 
@@ -172,9 +176,8 @@ def density_pallas(sp, key_s, starts_cols, cfg: SimConfig, *, interpret=False):
     ntiles = n // pt
     col_start, col_cnt = starts_cols
 
-    spare = jnp.zeros((1, sp.shape[0]), jnp.float32)
     cols = _stack_cols(
-        [sp.T, spare, key_s[None, :].astype(jnp.float32)], 8, col_cap, key_row=4
+        [sp.T, key_s[None, :].astype(jnp.float32)], 8, col_cap, key_row=3
     )
     tgts = jnp.concatenate([sp, key_s[:, None].astype(jnp.float32)], axis=1)  # (n,4)
 
@@ -203,7 +206,7 @@ def density_pallas(sp, key_s, starts_cols, cfg: SimConfig, *, interpret=False):
 # ---------------------------------------------------------------- forces
 
 # candidate field rows for the force kernel
-_FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FC2, _FKEY = range(10)
+_FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FKEY = range(9)
 
 
 def _force_kernel(
@@ -246,50 +249,56 @@ def _force_kernel(
 
     slot = i % 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
-
-    def col_body(c, carry):
-        get_dma(i, c).wait()
-        cnt = col_cnt_ref[i * 9 + c].astype(jnp.float32)
-        cf = c.astype(jnp.float32)
-        off = (jnp.mod(cf, 3.0) - 1.0) * cdim + (jnp.floor(cf / 3.0) - 1.0) * cdim * cdim
-
-        def blk(b, carry):
-            fx, fy, fz = carry
-            s = pl.multiple_of(b * LANES, LANES)
-            row = lambda r: cand[slot, c, r, pl.ds(s, LANES)][None, :]
-            dx = tx - row(_FX)
-            dy = ty - row(_FY)
-            dz = tz - row(_FZ)
-            r2 = dx * dx + dy * dy + dz * dz
-            r = jnp.sqrt(r2)
-            keyhit = jnp.abs((row(_FKEY) - tkey) - off) <= 1.0
-            base = keyhit & ((lane + s.astype(jnp.float32)) < cnt) & (r >= eps)
-            # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's two minus
-            # signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r, cu:99-117, 224-235),
-            # so s_p = +m·vk·(p_i+p_j)/(2ρ_j)·(h−r)²/r times disp.
-            live_p = base & (r2 <= h * h)
-            safe_r = jnp.where(live_p, r, 1.0)
-            hr = h - safe_r
-            term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
-            s_p = jnp.where(live_p, (m * vk) * term * hr * hr / safe_r, 0.0)
-            fx = fx + s_p * dx
-            fy = fy + s_p * dy
-            fz = fz + s_p * dz
-            # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h included,
-            # cu:119-130, 237-250); _FI2R is 1/(2ρ_j), hence the 2× constant.
-            live_v = base & (r <= h)
-            s_v = jnp.where(live_v, (2.0 * mu * m * vk) * (h - r) * row(_FI2R), 0.0)
-            fx = fx + s_v * (row(_FVX) - tvx)
-            fy = fy + s_v * (row(_FVY) - tvy)
-            fz = fz + s_v * (row(_FVZ) - tvz)
-            return fx, fy, fz
-
-        nb = pl.cdiv(col_cnt_ref[i * 9 + c], LANES)
-        return jax.lax.fori_loop(0, nb, blk, carry)
+    offsets = _offsets(cfg)
 
     pt = tgt_ref.shape[0]
     zero = jnp.zeros((pt, LANES), jnp.float32)
-    fx, fy, fz = jax.lax.fori_loop(0, 9, col_body, (zero, zero, zero))
+    carry = [(zero, zero, zero)]
+
+    for c in range(9):  # fully unrolled
+        get_dma(i, c).wait()
+        cnt = col_cnt_ref[i * 9 + c].astype(jnp.float32)
+        off = jnp.float32(offsets[c])
+        for b in range(col_cap // LANES):
+            s = b * LANES
+
+            def blk(c=c, s=s, cnt=cnt, off=off):
+                fx, fy, fz = carry[0]
+                row = lambda r: cand[slot, c, r, pl.ds(s, LANES)][None, :]
+                dx = tx - row(_FX)
+                dy = ty - row(_FY)
+                dz = tz - row(_FZ)
+                r2 = dx * dx + dy * dy + dz * dz
+                r = jnp.sqrt(r2)
+                keyhit = jnp.abs((row(_FKEY) - tkey) - off) <= 1.0
+                base = keyhit & ((lane + s) < cnt) & (r >= eps)
+                # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's two
+                # minus signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r,
+                # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)·(h−r)²/r.
+                live_p = base & (r2 <= h * h)
+                safe_r = jnp.where(live_p, r, 1.0)
+                hr = h - safe_r
+                term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
+                s_p = jnp.where(live_p, (m * vk) * term * hr * hr / safe_r, 0.0)
+                fx = fx + s_p * dx
+                fy = fy + s_p * dy
+                fz = fz + s_p * dz
+                # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h incl.,
+                # cu:119-130, 237-250); _FI2R is 1/(2ρ_j), hence the 2×.
+                live_v = base & (r <= h)
+                s_v = jnp.where(
+                    live_v, (2.0 * mu * m * vk) * (h - r) * row(_FI2R), 0.0
+                )
+                fx = fx + s_v * (row(_FVX) - tvx)
+                fy = fy + s_v * (row(_FVY) - tvy)
+                fz = fz + s_v * (row(_FVZ) - tvz)
+                return fx, fy, fz
+
+            carry[0] = jax.lax.cond(
+                s < col_cnt_ref[i * 9 + c], blk, lambda: carry[0]
+            )
+
+    fx, fy, fz = carry[0]
     f_ref[0, :, 0] = jnp.sum(fx, axis=1)
     f_ref[0, :, 1] = jnp.sum(fy, axis=1)
     f_ref[0, :, 2] = jnp.sum(fz, axis=1)
@@ -310,7 +319,6 @@ def force_pallas(sp, sv, rho_s, p_s, key_s, starts_cols, cfg, *, interpret=False
             sv.T,
             inv2rho[None, :],
             (p_s * inv2rho)[None, :],
-            jnp.zeros((1, sp.shape[0]), jnp.float32),  # spare (_FC2 unused)
             key_s[None, :].astype(jnp.float32),
         ],
         16,
