@@ -54,11 +54,11 @@ def main() -> None:
         )
 
         @jax.jit
-        def run(state, k):
+        def run(state):
             def body(s, _):
                 s2, aux = step(s, cfg)
                 return s2, aux.window_overflow
-            s2, ovf = jax.lax.scan(body, state, None, length=int(k))
+            s2, ovf = jax.lax.scan(body, state, None, length=steps)
             return s2, jnp.sum(ovf)
 
         return run
@@ -68,7 +68,7 @@ def main() -> None:
     # warmup: compile + verify capacity holds over the full horizon
     for _ in range(6):
         run = make_run(cfg)
-        _, ovf = run(state0, steps)
+        _, ovf = run(state0)
         if int(jax.device_get(ovf)) == 0:
             break
         import dataclasses
@@ -85,7 +85,7 @@ def main() -> None:
         print("warning: capacity growth did not converge", file=sys.stderr)
 
     t0 = time.perf_counter()
-    final, ovf = run(state0, steps)
+    final, ovf = run(state0)
     jax.device_get(ovf)
     dt = time.perf_counter() - t0
 

@@ -63,6 +63,19 @@ def build_parser() -> argparse.ArgumentParser:
         action="append",
     )
     p.add_argument("--window-capacity", type=int, default=None)
+    p.add_argument(
+        "--profile",
+        type=str,
+        default=None,
+        metavar="DIR",
+        help="timed mode: dump a jax.profiler trace to DIR",
+    )
+    p.add_argument(
+        "--gif",
+        type=str,
+        default=None,
+        help="free mode with --frames: also assemble frames into this GIF",
+    )
     return p
 
 
@@ -95,11 +108,19 @@ def main(argv: list[str] | None = None) -> int:
     sim.setup()
 
     if args.exec_mode == "time":
+        import contextlib
+
         from tpusph.bench.times import Times, display_times
 
+        profiler = contextlib.nullcontext()
+        if args.profile:
+            import jax
+
+            profiler = jax.profiler.trace(args.profile)
         times = Times()
-        for _ in range(args.steps):
-            sim.simulate_and_time(times)
+        with profiler:
+            for _ in range(args.steps):
+                sim.simulate_and_time(times)
         display_times(times)
     else:
         from tpusph.viz.render import run_free_mode
@@ -110,6 +131,11 @@ def main(argv: list[str] | None = None) -> int:
             x, y = xy.split(",")
             clicks[int(frame)] = (int(x), int(y))
         run_free_mode(sim, frames=args.frames, out_dir=args.out, clicks=clicks)
+        if args.gif and args.frames > 0:
+            from tpusph.viz.render import frames_to_gif
+
+            frames_to_gif(args.out, args.gif)
+            print(f"wrote {args.gif}")
     return 0
 
 

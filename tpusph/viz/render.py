@@ -126,6 +126,27 @@ def _save_png_stdlib(img: np.ndarray, path: str) -> None:
         f.write(png)
 
 
+def frames_to_gif(frames_dir: str, gif_path: str, fps: int = 30) -> None:
+    """Assemble the PNG frames in frames_dir into an animated GIF (PIL)."""
+    from PIL import Image
+
+    paths = sorted(
+        os.path.join(frames_dir, f)
+        for f in os.listdir(frames_dir)
+        if f.endswith(".png")
+    )
+    if not paths:
+        raise ValueError(f"no frames in {frames_dir}")
+    imgs = [Image.open(p) for p in paths]
+    imgs[0].save(
+        gif_path,
+        save_all=True,
+        append_images=imgs[1:],
+        duration=int(1000 / fps),
+        loop=0,
+    )
+
+
 def run_free_mode(sim, frames: int = 0, out_dir: str = "frames", clicks=None) -> None:
     """Free mode: continuous animation (display() callback loop,
     display.cpp:35-64). frames>0 → headless frame dump with optional scripted
