@@ -77,7 +77,16 @@ class SimConfig:
     # over ceil(cnt/128) live lane-blocks, so compute scales with occupancy,
     # not with this capacity.
     pallas_tile: int = 64
-    pallas_col_capacity: int = 384
+    # sub-tiles per program: one program DMAs the stencil columns for
+    # pallas_group·pallas_tile targets at once (fewer, larger DMAs)
+    pallas_group: int = 4
+    # static column buffer per super-tile (covers group span + ~3×max cell
+    # occupancy + 128 alignment; overflow detected in prep, auto-grown)
+    pallas_col_capacity: int = 768
+    # 128-lane blocks each sub-tile scans per column (covers tile span +
+    # occupancy + alignment; sub-window clamping beyond this is counted as
+    # overflow in prep)
+    pallas_sub_blocks: int = 3
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192

@@ -220,23 +220,18 @@ def step_cell_list(state: FluidState, cfg: SimConfig):
 def update_phase_pallas(state: FluidState, cl: CellList, cfg: SimConfig, interpret=False):
     """SPH-update phase with the Pallas megakernels (pallas/fused.py) in place
     of the XLA tile passes — identical math and masks."""
-    from tpusph.pallas.fused import density_pallas, force_pallas, tile_columns
+    from tpusph.pallas.fused import density_pallas, force_pallas, supertile_columns
 
     sp = state.position[cl.perm]
     sv = state.velocity[cl.perm]
-    col_start, col_cnt, ovf = tile_columns(
-        cl.key_sorted, cl.valid_sorted, cl.starts, cfg, cfg.pallas_tile,
-        cfg.pallas_col_capacity,
-    )
-    raw_rho = density_pallas(
-        sp, cl.key_sorted, (col_start, col_cnt), cfg, interpret=interpret
-    )
+    cols_info = supertile_columns(cl.key_sorted, cl.valid_sorted, cl.starts, cfg)
+    ovf = cols_info.overflow
+    raw_rho = density_pallas(sp, cl.key_sorted, cols_info, cfg, interpret=interpret)
     rho_s, p_s = pressure_from_density(raw_rho, cfg)
     rho_s = jnp.where(cl.valid_sorted, rho_s, 1.0)
     p_s = jnp.where(cl.valid_sorted, p_s, 0.0)
     f_s = force_pallas(
-        sp, sv, rho_s, p_s, cl.key_sorted, (col_start, col_cnt), cfg,
-        interpret=interpret,
+        sp, sv, rho_s, p_s, cl.key_sorted, cols_info, cfg, interpret=interpret
     )
     f_s = jnp.where(cl.valid_sorted[:, None], f_s, 0.0)
 
@@ -263,25 +258,20 @@ def step_pallas_sorted(state: FluidState, cfg: SimConfig, interpret=False):
     identity is irrelevant for rendering (the reference draws unordered blue
     points, display.cpp:52-57). Use step_pallas when stable identity matters
     (golden trajectories, checkpoints)."""
-    from tpusph.pallas.fused import density_pallas, force_pallas, tile_columns
+    from tpusph.pallas.fused import density_pallas, force_pallas, supertile_columns
 
     cl = build_phase(state, cfg)
     sp = state.position[cl.perm]
     sv = state.velocity[cl.perm]
     valid_s = cl.valid_sorted
-    col_start, col_cnt, ovf = tile_columns(
-        cl.key_sorted, valid_s, cl.starts, cfg, cfg.pallas_tile,
-        cfg.pallas_col_capacity,
-    )
-    raw_rho = density_pallas(
-        sp, cl.key_sorted, (col_start, col_cnt), cfg, interpret=interpret
-    )
+    cols_info = supertile_columns(cl.key_sorted, valid_s, cl.starts, cfg)
+    ovf = cols_info.overflow
+    raw_rho = density_pallas(sp, cl.key_sorted, cols_info, cfg, interpret=interpret)
     rho_s, p_s = pressure_from_density(raw_rho, cfg)
     rho_s = jnp.where(valid_s, rho_s, 1.0)
     p_s = jnp.where(valid_s, p_s, 0.0)
     f_s = force_pallas(
-        sp, sv, rho_s, p_s, cl.key_sorted, (col_start, col_cnt), cfg,
-        interpret=interpret,
+        sp, sv, rho_s, p_s, cl.key_sorted, cols_info, cfg, interpret=interpret
     )
     f_s = jnp.where(valid_s[:, None], f_s, 0.0)
 

@@ -6,34 +6,37 @@ kernelUpdateForces, /root/reference/src/simulator.cu:149-256). Design:
 
   * Particles sorted by row-major cell key (neighbors/cell_list.py); candidate
     fields live in HBM as small *field-major* matrices (fields × particles) so
-    a tile's stencil column is ONE contiguous dynamic slice per column.
-  * Grid = one program per tile of PT sorted targets. The 9 (dy,dz) stencil
-    columns are DMA'd HBM→VMEM, double-buffered ACROSS tiles: tile i+1's nine
-    columns stream in while tile i computes (TPU scratch persists across the
-    sequential grid), hiding DMA latency entirely.
-  * Column candidate counts are dynamic: the kernel loops over ceil(cnt/128)
-    live 128-lane blocks only — dead blocks are skipped, so compute scales
-    with occupancy instead of with the static capacity (the waste that bounds
-    the pure-XLA path).
+    a stencil column is ONE contiguous dynamic slice per column.
+  * Grid = one program per SUPER-TILE of G·PT sorted targets. Each program
+    DMAs its 9 stencil columns once for the whole group (HBM→VMEM,
+    double-buffered across programs: the next super-tile streams in while this
+    one computes); each of the G sub-tiles then scans only its own
+    128-aligned window of the shared buffer. Grouping divides the DMA count
+    and per-program overhead by G without increasing compute.
+  * Candidate blocks are statically unrolled and predicated (lax.cond), so
+    compute scales with occupancy, not with the static capacity.
   * Pair distances use the exact displacement form Σ(tᵢ−cᵢ)² — the MXU
     identity |t|²+|c|²−2t·c was tried and rejected: catastrophic cancellation
     (coordinates ~5, r² ~1e-4) costs ~6 significant digits and blows the 1e-4
     density parity budget.
   * Per-candidate force coefficients 1/(2ρ_j) and p_j/(2ρ_j) are precomputed
-    once per particle in prep (not once per pair), shrinking the inner loop.
+    once per particle in prep (not once per pair).
   * Per-pair flat-key-difference masking assigns every stencil pair to exactly
     one column (the 27 accepted diffs are disjoint), so overlapping column
-    ranges never double-count. DMA starts are 128-aligned; the extra leading
-    lanes hold particles from cells below the range, which the key mask
-    rejects exactly.
+    ranges never double-count. DMA starts are 128-aligned (Mosaic requires
+    lane-dim slice offsets provably divisible by 128); the extra leading lanes
+    hold particles from cells below the range, which the key mask rejects
+    exactly.
 
-Capacity (col_cap) overflow is detected in the jnp prep step (tile_columns),
-never inside the kernel, and the driver re-traces larger.
+Capacity overflow (super-column count vs the static buffer) is detected in the
+jnp prep step (supertile_columns), never inside the kernel; drivers re-trace
+with doubled capacity.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -51,15 +54,23 @@ def _offsets(cfg: SimConfig) -> list[int]:
     return [dy * c + dz * c * c for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
-def tile_columns(key_s, valid_s, starts, cfg: SimConfig, pt: int, col_cap: int):
-    """Per-tile stencil-column ranges (jnp prep, cheap).
-    Returns (col_start i32[ntiles*9], col_cnt i32[ntiles*9], overflow i32),
-    flattened so the SMEM prefetch buffers aren't lane-padded."""
-    n = key_s.shape[0]
+class TileColumns(NamedTuple):
+    """Stencil-column ranges at two granularities (all flattened i32 so the
+    SMEM prefetch buffers aren't lane-padded)."""
+
+    sub_start: jnp.ndarray  # [ntiles*9] 128-aligned absolute start per sub-tile
+    sub_cnt: jnp.ndarray  # [ntiles*9] candidates from sub_start (≤ super cap)
+    sup_start: jnp.ndarray  # [nprog*9] 128-aligned absolute start per super-tile
+    overflow: jnp.ndarray  # int32[] — super-column count beyond capacity
+
+
+def _column_ranges(key_s, valid_s, starts, cfg: SimConfig, tile: int):
+    """(aligned_start, cnt) int32[n//tile, 9] for the 9 stencil columns of
+    each tile of `tile` sorted targets."""
     nc = cfg.num_cells
-    ntiles = n // pt
-    tk = key_s.reshape(ntiles, pt)
-    tv = valid_s.reshape(ntiles, pt)
+    ntiles = key_s.shape[0] // tile
+    tk = key_s.reshape(ntiles, tile)
+    tv = valid_s.reshape(ntiles, tile)
     kmin = jnp.min(jnp.where(tv, tk, nc), axis=1)
     kmax = jnp.max(jnp.where(tv, tk, -1), axis=1)
     offs = jnp.asarray(_offsets(cfg), jnp.int32)
@@ -67,22 +78,36 @@ def tile_columns(key_s, valid_s, starts, cfg: SimConfig, pt: int, col_cap: int):
     hi = jnp.clip(kmax[:, None] + offs[None, :] + 2, lo, nc)
     start = starts[lo]
     end = starts[hi]
-    # 128-align the DMA start: leading extra lanes hold particles from cells
-    # below `lo`, which the per-pair key mask rejects exactly, so alignment
-    # costs nothing but lanes.
-    astart = (start // 128) * 128
-    cnt = end - astart
-    overflow = jnp.sum(jnp.maximum(cnt - col_cap, 0)).astype(jnp.int32)
-    return (
-        astart.astype(jnp.int32).reshape(-1),
-        jnp.minimum(cnt, col_cap).astype(jnp.int32).reshape(-1),
-        overflow,
+    astart = (start // 128) * 128  # 128-align; key mask rejects the lead-in
+    return astart.astype(jnp.int32), (end - astart).astype(jnp.int32)
+
+
+def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
+    pt, g, cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
+    sub_start, sub_cnt = _column_ranges(key_s, valid_s, starts, cfg, pt)
+    sup_start, sup_cnt = _column_ranges(key_s, valid_s, starts, cfg, pt * g)
+    overflow = jnp.sum(jnp.maximum(sup_cnt - cap, 0)).astype(jnp.int32)
+    # a sub window must fit its static block scan AND the super buffer
+    sub_max = cfg.pallas_sub_blocks * 128
+    overflow = overflow + jnp.sum(jnp.maximum(sub_cnt - sub_max, 0)).astype(
+        jnp.int32
+    )
+    sub_cnt = jnp.minimum(sub_cnt, sub_max)
+    rel_end = sub_start + sub_cnt - jnp.repeat(sup_start, g, axis=0)
+    sub_cnt = sub_cnt - jnp.maximum(rel_end - cap, 0)
+    sub_cnt = jnp.maximum(sub_cnt, 0)
+    return TileColumns(
+        sub_start=sub_start.reshape(-1),
+        sub_cnt=sub_cnt.reshape(-1),
+        sup_start=sup_start.reshape(-1),
+        overflow=overflow,
     )
 
 
 def _stack_cols(rows: list[jnp.ndarray], total_rows: int, col_cap: int, key_row: int):
     """Stack field rows into a (total_rows, n+col_cap) candidate matrix:
-    sublane-padded to `total_rows`, lane-padded by col_cap so dynamic slices
+    sublane-padded to `total_rows` (HBM memrefs are (8,128)-tiled, so row
+    counts must be multiples of 8), lane-padded by col_cap so dynamic slices
     never clamp. The padding key row gets KEY_PAD (never matched)."""
     mat = jnp.concatenate(rows)
     rows_n, n = mat.shape
@@ -92,89 +117,96 @@ def _stack_cols(rows: list[jnp.ndarray], total_rows: int, col_cap: int, key_row:
     return jnp.concatenate([mat, pad], axis=1)
 
 
-# ---------------------------------------------------------------- density
+def _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, col_cap):
+    """Start this/next super-tile's 9 column DMAs (double-buffered across the
+    sequential grid) and return (wait_fn, slot)."""
+    nprog = pl.num_programs(0)
 
-def _density_kernel(
-    col_start_ref, col_cnt_ref, tgt_ref, cols_hbm, rho_ref, cand, sem, *, cfg, col_cap
-):
-    i = pl.program_id(0)
-    h2 = jnp.float32(cfg.h2)
-    cdim = jnp.float32(cfg.num_cells_per_dim)
-
-    tx, ty, tz = tgt_ref[:, 0:1], tgt_ref[:, 1:2], tgt_ref[:, 2:3]
-    tkey = tgt_ref[:, 3:4]
-
-    ntiles = pl.num_programs(0)
-
-    def get_dma(tile, c):
-        slot = tile % 2
+    def get_dma(prog, c):
         return pltpu.make_async_copy(
             cols_hbm.at[
-                :, pl.ds(pl.multiple_of(col_start_ref[tile * 9 + c], 128), col_cap)
+                :, pl.ds(pl.multiple_of(sup_start_ref[prog * 9 + c], 128), col_cap)
             ],
-            cand.at[slot, c],
-            sem.at[slot, c],
+            cand.at[prog % 2, c],
+            sem.at[prog % 2, c],
         )
 
     @pl.when(i == 0)
     def _():
-        for c0 in range(9):  # warm-up: tile 0's columns
-            get_dma(0, c0).start()
+        for c in range(9):
+            get_dma(0, c).start()
 
-    @pl.when(i + 1 < ntiles)
+    @pl.when(i + 1 < nprog)
     def _():
-        for c0 in range(9):  # prefetch tile i+1 while computing tile i
-            get_dma(i + 1, c0).start()
+        for c in range(9):
+            get_dma(i + 1, c).start()
 
-    slot = i % 2
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
+    return (lambda c: get_dma(i, c).wait()), i % 2
+
+
+# ---------------------------------------------------------------- density
+
+def _density_kernel(
+    sub_start_ref, sub_cnt_ref, sup_start_ref,
+    tgt_ref, cols_hbm, rho_ref, cand, sem, *, cfg,
+):
+    i = pl.program_id(0)
+    pt, g, col_cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
+    h2 = jnp.float32(cfg.h2)
     offsets = _offsets(cfg)
-
-    pt = tgt_ref.shape[0]
-    acc = jnp.zeros((pt, LANES), jnp.float32)
-    accs = [acc]  # single mutable cell for the unrolled predicated blocks
+    wait, slot = _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, col_cap)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
+    max_blocks = cfg.pallas_sub_blocks
 
     for c in range(9):  # fully unrolled: offsets are compile-time constants
-        get_dma(i, c).wait()
-        cnt = col_cnt_ref[i * 9 + c].astype(jnp.float32)
-        off = jnp.float32(offsets[c])
-        for b in range(col_cap // LANES):
-            s = b * LANES
+        wait(c)
+    for sub in range(g):
+        t0 = sub * pt
+        tx = tgt_ref[t0 : t0 + pt, 0:1]
+        ty = tgt_ref[t0 : t0 + pt, 1:2]
+        tz = tgt_ref[t0 : t0 + pt, 2:3]
+        tkey = tgt_ref[t0 : t0 + pt, 3:4]
+        accs = [jnp.zeros((pt, LANES), jnp.float32)]
+        for c in range(9):
+            tile = i * g + sub
+            sub_cnt = sub_cnt_ref[tile * 9 + c]
+            base = sub_start_ref[tile * 9 + c] - sup_start_ref[i * 9 + c]
+            limit = (base + sub_cnt).astype(jnp.float32)
+            off = jnp.float32(offsets[c])
+            for b in range(max_blocks):
+                s = base + b * LANES
 
-            def blk(c=c, s=s, cnt=cnt, off=off):
-                cx = cand[slot, c, 0, pl.ds(s, LANES)][None, :]
-                cy = cand[slot, c, 1, pl.ds(s, LANES)][None, :]
-                cz = cand[slot, c, 2, pl.ds(s, LANES)][None, :]
-                ck = cand[slot, c, 3, pl.ds(s, LANES)][None, :]
-                dx = tx - cx
-                dy = ty - cy
-                dz = tz - cz
-                r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
-                keyhit = jnp.abs((ck - tkey) - off) <= 1.0
-                live = keyhit & ((lane + s) < cnt)
-                w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
-                w = w * w * w
-                return accs[0] + jnp.where(live, w, 0.0)
+                def blk(c=c, s=s, limit=limit, off=off):
+                    sl = pl.ds(pl.multiple_of(s, 128), LANES)
+                    cx = cand[slot, c, 0, sl][None, :]
+                    cy = cand[slot, c, 1, sl][None, :]
+                    cz = cand[slot, c, 2, sl][None, :]
+                    ck = cand[slot, c, 3, sl][None, :]
+                    dx = tx - cx
+                    dy = ty - cy
+                    dz = tz - cz
+                    r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
+                    keyhit = jnp.abs((ck - tkey) - off) <= 1.0
+                    live = keyhit & ((lane + s.astype(jnp.float32)) < limit)
+                    w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
+                    w = w * w * w
+                    return accs[0] + jnp.where(live, w, 0.0)
 
-            accs[0] = jax.lax.cond(s < col_cnt_ref[i * 9 + c], blk, lambda: accs[0])
+                accs[0] = jax.lax.cond(
+                    b * LANES < sub_cnt, blk, lambda: accs[0]
+                )
+        rho_ref[0, sub, :] = (
+            jnp.float32(cfg.mass)
+            * jnp.float32(cfg.d_kernel_coeff)
+            * jnp.sum(accs[0], axis=1)
+        )
 
-    rho_ref[0, 0, :] = (
-        jnp.float32(cfg.mass)
-        * jnp.float32(cfg.d_kernel_coeff)
-        * jnp.sum(accs[0], axis=1)
-    )
 
-
-def density_pallas(sp, key_s, starts_cols, cfg: SimConfig, *, interpret=False):
-    """sp f32[n,3] sorted positions; starts_cols = (col_start, col_cnt) from
-    tile_columns. Returns raw density f32[n] (pre-clamp).
-
-"""
+def density_pallas(sp, key_s, cols_info: TileColumns, cfg, *, interpret=False):
+    """sp f32[n,3] sorted positions. Returns raw density f32[n] (pre-clamp)."""
     n = sp.shape[0]
-    pt = cfg.pallas_tile
-    col_cap = cfg.pallas_col_capacity
-    ntiles = n // pt
-    col_start, col_cnt = starts_cols
+    pt, g, col_cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
+    nprog = n // (pt * g)
 
     cols = _stack_cols(
         [sp.T, key_s[None, :].astype(jnp.float32)], 8, col_cap, key_row=3
@@ -182,24 +214,24 @@ def density_pallas(sp, key_s, starts_cols, cfg: SimConfig, *, interpret=False):
     tgts = jnp.concatenate([sp, key_s[:, None].astype(jnp.float32)], axis=1)  # (n,4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(ntiles,),
+        num_scalar_prefetch=3,
+        grid=(nprog,),
         in_specs=[
-            pl.BlockSpec((pt, 4), lambda i, *_: (i, 0)),
+            pl.BlockSpec((pt * g, 4), lambda i, *_: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, 1, pt), lambda i, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, g, pt), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 9, 8, col_cap), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )
     rho = pl.pallas_call(
-        functools.partial(_density_kernel, cfg=cfg, col_cap=col_cap),
-        out_shape=jax.ShapeDtypeStruct((ntiles, 1, pt), jnp.float32),
+        functools.partial(_density_kernel, cfg=cfg),
+        out_shape=jax.ShapeDtypeStruct((nprog, g, pt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(col_start, col_cnt, tgts, cols)
+    )(cols_info.sub_start, cols_info.sub_cnt, cols_info.sup_start, tgts, cols)
     return rho.reshape(n)
 
 
@@ -210,107 +242,98 @@ _FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FKEY = range(9)
 
 
 def _force_kernel(
-    col_start_ref, col_cnt_ref, tgt_ref, cols_hbm, f_ref, cand, sem, *, cfg, col_cap
+    sub_start_ref, sub_cnt_ref, sup_start_ref,
+    tgt_ref, cols_hbm, f_ref, cand, sem, *, cfg,
 ):
     i = pl.program_id(0)
+    pt, g, col_cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
     h = jnp.float32(cfg.h)
     eps = jnp.float32(cfg.eps)
     m = jnp.float32(cfg.mass)
     vk = jnp.float32(cfg.v_kernel_coeff)
     mu = jnp.float32(cfg.viscosity)
-    cdim = jnp.float32(cfg.num_cells_per_dim)
-
-    tx, ty, tz = tgt_ref[:, 0:1], tgt_ref[:, 1:2], tgt_ref[:, 2:3]
-    tvx, tvy, tvz = tgt_ref[:, 3:4], tgt_ref[:, 4:5], tgt_ref[:, 5:6]
-    tp = tgt_ref[:, 6:7]
-    tkey = tgt_ref[:, 7:8]
-
-    ntiles = pl.num_programs(0)
-
-    def get_dma(tile, c):
-        slot = tile % 2
-        return pltpu.make_async_copy(
-            cols_hbm.at[
-                :, pl.ds(pl.multiple_of(col_start_ref[tile * 9 + c], 128), col_cap)
-            ],
-            cand.at[slot, c],
-            sem.at[slot, c],
-        )
-
-    @pl.when(i == 0)
-    def _():
-        for c0 in range(9):
-            get_dma(0, c0).start()
-
-    @pl.when(i + 1 < ntiles)
-    def _():
-        for c0 in range(9):
-            get_dma(i + 1, c0).start()
-
-    slot = i % 2
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
     offsets = _offsets(cfg)
+    wait, slot = _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, col_cap)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
+    max_blocks = cfg.pallas_sub_blocks
 
-    pt = tgt_ref.shape[0]
-    zero = jnp.zeros((pt, LANES), jnp.float32)
-    carry = [(zero, zero, zero)]
+    for c in range(9):
+        wait(c)
+    for sub in range(g):
+        t0 = sub * pt
+        tx = tgt_ref[t0 : t0 + pt, 0:1]
+        ty = tgt_ref[t0 : t0 + pt, 1:2]
+        tz = tgt_ref[t0 : t0 + pt, 2:3]
+        tvx = tgt_ref[t0 : t0 + pt, 3:4]
+        tvy = tgt_ref[t0 : t0 + pt, 4:5]
+        tvz = tgt_ref[t0 : t0 + pt, 5:6]
+        tp = tgt_ref[t0 : t0 + pt, 6:7]
+        tkey = tgt_ref[t0 : t0 + pt, 7:8]
+        zero = jnp.zeros((pt, LANES), jnp.float32)
+        carry = [(zero, zero, zero)]
+        for c in range(9):
+            tile = i * g + sub
+            sub_cnt = sub_cnt_ref[tile * 9 + c]
+            base = sub_start_ref[tile * 9 + c] - sup_start_ref[i * 9 + c]
+            limit = (base + sub_cnt).astype(jnp.float32)
+            off = jnp.float32(offsets[c])
+            for b in range(max_blocks):
+                s = base + b * LANES
 
-    for c in range(9):  # fully unrolled
-        get_dma(i, c).wait()
-        cnt = col_cnt_ref[i * 9 + c].astype(jnp.float32)
-        off = jnp.float32(offsets[c])
-        for b in range(col_cap // LANES):
-            s = b * LANES
+                def blk(c=c, s=s, limit=limit, off=off):
+                    fx, fy, fz = carry[0]
+                    sl = pl.ds(pl.multiple_of(s, 128), LANES)
+                    row = lambda r: cand[slot, c, r, sl][None, :]
+                    dx = tx - row(_FX)
+                    dy = ty - row(_FY)
+                    dz = tz - row(_FZ)
+                    r2 = dx * dx + dy * dy + dz * dz
+                    r = jnp.sqrt(r2)
+                    keyhit = jnp.abs((row(_FKEY) - tkey) - off) <= 1.0
+                    base_m = (
+                        keyhit
+                        & ((lane + s.astype(jnp.float32)) < limit)
+                        & (r >= eps)
+                    )
+                    # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's
+                    # two minus signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r,
+                    # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)
+                    # ·(h−r)²/r, applied along disp.
+                    live_p = base_m & (r2 <= h * h)
+                    safe_r = jnp.where(live_p, r, 1.0)
+                    hr = h - safe_r
+                    term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
+                    s_p = jnp.where(
+                        live_p, (m * vk) * term * hr * hr / safe_r, 0.0
+                    )
+                    fx = fx + s_p * dx
+                    fy = fy + s_p * dy
+                    fz = fz + s_p * dz
+                    # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
+                    # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
+                    live_v = base_m & (r <= h)
+                    s_v = jnp.where(
+                        live_v, (2.0 * mu * m * vk) * (h - r) * row(_FI2R), 0.0
+                    )
+                    fx = fx + s_v * (row(_FVX) - tvx)
+                    fy = fy + s_v * (row(_FVY) - tvy)
+                    fz = fz + s_v * (row(_FVZ) - tvz)
+                    return fx, fy, fz
 
-            def blk(c=c, s=s, cnt=cnt, off=off):
-                fx, fy, fz = carry[0]
-                row = lambda r: cand[slot, c, r, pl.ds(s, LANES)][None, :]
-                dx = tx - row(_FX)
-                dy = ty - row(_FY)
-                dz = tz - row(_FZ)
-                r2 = dx * dx + dy * dy + dz * dz
-                r = jnp.sqrt(r2)
-                keyhit = jnp.abs((row(_FKEY) - tkey) - off) <= 1.0
-                base = keyhit & ((lane + s) < cnt) & (r >= eps)
-                # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's two
-                # minus signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r,
-                # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)·(h−r)²/r.
-                live_p = base & (r2 <= h * h)
-                safe_r = jnp.where(live_p, r, 1.0)
-                hr = h - safe_r
-                term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
-                s_p = jnp.where(live_p, (m * vk) * term * hr * hr / safe_r, 0.0)
-                fx = fx + s_p * dx
-                fy = fy + s_p * dy
-                fz = fz + s_p * dz
-                # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h incl.,
-                # cu:119-130, 237-250); _FI2R is 1/(2ρ_j), hence the 2×.
-                live_v = base & (r <= h)
-                s_v = jnp.where(
-                    live_v, (2.0 * mu * m * vk) * (h - r) * row(_FI2R), 0.0
+                carry[0] = jax.lax.cond(
+                    b * LANES < sub_cnt, blk, lambda: carry[0]
                 )
-                fx = fx + s_v * (row(_FVX) - tvx)
-                fy = fy + s_v * (row(_FVY) - tvy)
-                fz = fz + s_v * (row(_FVZ) - tvz)
-                return fx, fy, fz
-
-            carry[0] = jax.lax.cond(
-                s < col_cnt_ref[i * 9 + c], blk, lambda: carry[0]
-            )
-
-    fx, fy, fz = carry[0]
-    f_ref[0, :, 0] = jnp.sum(fx, axis=1)
-    f_ref[0, :, 1] = jnp.sum(fy, axis=1)
-    f_ref[0, :, 2] = jnp.sum(fz, axis=1)
+        fx, fy, fz = carry[0]
+        f_ref[0, sub, :, 0] = jnp.sum(fx, axis=1)
+        f_ref[0, sub, :, 1] = jnp.sum(fy, axis=1)
+        f_ref[0, sub, :, 2] = jnp.sum(fz, axis=1)
 
 
-def force_pallas(sp, sv, rho_s, p_s, key_s, starts_cols, cfg, *, interpret=False):
+def force_pallas(sp, sv, rho_s, p_s, key_s, cols_info, cfg, *, interpret=False):
     """Returns force f32[n,3] for sorted targets."""
     n = sp.shape[0]
-    pt = cfg.pallas_tile
-    col_cap = cfg.pallas_col_capacity
-    ntiles = n // pt
-    col_start, col_cnt = starts_cols
+    pt, g, col_cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
+    nprog = n // (pt * g)
 
     inv2rho = 0.5 / rho_s
     cols = _stack_cols(
@@ -330,22 +353,33 @@ def force_pallas(sp, sv, rho_s, p_s, key_s, starts_cols, cfg, *, interpret=False
     )  # (n, 8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(ntiles,),
+        num_scalar_prefetch=3,
+        grid=(nprog,),
         in_specs=[
-            pl.BlockSpec((pt, 8), lambda i, *_: (i, 0)),
+            pl.BlockSpec((pt * g, 8), lambda i, *_: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, pt, 3), lambda i, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, g, pt, 3), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 9, 16, col_cap), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 9)),
         ],
     )
     f = pl.pallas_call(
-        functools.partial(_force_kernel, cfg=cfg, col_cap=col_cap),
-        out_shape=jax.ShapeDtypeStruct((ntiles, pt, 3), jnp.float32),
+        functools.partial(_force_kernel, cfg=cfg),
+        out_shape=jax.ShapeDtypeStruct((nprog, g, pt, 3), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(col_start, col_cnt, tgts, cols)
+    )(cols_info.sub_start, cols_info.sub_cnt, cols_info.sup_start, tgts, cols)
     return f.reshape(n, 3)
+
+
+def tile_columns(key_s, valid_s, starts, cfg: SimConfig, pt: int, col_cap: int):
+    """Back-compat wrapper (per-tile ranges only) used by tests."""
+    astart, cnt = _column_ranges(key_s, valid_s, starts, cfg, pt)
+    overflow = jnp.sum(jnp.maximum(cnt - col_cap, 0)).astype(jnp.int32)
+    return (
+        astart.reshape(-1),
+        jnp.minimum(cnt, col_cap).reshape(-1),
+        overflow,
+    )
