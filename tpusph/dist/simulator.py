@@ -1,0 +1,132 @@
+"""DistSimulator — the multi-chip front end, mirroring the single-chip
+Simulator API (setup / simulate / get_position / simulate_and_time) over a
+z-slab-sharded `jax.sharding.Mesh` (see dist/sharded.py for the step).
+
+The reference has no distributed capability (SURVEY.md §2.5); this is the
+scaling layer the survey specifies for BASELINE.json config #5 (1M–4M
+particles across a slice via ICI halo exchange).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from tpusph.bench.times import Times
+from tpusph.core.config import SimConfig
+from tpusph.core.init import init_state
+from tpusph.dist.sharded import (
+    DistConfig,
+    DistState,
+    collect_state,
+    distribute_state,
+    make_sharded_step,
+)
+
+
+def default_dist_config(
+    cfg: SimConfig, n_devices: int, slack: float = 2.0
+) -> DistConfig:
+    """Capacity heuristics: each slab gets `slack`× the uniform share (the
+    fluid clusters under gravity along y, and slabs are along z, so z-density
+    stays near-uniform; overflow is detected regardless). Halo ≈ one cell
+    layer of a slab's share; migration ≈ a few percent per step."""
+    share = -(-cfg.num_particles // n_devices)
+    rnd = lambda x: max(256, -(-int(x) // 256) * 256)
+    dev_cap = rnd(share * slack)
+    halo = min(rnd(max(share * cfg.h / (cfg.box_dim / n_devices), 256) * slack), dev_cap)
+    mig = min(rnd(max(share * 0.05, 128)), dev_cap // 2)
+    return DistConfig(
+        n_devices=n_devices,
+        dev_capacity=dev_cap,
+        halo_capacity=halo,
+        migration_capacity=mig,
+    )
+
+
+class DistSimulator:
+    """Drop-in multi-device variant of engine.Simulator (no click impulse in
+    the sharded step yet — use the single-chip engine for free mode)."""
+
+    def __init__(
+        self,
+        cfg: SimConfig,
+        devices=None,
+        dcfg: DistConfig | None = None,
+        random_init: bool = False,
+        seed: int = 0,
+    ):
+        cfg.validate()
+        self.cfg = cfg
+        devices = devices if devices is not None else jax.devices()
+        self.mesh = Mesh(np.array(devices), ("z",))
+        self.dcfg = dcfg or default_dist_config(cfg, len(devices))
+        self.random_init = random_init
+        self.seed = seed
+        self.state: DistState | None = None
+        self.last_aux = None
+        self._step = make_sharded_step(cfg, self.dcfg, self.mesh)
+
+    def setup(self) -> None:
+        host_state = init_state(self.cfg, self.random_init, self.seed)
+        self.state = distribute_state(host_state, self.cfg, self.dcfg, self.mesh)
+
+    def simulate(self) -> None:
+        assert self.state is not None, "call setup() first"
+        for _ in range(8):
+            new_state, aux = self._step(self.state)
+            aux_host = jax.device_get(aux)
+            if (
+                int(aux_host.halo_overflow) == 0
+                and int(aux_host.migration_overflow) == 0
+                and int(aux_host.window_overflow) == 0
+            ):
+                break
+            self._grow(aux_host)
+        else:
+            raise RuntimeError("dist capacity growth failed to converge")
+        self.state = new_state
+        self.last_aux = aux_host
+
+    def _grow(self, aux) -> None:
+        d = self.dcfg
+        if int(aux.halo_overflow) > 0:
+            d = dataclasses.replace(d, halo_capacity=d.halo_capacity * 2)
+        if int(aux.migration_overflow) > 0:
+            d = dataclasses.replace(
+                d,
+                migration_capacity=d.migration_capacity * 2,
+                dev_capacity=d.dev_capacity * 2,
+            )
+        if int(aux.window_overflow) > 0:
+            self.cfg = dataclasses.replace(
+                self.cfg, tile_cand_capacity=self.cfg.tile_cand_capacity * 2
+            )
+        self.dcfg = d
+        self._step = make_sharded_step(self.cfg, self.dcfg, self.mesh)
+
+    def simulate_and_time(self, times: Times) -> None:
+        """Whole-step timing (the sharded step fuses build+update; the
+        reference's per-phase split doesn't decompose across the collectives).
+        """
+        assert self.state is not None
+        t0 = time.perf_counter()
+        self.simulate()
+        t1 = time.perf_counter()
+        times.sph_update += t1 - t0
+        pos = self.get_position()
+        times.memcpy += time.perf_counter() - t1
+        del pos
+        times.iters += 1
+
+    def get_position(self) -> np.ndarray:
+        assert self.state is not None
+        return collect_state(self.state, self.cfg.num_particles)["position"]
+
+    def num_particles_alive(self) -> int:
+        assert self.last_aux is not None, "step first"
+        return int(self.last_aux.num_particles)

@@ -288,7 +288,11 @@ def _force_kernel(
                     dy = ty - row(_FY)
                     dz = tz - row(_FZ)
                     r2 = dx * dx + dy * dy + dz * dz
-                    r = jnp.sqrt(r2)
+                    # r and 1/r via one rsqrt (sqrt+divide are the two slow
+                    # transcendental slots in this loop); r2=0 → NaN, which
+                    # the masks turn into exact 0 through the selects
+                    inv_r = jax.lax.rsqrt(r2)
+                    r = r2 * inv_r
                     keyhit = jnp.abs((row(_FKEY) - tkey) - off) <= 1.0
                     base_m = (
                         keyhit
@@ -300,11 +304,10 @@ def _force_kernel(
                     # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)
                     # ·(h−r)²/r, applied along disp.
                     live_p = base_m & (r2 <= h * h)
-                    safe_r = jnp.where(live_p, r, 1.0)
-                    hr = h - safe_r
+                    hr = h - r
                     term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
                     s_p = jnp.where(
-                        live_p, (m * vk) * term * hr * hr / safe_r, 0.0
+                        live_p, (m * vk) * term * hr * hr * inv_r, 0.0
                     )
                     fx = fx + s_p * dx
                     fy = fy + s_p * dy
