@@ -90,10 +90,6 @@ class SimConfig:
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192
-    # 'rowmajor' keys make the 3 x-adjacent cells contiguous after sorting
-    # (enables contiguous-window gathers); 'morton' is the z_index_sort-style
-    # space-filling-curve key (better 3D locality for tiled Pallas kernels).
-    key_mode: str = "rowmajor"
 
     @property
     def h2(self) -> float:
@@ -132,8 +128,6 @@ class SimConfig:
             raise ValueError("num_particles must be positive")
         if self.h <= 0 or self.box_dim <= 0 or self.dt <= 0:
             raise ValueError("h, box_dim, dt must be positive")
-        if self.key_mode not in ("rowmajor", "morton"):
-            raise ValueError(f"unknown key_mode {self.key_mode!r}")
 
 
 def _round_up(x: int, m: int) -> int:

@@ -41,11 +41,12 @@ class GridKeys(NamedTuple):
 
 
 def compute_keys(
-    position: jnp.ndarray, valid: jnp.ndarray, cfg: SimConfig, mode: str | None = None
+    position: jnp.ndarray, valid: jnp.ndarray, cfg: SimConfig, mode: str = "rowmajor"
 ) -> GridKeys:
     """Cell keys for every particle slot. Invalid slots get the out-of-range
-    sentinel `num_cells` so they sort to the end and join no cell."""
-    mode = mode or cfg.key_mode
+    sentinel `num_cells` so they sort to the end and join no cell. Mode
+    'rowmajor' (the engine's sort key — makes stencil columns contiguous) or
+    'morton' (the z_index_sort-style space-filling key)."""
     c = cfg.num_cells_per_dim
     raw = cell_coords(position, cfg)
     oob = jnp.any((raw < 0) | (raw >= c), axis=-1)
