@@ -172,11 +172,12 @@ def _density_kernel(
             sub_cnt = sub_cnt_ref[tile * 9 + c]
             base = sub_start_ref[tile * 9 + c] - sup_start_ref[i * 9 + c]
             limit = (base + sub_cnt).astype(jnp.float32)
-            off = jnp.float32(offsets[c])
+            # fold the column offset into the target keys once per column
+            tkey_off = tkey + jnp.float32(offsets[c])
             for b in range(max_blocks):
                 s = base + b * LANES
 
-                def blk(c=c, s=s, limit=limit, off=off):
+                def blk(c=c, s=s, limit=limit, tkey_off=tkey_off):
                     sl = pl.ds(pl.multiple_of(s, 128), LANES)
                     cx = cand[slot, c, 0, sl][None, :]
                     cy = cand[slot, c, 1, sl][None, :]
@@ -186,8 +187,8 @@ def _density_kernel(
                     dy = ty - cy
                     dz = tz - cz
                     r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
-                    keyhit = jnp.abs((ck - tkey) - off) <= 1.0
-                    live = keyhit & ((lane + s.astype(jnp.float32)) < limit)
+                    keyhit = jnp.abs(ck - tkey_off) <= 1.0
+                    live = keyhit & (lane < limit - s.astype(jnp.float32))
                     w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
                     w = w * w * w
                     return accs[0] + jnp.where(live, w, 0.0)
@@ -276,11 +277,11 @@ def _force_kernel(
             sub_cnt = sub_cnt_ref[tile * 9 + c]
             base = sub_start_ref[tile * 9 + c] - sup_start_ref[i * 9 + c]
             limit = (base + sub_cnt).astype(jnp.float32)
-            off = jnp.float32(offsets[c])
+            tkey_off = tkey + jnp.float32(offsets[c])
             for b in range(max_blocks):
                 s = base + b * LANES
 
-                def blk(c=c, s=s, limit=limit, off=off):
+                def blk(c=c, s=s, limit=limit, tkey_off=tkey_off):
                     fx, fy, fz = carry[0]
                     sl = pl.ds(pl.multiple_of(s, 128), LANES)
                     row = lambda r: cand[slot, c, r, sl][None, :]
@@ -293,31 +294,29 @@ def _force_kernel(
                     # the masks turn into exact 0 through the selects
                     inv_r = jax.lax.rsqrt(r2)
                     r = r2 * inv_r
-                    keyhit = jnp.abs((row(_FKEY) - tkey) - off) <= 1.0
-                    base_m = (
+                    keyhit = jnp.abs(row(_FKEY) - tkey_off) <= 1.0
+                    # ONE cutoff predicate serves both terms: the reference's
+                    # pressure guard (r² ≤ h², cu:107) and viscosity guard
+                    # (r ≤ h, cu:126) are the same set for r ≥ 0.
+                    live = (
                         keyhit
-                        & ((lane + s.astype(jnp.float32)) < limit)
+                        & (lane < limit - s.astype(jnp.float32))
                         & (r >= eps)
+                        & (r2 <= h * h)
                     )
                     # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's
                     # two minus signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r,
                     # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)
                     # ·(h−r)²/r, applied along disp.
-                    live_p = base_m & (r2 <= h * h)
                     hr = h - r
                     term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
-                    s_p = jnp.where(
-                        live_p, (m * vk) * term * hr * hr * inv_r, 0.0
-                    )
+                    s_p = jnp.where(live, (m * vk) * term * hr * hr * inv_r, 0.0)
                     fx = fx + s_p * dx
                     fy = fy + s_p * dy
                     fz = fz + s_p * dz
                     # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
                     # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
-                    live_v = base_m & (r <= h)
-                    s_v = jnp.where(
-                        live_v, (2.0 * mu * m * vk) * (h - r) * row(_FI2R), 0.0
-                    )
+                    s_v = jnp.where(live, (2.0 * mu * m * vk) * hr * row(_FI2R), 0.0)
                     fx = fx + s_v * (row(_FVX) - tvx)
                     fy = fy + s_v * (row(_FVY) - tvy)
                     fz = fz + s_v * (row(_FVZ) - tvz)
