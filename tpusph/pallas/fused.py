@@ -55,12 +55,14 @@ def _offsets(cfg: SimConfig) -> list[int]:
 
 
 class TileColumns(NamedTuple):
-    """Stencil-column ranges at two granularities (all flattened i32 so the
-    SMEM prefetch buffers aren't lane-padded)."""
+    """Stencil-column ranges at two granularities (flattened 1-D so the SMEM
+    prefetch buffers aren't lane-padded; the per-sub arrays are int16 RELATIVE
+    offsets — bounded by the column capacity — so the SMEM footprint stays
+    ~2 bytes/entry and scales to ~1M particles per chip)."""
 
-    sub_start: jnp.ndarray  # [ntiles*9] 128-aligned absolute start per sub-tile
-    sub_cnt: jnp.ndarray  # [ntiles*9] candidates from sub_start (≤ super cap)
-    sup_start: jnp.ndarray  # [nprog*9] 128-aligned absolute start per super-tile
+    sub_base: jnp.ndarray  # i16[ntiles*9] 128-aligned start relative to super
+    sub_cnt: jnp.ndarray  # i16[ntiles*9] candidates from sub_base
+    sup_start: jnp.ndarray  # i32[nprog*9] 128-aligned absolute start
     overflow: jnp.ndarray  # int32[] — super-column count beyond capacity
 
 
@@ -93,12 +95,12 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
         jnp.int32
     )
     sub_cnt = jnp.minimum(sub_cnt, sub_max)
-    rel_end = sub_start + sub_cnt - jnp.repeat(sup_start, g, axis=0)
-    sub_cnt = sub_cnt - jnp.maximum(rel_end - cap, 0)
+    sub_base = sub_start - jnp.repeat(sup_start, g, axis=0)  # ≥0, 128-aligned
+    sub_cnt = sub_cnt - jnp.maximum(sub_base + sub_cnt - cap, 0)
     sub_cnt = jnp.maximum(sub_cnt, 0)
     return TileColumns(
-        sub_start=sub_start.reshape(-1),
-        sub_cnt=sub_cnt.reshape(-1),
+        sub_base=sub_base.reshape(-1).astype(jnp.int16),
+        sub_cnt=sub_cnt.reshape(-1).astype(jnp.int16),
         sup_start=sup_start.reshape(-1),
         overflow=overflow,
     )
@@ -147,7 +149,7 @@ def _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, col_cap):
 # ---------------------------------------------------------------- density
 
 def _density_kernel(
-    sub_start_ref, sub_cnt_ref, sup_start_ref,
+    sub_base_ref, sub_cnt_ref, sup_start_ref,
     tgt_ref, cols_hbm, rho_ref, cand, sem, *, cfg,
 ):
     i = pl.program_id(0)
@@ -169,8 +171,8 @@ def _density_kernel(
         accs = [jnp.zeros((pt, LANES), jnp.float32)]
         for c in range(9):
             tile = i * g + sub
-            sub_cnt = sub_cnt_ref[tile * 9 + c]
-            base = sub_start_ref[tile * 9 + c] - sup_start_ref[i * 9 + c]
+            sub_cnt = sub_cnt_ref[tile * 9 + c].astype(jnp.int32)
+            base = sub_base_ref[tile * 9 + c].astype(jnp.int32)
             limit = (base + sub_cnt).astype(jnp.float32)
             # fold the column offset into the target keys once per column
             tkey_off = tkey + jnp.float32(offsets[c])
@@ -232,7 +234,7 @@ def density_pallas(sp, key_s, cols_info: TileColumns, cfg, *, interpret=False):
         out_shape=jax.ShapeDtypeStruct((nprog, g, pt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(cols_info.sub_start, cols_info.sub_cnt, cols_info.sup_start, tgts, cols)
+    )(cols_info.sub_base, cols_info.sub_cnt, cols_info.sup_start, tgts, cols)
     return rho.reshape(n)
 
 
@@ -243,7 +245,7 @@ _FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FKEY = range(9)
 
 
 def _force_kernel(
-    sub_start_ref, sub_cnt_ref, sup_start_ref,
+    sub_base_ref, sub_cnt_ref, sup_start_ref,
     tgt_ref, cols_hbm, f_ref, cand, sem, *, cfg,
 ):
     i = pl.program_id(0)
@@ -274,8 +276,8 @@ def _force_kernel(
         carry = [(zero, zero, zero)]
         for c in range(9):
             tile = i * g + sub
-            sub_cnt = sub_cnt_ref[tile * 9 + c]
-            base = sub_start_ref[tile * 9 + c] - sup_start_ref[i * 9 + c]
+            sub_cnt = sub_cnt_ref[tile * 9 + c].astype(jnp.int32)
+            base = sub_base_ref[tile * 9 + c].astype(jnp.int32)
             limit = (base + sub_cnt).astype(jnp.float32)
             tkey_off = tkey + jnp.float32(offsets[c])
             for b in range(max_blocks):
@@ -372,7 +374,7 @@ def force_pallas(sp, sv, rho_s, p_s, key_s, cols_info, cfg, *, interpret=False):
         out_shape=jax.ShapeDtypeStruct((nprog, g, pt, 3), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(cols_info.sub_start, cols_info.sub_cnt, cols_info.sup_start, tgts, cols)
+    )(cols_info.sub_base, cols_info.sub_cnt, cols_info.sup_start, tgts, cols)
     return f.reshape(n, 3)
 
 
