@@ -3,14 +3,16 @@ launch sequence (kernelBuildGrid → kernelUpdatePressureAndDensity →
 kernelUpdateForces → kernelUpdatePositions → kernelResetGrid,
 /root/reference/src/simulator.cu:462-497), fused into a single jitted function.
 
-Two interchangeable neighbor backends with identical physics:
-  * step_allpairs  — O(N²) oracle (tests / small N).
-  * step_cell_list — sort-based cell lists with 9 contiguous-window gathers
-    (the production path; see neighbors/cell_list.py).
+Interchangeable backends with identical physics:
+  * step_allpairs      — O(N²) oracle (tests / small N).
+  * step_cell_list     — sort-based cell lists, XLA tile passes (runs anywhere).
+  * step_pallas        — fused Pallas megakernels (the TPU production path).
+  * step_pallas_sorted — same, returning state in sorted order (fastest for
+    chained loops; physics is permutation-invariant).
 
-The cell-list path computes in *sorted* particle order (gather once, work on
-contiguous data) and scatters results back to the caller's particle order at
-the end, so the public state keeps stable particle identity exactly like the
+The sorted paths compute in *sorted* particle order (gather once, work on
+contiguous data); step_cell_list/step_pallas scatter results back to the
+caller's particle order, keeping stable particle identity exactly like the
 reference's fixed particle array.
 """
 
