@@ -74,11 +74,14 @@ def main() -> None:
         import dataclasses
 
         cfg = dataclasses.replace(
-            cfg, pallas_col_capacity=cfg.pallas_col_capacity * 2,
+            cfg,
+            pallas_col_capacity=cfg.pallas_col_capacity * 2,
+            pallas_sub_blocks=cfg.pallas_sub_blocks * 2,
             tile_cand_capacity=cfg.tile_cand_capacity * 2,
         )
         print(
-            f"capacity overflow; growing to {cfg.pallas_col_capacity}",
+            f"capacity overflow; growing to col={cfg.pallas_col_capacity} "
+            f"sub_blocks={cfg.pallas_sub_blocks}",
             file=sys.stderr,
         )
     else:

@@ -13,7 +13,11 @@ from tpusph.engine.step import step_cell_list, step_pallas, step_pallas_sorted
 
 @pytest.fixture(scope="module", params=["grid", "random"])
 def setup(request):
-    cfg = default_config(512, chunk_size=512)
+    # small pallas capacities: the interpreter executes every predicated
+    # block, so production-size capacities would crawl on CPU
+    cfg = default_config(
+        512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=3
+    )
     st = init_state(cfg, random_init=(request.param == "random"), seed=7)
     return cfg, st
 
@@ -57,7 +61,9 @@ def test_pallas_sorted_same_physics(setup):
 
 
 def test_pallas_capacity_overflow_detected():
-    cfg = default_config(512, chunk_size=512, pallas_col_capacity=128)
+    cfg = default_config(
+        512, chunk_size=512, pallas_col_capacity=128, pallas_sub_blocks=1
+    )
     st = init_state(cfg, random_init=True, seed=3)
     # 128-aligned starts + tile span exceed 128 capacity for some tile
     _, aux = jax.jit(lambda s: step_pallas(s, cfg, interpret=True))(st)

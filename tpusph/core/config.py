@@ -82,11 +82,11 @@ class SimConfig:
     pallas_group: int = 4
     # static column buffer per super-tile (covers group span + ~3×max cell
     # occupancy + 128 alignment; overflow detected in prep, auto-grown)
-    pallas_col_capacity: int = 1024
+    pallas_col_capacity: int = 2048
     # 128-lane blocks each sub-tile scans per column (covers tile span +
     # occupancy + alignment; sub-window clamping beyond this is counted as
     # overflow in prep)
-    pallas_sub_blocks: int = 4
+    pallas_sub_blocks: int = 12
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192

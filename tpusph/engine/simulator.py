@@ -87,6 +87,7 @@ class Simulator:
             tile_cand_capacity=self.cfg.tile_cand_capacity * 2,
             window_capacity=self.cfg.window_capacity * 2,
             pallas_col_capacity=self.cfg.pallas_col_capacity * 2,
+            pallas_sub_blocks=self.cfg.pallas_sub_blocks * 2,
         )
         self._build_fns()
 

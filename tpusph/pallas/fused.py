@@ -63,6 +63,7 @@ class TileColumns(NamedTuple):
     sub_base: jnp.ndarray  # i16[ntiles*9] 128-aligned start relative to super
     sub_cnt: jnp.ndarray  # i16[ntiles*9] candidates from sub_base
     sup_start: jnp.ndarray  # i32[nprog*9] 128-aligned absolute start
+    sup_cnt: jnp.ndarray  # i32[nprog*9] candidate count (≤ capacity)
     overflow: jnp.ndarray  # int32[] — super-column count beyond capacity
 
 
@@ -102,6 +103,7 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
         sub_base=sub_base.reshape(-1).astype(jnp.int16),
         sub_cnt=sub_cnt.reshape(-1).astype(jnp.int16),
         sup_start=sup_start.reshape(-1),
+        sup_cnt=jnp.minimum(sup_cnt, cap).reshape(-1),
         overflow=overflow,
     )
 
@@ -119,46 +121,68 @@ def _stack_cols(rows: list[jnp.ndarray], total_rows: int, col_cap: int, key_row:
     return jnp.concatenate([mat, pad], axis=1)
 
 
-def _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, col_cap):
+def _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap):
     """Start this/next super-tile's 9 column DMAs (double-buffered across the
-    sequential grid) and return (wait_fn, slot)."""
+    sequential grid) and return (wait_fn, slot). Each column transfers in two
+    halves; the second half only moves when the column's candidate count
+    actually reaches into it — the static capacity covers rare pile-up
+    transients without paying its bandwidth on every tile."""
     nprog = pl.num_programs(0)
+    half = col_cap // 2
 
-    def get_dma(prog, c):
+    def get_dma(prog, c, part):
+        lo = part * half
         return pltpu.make_async_copy(
             cols_hbm.at[
-                :, pl.ds(pl.multiple_of(sup_start_ref[prog * 9 + c], 128), col_cap)
+                :,
+                pl.ds(
+                    pl.multiple_of(sup_start_ref[prog * 9 + c] + lo, 128), half
+                ),
             ],
-            cand.at[prog % 2, c],
-            sem.at[prog % 2, c],
+            cand.at[prog % 2, c, :, pl.ds(lo, half)],
+            sem.at[prog % 2, c, part],
         )
+
+    def start_all(prog):
+        for c in range(9):
+            get_dma(prog, c, 0).start()
+
+            @pl.when(sup_cnt_ref[prog * 9 + c] > half)
+            def _():
+                get_dma(prog, c, 1).start()
 
     @pl.when(i == 0)
     def _():
-        for c in range(9):
-            get_dma(0, c).start()
+        start_all(0)
 
     @pl.when(i + 1 < nprog)
     def _():
-        for c in range(9):
-            get_dma(i + 1, c).start()
+        start_all(i + 1)
 
-    return (lambda c: get_dma(i, c).wait()), i % 2
+    def wait(c):
+        get_dma(i, c, 0).wait()
+
+        @pl.when(sup_cnt_ref[i * 9 + c] > half)
+        def _():
+            get_dma(i, c, 1).wait()
+
+    return wait, i % 2
 
 
 # ---------------------------------------------------------------- density
 
 def _density_kernel(
-    sub_base_ref, sub_cnt_ref, sup_start_ref,
+    sub_base_ref, sub_cnt_ref, sup_start_ref, sup_cnt_ref,
     tgt_ref, cols_hbm, rho_ref, cand, sem, *, cfg,
 ):
     i = pl.program_id(0)
     pt, g, col_cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
     h2 = jnp.float32(cfg.h2)
     offsets = _offsets(cfg)
-    wait, slot = _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, col_cap)
+    wait, slot = _super_dma_pipeline(
+        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap
+    )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
-    max_blocks = cfg.pallas_sub_blocks
 
     for c in range(9):  # fully unrolled: offsets are compile-time constants
         wait(c)
@@ -168,7 +192,7 @@ def _density_kernel(
         ty = tgt_ref[t0 : t0 + pt, 1:2]
         tz = tgt_ref[t0 : t0 + pt, 2:3]
         tkey = tgt_ref[t0 : t0 + pt, 3:4]
-        accs = [jnp.zeros((pt, LANES), jnp.float32)]
+        acc0 = jnp.zeros((pt, LANES), jnp.float32)
         for c in range(9):
             tile = i * g + sub
             sub_cnt = sub_cnt_ref[tile * 9 + c].astype(jnp.int32)
@@ -176,32 +200,30 @@ def _density_kernel(
             limit = (base + sub_cnt).astype(jnp.float32)
             # fold the column offset into the target keys once per column
             tkey_off = tkey + jnp.float32(offsets[c])
-            for b in range(max_blocks):
-                s = base + b * LANES
 
-                def blk(c=c, s=s, limit=limit, tkey_off=tkey_off):
-                    sl = pl.ds(pl.multiple_of(s, 128), LANES)
-                    cx = cand[slot, c, 0, sl][None, :]
-                    cy = cand[slot, c, 1, sl][None, :]
-                    cz = cand[slot, c, 2, sl][None, :]
-                    ck = cand[slot, c, 3, sl][None, :]
-                    dx = tx - cx
-                    dy = ty - cy
-                    dz = tz - cz
-                    r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
-                    keyhit = jnp.abs(ck - tkey_off) <= 1.0
-                    live = keyhit & (lane < limit - s.astype(jnp.float32))
-                    w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
-                    w = w * w * w
-                    return accs[0] + jnp.where(live, w, 0.0)
+            def blk(b, acc, c=c, base=base, limit=limit, tkey_off=tkey_off):
+                sl = pl.ds(pl.multiple_of(base + b * LANES, 128), LANES)
+                cx = cand[slot, c, 0, sl][None, :]
+                cy = cand[slot, c, 1, sl][None, :]
+                cz = cand[slot, c, 2, sl][None, :]
+                ck = cand[slot, c, 3, sl][None, :]
+                dx = tx - cx
+                dy = ty - cy
+                dz = tz - cz
+                r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
+                keyhit = jnp.abs(ck - tkey_off) <= 1.0
+                s_f = (base + b * LANES).astype(jnp.float32)
+                live = keyhit & (lane < limit - s_f)
+                w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
+                w = w * w * w
+                return acc + jnp.where(live, w, 0.0)
 
-                accs[0] = jax.lax.cond(
-                    b * LANES < sub_cnt, blk, lambda: accs[0]
-                )
+            # dynamic trip count: dead capacity costs nothing
+            acc0 = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, LANES), blk, acc0)
         rho_ref[0, sub, :] = (
             jnp.float32(cfg.mass)
             * jnp.float32(cfg.d_kernel_coeff)
-            * jnp.sum(accs[0], axis=1)
+            * jnp.sum(acc0, axis=1)
         )
 
 
@@ -217,7 +239,7 @@ def density_pallas(sp, key_s, cols_info: TileColumns, cfg, *, interpret=False):
     tgts = jnp.concatenate([sp, key_s[:, None].astype(jnp.float32)], axis=1)  # (n,4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nprog,),
         in_specs=[
             pl.BlockSpec((pt * g, 4), lambda i, *_: (i, 0)),
@@ -226,7 +248,7 @@ def density_pallas(sp, key_s, cols_info: TileColumns, cfg, *, interpret=False):
         out_specs=pl.BlockSpec((1, g, pt), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 9, 8, col_cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2, 9, 2)),
         ],
     )
     rho = pl.pallas_call(
@@ -234,7 +256,14 @@ def density_pallas(sp, key_s, cols_info: TileColumns, cfg, *, interpret=False):
         out_shape=jax.ShapeDtypeStruct((nprog, g, pt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(cols_info.sub_base, cols_info.sub_cnt, cols_info.sup_start, tgts, cols)
+    )(
+        cols_info.sub_base,
+        cols_info.sub_cnt,
+        cols_info.sup_start,
+        cols_info.sup_cnt,
+        tgts,
+        cols,
+    )
     return rho.reshape(n)
 
 
@@ -245,7 +274,7 @@ _FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FKEY = range(9)
 
 
 def _force_kernel(
-    sub_base_ref, sub_cnt_ref, sup_start_ref,
+    sub_base_ref, sub_cnt_ref, sup_start_ref, sup_cnt_ref,
     tgt_ref, cols_hbm, f_ref, cand, sem, *, cfg,
 ):
     i = pl.program_id(0)
@@ -256,9 +285,10 @@ def _force_kernel(
     vk = jnp.float32(cfg.v_kernel_coeff)
     mu = jnp.float32(cfg.viscosity)
     offsets = _offsets(cfg)
-    wait, slot = _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, col_cap)
+    wait, slot = _super_dma_pipeline(
+        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap
+    )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
-    max_blocks = cfg.pallas_sub_blocks
 
     for c in range(9):
         wait(c)
@@ -273,61 +303,58 @@ def _force_kernel(
         tp = tgt_ref[t0 : t0 + pt, 6:7]
         tkey = tgt_ref[t0 : t0 + pt, 7:8]
         zero = jnp.zeros((pt, LANES), jnp.float32)
-        carry = [(zero, zero, zero)]
+        fcarry = (zero, zero, zero)
         for c in range(9):
             tile = i * g + sub
             sub_cnt = sub_cnt_ref[tile * 9 + c].astype(jnp.int32)
             base = sub_base_ref[tile * 9 + c].astype(jnp.int32)
             limit = (base + sub_cnt).astype(jnp.float32)
             tkey_off = tkey + jnp.float32(offsets[c])
-            for b in range(max_blocks):
+
+            def blk(b, carry, c=c, base=base, limit=limit, tkey_off=tkey_off):
+                fx, fy, fz = carry
                 s = base + b * LANES
-
-                def blk(c=c, s=s, limit=limit, tkey_off=tkey_off):
-                    fx, fy, fz = carry[0]
-                    sl = pl.ds(pl.multiple_of(s, 128), LANES)
-                    row = lambda r: cand[slot, c, r, sl][None, :]
-                    dx = tx - row(_FX)
-                    dy = ty - row(_FY)
-                    dz = tz - row(_FZ)
-                    r2 = dx * dx + dy * dy + dz * dz
-                    # r and 1/r via one rsqrt (sqrt+divide are the two slow
-                    # transcendental slots in this loop); r2=0 → NaN, which
-                    # the masks turn into exact 0 through the selects
-                    inv_r = jax.lax.rsqrt(r2)
-                    r = r2 * inv_r
-                    keyhit = jnp.abs(row(_FKEY) - tkey_off) <= 1.0
-                    # ONE cutoff predicate serves both terms: the reference's
-                    # pressure guard (r² ≤ h², cu:107) and viscosity guard
-                    # (r ≤ h, cu:126) are the same set for r ≥ 0.
-                    live = (
-                        keyhit
-                        & (lane < limit - s.astype(jnp.float32))
-                        & (r >= eps)
-                        & (r2 <= h * h)
-                    )
-                    # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's
-                    # two minus signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r,
-                    # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)
-                    # ·(h−r)²/r, applied along disp.
-                    hr = h - r
-                    term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
-                    s_p = jnp.where(live, (m * vk) * term * hr * hr * inv_r, 0.0)
-                    fx = fx + s_p * dx
-                    fy = fy + s_p * dy
-                    fz = fz + s_p * dz
-                    # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
-                    # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
-                    s_v = jnp.where(live, (2.0 * mu * m * vk) * hr * row(_FI2R), 0.0)
-                    fx = fx + s_v * (row(_FVX) - tvx)
-                    fy = fy + s_v * (row(_FVY) - tvy)
-                    fz = fz + s_v * (row(_FVZ) - tvz)
-                    return fx, fy, fz
-
-                carry[0] = jax.lax.cond(
-                    b * LANES < sub_cnt, blk, lambda: carry[0]
+                sl = pl.ds(pl.multiple_of(s, 128), LANES)
+                row = lambda r: cand[slot, c, r, sl][None, :]
+                dx = tx - row(_FX)
+                dy = ty - row(_FY)
+                dz = tz - row(_FZ)
+                r2 = dx * dx + dy * dy + dz * dz
+                # r and 1/r via one rsqrt (sqrt+divide are the two slow
+                # transcendental slots in this loop); r2=0 → NaN, which
+                # the masks turn into exact 0 through the selects
+                inv_r = jax.lax.rsqrt(r2)
+                r = r2 * inv_r
+                keyhit = jnp.abs(row(_FKEY) - tkey_off) <= 1.0
+                # ONE cutoff predicate serves both terms: the reference's
+                # pressure guard (r² ≤ h², cu:107) and viscosity guard
+                # (r ≤ h, cu:126) are the same set for r ≥ 0.
+                live = (
+                    keyhit
+                    & (lane < limit - s.astype(jnp.float32))
+                    & (r >= eps)
+                    & (r2 <= h * h)
                 )
-        fx, fy, fz = carry[0]
+                # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's
+                # two minus signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r,
+                # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)
+                # ·(h−r)²/r, applied along disp.
+                hr = h - r
+                term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
+                s_p = jnp.where(live, (m * vk) * term * hr * hr * inv_r, 0.0)
+                fx = fx + s_p * dx
+                fy = fy + s_p * dy
+                fz = fz + s_p * dz
+                # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
+                # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
+                s_v = jnp.where(live, (2.0 * mu * m * vk) * hr * row(_FI2R), 0.0)
+                fx = fx + s_v * (row(_FVX) - tvx)
+                fy = fy + s_v * (row(_FVY) - tvy)
+                fz = fz + s_v * (row(_FVZ) - tvz)
+                return fx, fy, fz
+
+            fcarry = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, LANES), blk, fcarry)
+        fx, fy, fz = fcarry
         f_ref[0, sub, :, 0] = jnp.sum(fx, axis=1)
         f_ref[0, sub, :, 1] = jnp.sum(fy, axis=1)
         f_ref[0, sub, :, 2] = jnp.sum(fz, axis=1)
@@ -357,7 +384,7 @@ def force_pallas(sp, sv, rho_s, p_s, key_s, cols_info, cfg, *, interpret=False):
     )  # (n, 8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nprog,),
         in_specs=[
             pl.BlockSpec((pt * g, 8), lambda i, *_: (i, 0)),
@@ -366,7 +393,7 @@ def force_pallas(sp, sv, rho_s, p_s, key_s, cols_info, cfg, *, interpret=False):
         out_specs=pl.BlockSpec((1, g, pt, 3), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 9, 16, col_cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2, 9, 2)),
         ],
     )
     f = pl.pallas_call(
@@ -374,7 +401,14 @@ def force_pallas(sp, sv, rho_s, p_s, key_s, cols_info, cfg, *, interpret=False):
         out_shape=jax.ShapeDtypeStruct((nprog, g, pt, 3), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(cols_info.sub_base, cols_info.sub_cnt, cols_info.sup_start, tgts, cols)
+    )(
+        cols_info.sub_base,
+        cols_info.sub_cnt,
+        cols_info.sup_start,
+        cols_info.sup_cnt,
+        tgts,
+        cols,
+    )
     return f.reshape(n, 3)
 
 
