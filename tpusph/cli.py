@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-era extensions
     p.add_argument("--steps", type=int, default=100, help="timed-mode iterations")
     p.add_argument(
+        "--warmup",
+        type=int,
+        default=1,
+        help="timed-mode untimed warmup steps (excludes XLA compilation from "
+        "the report; 0 reproduces the reference protocol exactly)",
+    )
+    p.add_argument(
         "--backend",
         choices=["auto", "pallas", "cell_list", "allpairs"],
         default="auto",
@@ -117,6 +124,9 @@ def main(argv: list[str] | None = None) -> int:
             import jax
 
             profiler = jax.profiler.trace(args.profile)
+        warm = Times()
+        for _ in range(args.warmup):
+            sim.simulate_and_time(warm)  # compile + capacity settle, untimed
         times = Times()
         with profiler:
             for _ in range(args.steps):
