@@ -127,3 +127,28 @@ def test_halo_overflow_detected(setup, eight_devices):
         dstate, aux = step(dstate)
         total += int(aux.halo_overflow)
     assert total > 0
+
+
+def test_sharded_pallas_matches_xla(setup, eight_devices):
+    """Per-device Pallas megakernels inside shard_map (interpret mode on CPU)
+    must match the XLA sharded step."""
+    from tpusph.dist.sharded import make_sharded_step as mss
+
+    cfg, st = setup
+    cfg = __import__("dataclasses").replace(
+        cfg, pallas_col_capacity=512, pallas_sub_blocks=3
+    )
+    mesh = _mesh(eight_devices, 2)
+    dcfg = DistConfig(
+        n_devices=2, dev_capacity=512, halo_capacity=256, migration_capacity=128
+    )
+    dstate = distribute_state(st, cfg, dcfg, mesh)
+    step_xla = mss(cfg, dcfg, mesh)
+    step_pls = mss(cfg, dcfg, mesh, use_pallas=True, interpret=True)
+    a, aux_a = step_xla(dstate)
+    b, aux_b = step_pls(dstate)
+    assert int(aux_b.window_overflow) == 0
+    ga = collect_state(a, cfg.num_particles)
+    gb = collect_state(b, cfg.num_particles)
+    np.testing.assert_allclose(gb["position"], ga["position"], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(gb["velocity"], ga["velocity"], rtol=1e-5, atol=1e-5)

@@ -97,7 +97,40 @@ def _compact(mask: jnp.ndarray, fields: tuple, cap: int):
     return packed, pvalid, take, overflow
 
 
-def _device_step(pos, vel, valid, pid, cfg: SimConfig, dcfg: DistConfig):
+def _local_physics(comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret):
+    """Density/pressure/force over the local∪halo particle set. Returns
+    (rho, prs, force_local_order_fn) pieces in *unsorted* (comb) order via the
+    cell-list machinery; `use_pallas` swaps the XLA tile passes for the fused
+    Pallas megakernels (per-device, inside shard_map — each chip runs its own
+    kernel grid)."""
+    from tpusph.engine.step import _density_pass_sorted
+
+    cl = build_cell_list(comb_pos, comb_valid, cfg)
+    sp = comb_pos[cl.perm]
+    sv = comb_vel[cl.perm]
+    if use_pallas:
+        from tpusph.pallas.fused import density_pallas, supertile_columns
+        from tpusph.physics.kernels import pressure_from_density
+
+        cols_info = supertile_columns(cl.key_sorted, cl.valid_sorted, cl.starts, cfg)
+        raw = density_pallas(sp, cl.key_sorted, cols_info, cfg, interpret=interpret)
+        rho_s, p_s = pressure_from_density(raw, cfg)
+        rho_s = jnp.where(cl.valid_sorted, rho_s, 1.0)
+        p_s = jnp.where(cl.valid_sorted, p_s, 0.0)
+        ovf = cols_info.overflow
+        extra = cols_info
+    else:
+        rho_s, p_s, ovf = _density_pass_sorted(
+            sp, cl.key_sorted, cl.valid_sorted, cl.starts, cfg
+        )
+        extra = None
+    return cl, sp, sv, rho_s, p_s, ovf, extra
+
+
+def _device_step(
+    pos, vel, valid, pid, cfg: SimConfig, dcfg: DistConfig,
+    use_pallas: bool = False, interpret: bool = False,
+):
     """One timestep on one device's slab (runs under shard_map)."""
     ax = dcfg.axis_name
     d_count = dcfg.n_devices
@@ -140,11 +173,12 @@ def _device_step(pos, vel, valid, pid, cfg: SimConfig, dcfg: DistConfig):
     comb_pos = jnp.concatenate([pos, lo_pos, hi_pos])
     comb_vel = jnp.concatenate([vel, lo_vel, hi_vel])
     comb_valid = jnp.concatenate([valid, lo_valid, hi_valid])
-    cl = build_cell_list(comb_pos, comb_valid, cfg)
-    sp = comb_pos[cl.perm]
-    sv = comb_vel[cl.perm]
-    rho_s, p_s, ovf_w = _density_pass_sorted(
-        sp, cl.key_sorted, cl.valid_sorted, cl.starts, cfg
+    # stale/invalid slots must sit at the origin: the Pallas key mask can
+    # coincidentally match sentinel-keyed rows, and only the ≥0.17 gap from
+    # any clamped-valid position makes them physically inert
+    comb_pos = jnp.where(comb_valid[:, None], comb_pos, 0.0)
+    cl, sp, sv, rho_s, p_s, ovf_w, cols_info = _local_physics(
+        comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret
     )
     nc = comb_pos.shape[0]
     rho = jnp.ones((nc,), jnp.float32).at[cl.perm].set(rho_s)
@@ -162,10 +196,19 @@ def _device_step(pos, vel, valid, pid, cfg: SimConfig, dcfg: DistConfig):
     prs = prs.at[c_dev + h_cap :].set(hi_prs)
 
     # ---- 4. forces for local targets, integrate
-    f_s = _force_pass_sorted(
-        sp, sv, rho[cl.perm], prs[cl.perm], cl.key_sorted, cl.valid_sorted,
-        cl.starts, cfg,
-    )
+    if use_pallas:
+        from tpusph.pallas.fused import force_pallas
+
+        f_s = force_pallas(
+            sp, sv, rho[cl.perm], prs[cl.perm], cl.key_sorted, cols_info, cfg,
+            interpret=interpret,
+        )
+        f_s = jnp.where(cl.valid_sorted[:, None], f_s, 0.0)
+    else:
+        f_s = _force_pass_sorted(
+            sp, sv, rho[cl.perm], prs[cl.perm], cl.key_sorted, cl.valid_sorted,
+            cl.starts, cfg,
+        )
     force = jnp.zeros((nc, 3), jnp.float32).at[cl.perm].set(f_s)[:c_dev]
     x, v = integrate(pos, vel, force, rho_loc, cfg)
     x = jnp.where(valid[:, None], x, pos)
@@ -226,18 +269,28 @@ def _device_step(pos, vel, valid, pid, cfg: SimConfig, dcfg: DistConfig):
     return x, v, valid_new, pid, aux
 
 
-def make_sharded_step(cfg: SimConfig, dcfg: DistConfig, mesh: Mesh):
-    """Jitted sharded `DistState -> (DistState, DistAux)`."""
+def make_sharded_step(
+    cfg: SimConfig, dcfg: DistConfig, mesh: Mesh,
+    use_pallas: bool = False, interpret: bool = False,
+):
+    """Jitted sharded `DistState -> (DistState, DistAux)`. use_pallas runs the
+    fused megakernels per device (the TPU multi-chip production path)."""
     dcfg.validate()
     ax = dcfg.axis_name
     spec = P(ax)
 
-    fn = partial(_device_step, cfg=cfg, dcfg=dcfg)
+    fn = partial(
+        _device_step, cfg=cfg, dcfg=dcfg, use_pallas=use_pallas,
+        interpret=interpret,
+    )
     sharded = shard_map(
         fn,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=(spec, spec, spec, spec, P()),
+        # pallas_call outputs carry no varying-mesh-axis metadata; the specs
+        # above fully describe the sharding, so skip the vma check
+        check_vma=False,
     )
 
     @jax.jit

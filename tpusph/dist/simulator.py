@@ -69,7 +69,10 @@ class DistSimulator:
         self.seed = seed
         self.state: DistState | None = None
         self.last_aux = None
-        self._step = make_sharded_step(cfg, self.dcfg, self.mesh)
+        self.use_pallas = jax.default_backend() not in ("cpu",)
+        self._step = make_sharded_step(
+            cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
+        )
 
     def setup(self) -> None:
         host_state = init_state(self.cfg, self.random_init, self.seed)
@@ -104,10 +107,15 @@ class DistSimulator:
             )
         if int(aux.window_overflow) > 0:
             self.cfg = dataclasses.replace(
-                self.cfg, tile_cand_capacity=self.cfg.tile_cand_capacity * 2
+                self.cfg,
+                tile_cand_capacity=self.cfg.tile_cand_capacity * 2,
+                pallas_col_capacity=self.cfg.pallas_col_capacity * 2,
+                pallas_sub_blocks=self.cfg.pallas_sub_blocks * 2,
             )
         self.dcfg = d
-        self._step = make_sharded_step(self.cfg, self.dcfg, self.mesh)
+        self._step = make_sharded_step(
+            self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
+        )
 
     def simulate_and_time(self, times: Times) -> None:
         """Whole-step timing (the sharded step fuses build+update; the
