@@ -103,8 +103,6 @@ def _local_physics(comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret):
     cell-list machinery; `use_pallas` swaps the XLA tile passes for the fused
     Pallas megakernels (per-device, inside shard_map — each chip runs its own
     kernel grid)."""
-    from tpusph.engine.step import _density_pass_sorted
-
     cl = build_cell_list(comb_pos, comb_valid, cfg)
     sp = comb_pos[cl.perm]
     sv = comb_vel[cl.perm]
