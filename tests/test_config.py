@@ -25,6 +25,10 @@ def test_invalid_configs_rejected():
         default_config(10, h=-1.0)
     with pytest.raises(ValueError):
         default_config(10, dt=0.0)
+    with pytest.raises(ValueError, match="window_capacity"):
+        default_config(10, window_capacity=0)
+    with pytest.raises(ValueError, match="tile_cand_capacity"):
+        default_config(10, tile_cand_capacity=-1)
 
 
 def test_lattice_capacity_exceeded_raises():

@@ -19,6 +19,9 @@ from tpusph.dist.sharded import (
 from tpusph.engine.step import make_step
 
 
+pytestmark = pytest.mark.slow
+
+
 def _mesh(devs, n, axis="z"):
     return Mesh(np.array(devs[:n]), (axis,))
 

@@ -1,11 +1,14 @@
 """DistSimulator front-end tests (8 virtual CPU devices)."""
 
 import numpy as np
+import pytest
 
 from tpusph.bench.times import Times
 from tpusph.core.config import default_config
 from tpusph.dist.simulator import DistSimulator
 from tpusph.engine.simulator import Simulator
+
+pytestmark = pytest.mark.slow
 
 
 def test_dist_simulator_matches_single(eight_devices):

@@ -11,6 +11,9 @@ from tpusph.core.init import init_state
 from tpusph.engine.step import step_cell_list, step_pallas, step_pallas_sorted
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module", params=["grid", "random"])
 def setup(request):
     # small pallas capacities: the interpreter executes every predicated

@@ -48,6 +48,32 @@ def test_capacity_growth_on_overflow():
     np.testing.assert_allclose(sim.get_position(), ref.get_position(), atol=1e-6)
 
 
+def test_timed_retry_excludes_failed_attempt(monkeypatch):
+    """A capacity-overflow retry inside simulate_and_time must not inflate the
+    per-frame averages: the failed attempt's phase seconds are rolled back and
+    iters counts only the success. perf_counter is stubbed to +1.0 per call so
+    each attempt contributes exactly 1.0 to each phase — without rollback the
+    overflowing first attempt would leave build_grid == sph_update == 2.0."""
+    import itertools
+
+    import tpusph.engine.simulator as sim_mod
+
+    cfg = default_config(512, chunk_size=512, tile_cand_capacity=64)
+    sim = Simulator(cfg)
+    sim.setup()
+    counter = itertools.count()
+    monkeypatch.setattr(
+        sim_mod.time, "perf_counter", lambda: float(next(counter))
+    )
+    times = Times()
+    sim.simulate_and_time(times)
+    assert sim.cfg.tile_cand_capacity > 64  # the retry actually fired
+    assert times.iters == 1
+    assert times.build_grid == 1.0
+    assert times.sph_update == 1.0
+    assert times.memcpy == 1.0
+
+
 def test_click_during_simulate():
     cfg = default_config(256, chunk_size=256)
     sim = Simulator(cfg, random_init=True, seed=3)

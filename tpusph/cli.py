@@ -103,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
     from tpusph.engine.simulator import Simulator
 
     kw = {}
-    if args.window_capacity:
+    if args.window_capacity is not None:
         kw["window_capacity"] = args.window_capacity
     cfg = default_config(args.num_particles, **kw)
     sim = Simulator(

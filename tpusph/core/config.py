@@ -128,6 +128,19 @@ class SimConfig:
             raise ValueError("num_particles must be positive")
         if self.h <= 0 or self.box_dim <= 0 or self.dt <= 0:
             raise ValueError("h, box_dim, dt must be positive")
+        for f in (
+            "window_capacity",
+            "tile_size",
+            "tile_cand_capacity",
+            "pallas_tile",
+            "pallas_group",
+            "pallas_col_capacity",
+            "pallas_sub_blocks",
+            "chunk_size",
+        ):
+            if getattr(self, f) <= 0:
+                raise ValueError(f"{f} must be positive (capacity doubling "
+                                 f"cannot grow a zero capacity)")
 
 
 def _round_up(x: int, m: int) -> int:

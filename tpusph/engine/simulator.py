@@ -120,6 +120,11 @@ class Simulator:
         assert self.state is not None, "call setup() first"
         assert self._update is not None, "timed mode needs a cell-list backend"
 
+        # Snapshot the phase accumulators: if this attempt overflows capacity
+        # we re-trace and replay, and the failed attempt's seconds must not
+        # contaminate the per-frame averages (iters only counts successes).
+        build0, update0, memcpy0 = times.build_grid, times.sph_update, times.memcpy
+
         # Each phase is fenced with block_until_ready AND a scalar device_get:
         # through the axon relay block_until_ready alone does not actually
         # synchronize, so the scalar fetch is the reliable fence (it adds one
@@ -140,7 +145,11 @@ class Simulator:
 
         if int(aux_host.window_overflow) > 0:
             # Re-trace with more capacity and replay (untimed — a re-trace is
-            # a compilation event, not a steady-state cost).
+            # a compilation event, not a steady-state cost). Roll back the
+            # failed attempt's accumulated seconds first.
+            times.build_grid, times.sph_update, times.memcpy = (
+                build0, update0, memcpy0
+            )
             self._grow_capacity()
             self.simulate_and_time(times)
             return
