@@ -11,6 +11,14 @@ re-runs with doubled capacity so the timed physics is never degraded.
 Prints ONE JSON line; vs_baseline is relative to the 100 steps/s north-star
 target (BASELINE.json: ">=100 timesteps/sec at 262k particles").
 
+Every bench line carries its own correctness proof: before timing, a parity
+check runs ON THE SAME DEVICE — K chained steps of the timed backend vs the
+XLA cell-list backend at N=4096 (multiset-compared: the sorted variant
+permutes particle identity), plus one step of cell_list vs the independent
+NumPy oracle (tests/oracle_numpy.py) — asserting ≤1e-4 relative density and
+≤1e-4 positions, the BASELINE.json budget. The JSON line reports
+"parity": "pass"/"fail"; set TPUSPH_BENCH_VERIFY=0 to skip.
+
 Env overrides: TPUSPH_BENCH_N, TPUSPH_BENCH_STEPS, TPUSPH_BENCH_BACKEND.
 """
 
@@ -20,6 +28,85 @@ import json
 import os
 import sys
 import time
+
+
+def _canon(pos, *fields):
+    """Order particle records by lexicographic position (multiset compare)."""
+    import numpy as np
+
+    order = np.lexsort(pos.T)
+    return (pos[order],) + tuple(f[order] for f in fields)
+
+
+def verify_parity(backend: str, verify_steps: int = 10, n: int = 4096) -> str:
+    """On-device physics parity: timed backend vs cell_list vs NumPy oracle.
+    Returns 'pass' or 'fail' (details to stderr). Semantics bar:
+    /root/reference/src/simulator.cu:84-130,149-318."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpusph.core.config import default_config
+    from tpusph.core.init import init_state
+    from tpusph.engine.step import BACKENDS, step_cell_list, step_pallas_sorted
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from oracle_numpy import oracle_step
+
+    cfg = default_config(n, chunk_size=min(4096, n))
+    state0 = init_state(cfg)
+    step_timed = (
+        step_pallas_sorted if backend == "pallas_sorted" else BACKENDS[backend]
+    )
+
+    def chain(stepfn):
+        @jax.jit
+        def run(s):
+            def body(s, _):
+                s2, aux = stepfn(s, cfg)
+                return s2, aux.window_overflow
+            s2, ovf = jax.lax.scan(body, s, None, length=verify_steps)
+            return s2, jnp.sum(ovf)
+        return run
+
+    ok = True
+
+    def check(name, a, b, rtol, atol):
+        nonlocal ok
+        try:
+            np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
+        except AssertionError as e:
+            ok = False
+            print(f"parity FAIL [{name}]: {e}", file=sys.stderr)
+
+    # --- K chained steps: timed backend vs cell_list, multiset-compared
+    sa, ovf_a = jax.device_get(chain(step_timed)(state0))
+    sb, ovf_b = jax.device_get(chain(step_cell_list)(state0))
+    if int(ovf_a) or int(ovf_b):
+        print(f"parity FAIL: overflow a={int(ovf_a)} b={int(ovf_b)}", file=sys.stderr)
+        ok = False
+    va, vb = np.asarray(sa.valid), np.asarray(sb.valid)
+    if va.sum() != vb.sum() or int(va.sum()) != cfg.num_particles:
+        print("parity FAIL: particle count mismatch", file=sys.stderr)
+        ok = False
+    pa, ra = _canon(np.asarray(sa.position)[va], np.asarray(sa.density)[va])
+    pb, rb = _canon(np.asarray(sb.position)[vb], np.asarray(sb.density)[vb])
+    check(f"{backend} vs cell_list positions ({verify_steps} steps)", pa, pb,
+          rtol=0, atol=1e-4)
+    check(f"{backend} vs cell_list density ({verify_steps} steps)", ra, rb,
+          rtol=1e-4, atol=0)
+
+    # --- one step of cell_list vs the independent NumPy oracle
+    s1, _ = jax.device_get(jax.jit(lambda s: step_cell_list(s, cfg))(state0))
+    v = np.asarray(state0.valid)
+    ref = oracle_step(
+        np.asarray(state0.position)[v], np.asarray(state0.velocity)[v], cfg
+    )
+    check("cell_list vs oracle density", np.asarray(s1.density)[v],
+          ref["density"], rtol=1e-4, atol=0)
+    check("cell_list vs oracle positions", np.asarray(s1.position)[v],
+          ref["position"], rtol=0, atol=1e-5)
+    return "pass" if ok else "fail"
 
 
 def main() -> None:
@@ -65,6 +152,10 @@ def main() -> None:
 
     state0 = init_state(cfg)
 
+    parity = "skipped"
+    if os.environ.get("TPUSPH_BENCH_VERIFY", "1") != "0":
+        parity = verify_parity(backend)
+
     # warmup: compile + verify capacity holds over the full horizon
     for _ in range(6):
         run = make_run(cfg)
@@ -101,6 +192,7 @@ def main() -> None:
                 "value": round(steps_per_sec, 3),
                 "unit": "timesteps/s",
                 "vs_baseline": round(steps_per_sec / target, 4),
+                "parity": parity,
             }
         )
     )

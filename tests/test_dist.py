@@ -155,3 +155,41 @@ def test_sharded_pallas_matches_xla(setup, eight_devices):
     gb = collect_state(b, cfg.num_particles)
     np.testing.assert_allclose(gb["position"], ga["position"], rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(gb["velocity"], ga["velocity"], rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_click_matches_single_chip(setup, eight_devices):
+    """Free-mode parity (simulator.cu:329-367,482-489): a click during the
+    sharded step must kick the same velocity field as the single-chip
+    apply_click_impulse after the same step."""
+    cfg, st = setup
+    click = (400, 300)
+
+    single = make_step(cfg, "cell_list")
+    s1, _ = single(st)
+    from tpusph.interact.impulse import apply_click_impulse
+
+    s1 = jax.jit(lambda s: apply_click_impulse(s, st.position, np.asarray(click, np.int32), cfg))(s1)
+    ref_vel = np.asarray(s1.velocity)[: cfg.num_particles]
+
+    mesh = _mesh(eight_devices, 8)
+    dcfg = DistConfig(
+        n_devices=8, dev_capacity=512, halo_capacity=256, migration_capacity=128
+    )
+    dstate = distribute_state(st, cfg, dcfg, mesh)
+    step = make_sharded_step(cfg, dcfg, mesh)
+    dstate, _ = step(dstate, np.asarray(click, np.int32), np.asarray(True))
+    got = collect_state(dstate, cfg.num_particles)
+    # the click must actually kick someone (PUSH_STRENGTH ≫ gravity·dt)
+    kicked = np.abs(got["velocity"] - ref_vel).max()
+    np.testing.assert_allclose(got["velocity"], ref_vel, rtol=1e-4, atol=1e-4)
+    s0, _ = single(st)  # step WITHOUT click differs → the kick was applied
+    assert np.abs(np.asarray(s0.velocity)[: cfg.num_particles] - ref_vel).max() > 1.0
+
+    # inactive click must be a no-op relative to the plain sharded step
+    d0 = distribute_state(st, cfg, dcfg, mesh)
+    a, _ = step(d0)
+    b, _ = step(distribute_state(st, cfg, dcfg, mesh), np.asarray(click, np.int32), np.asarray(False))
+    np.testing.assert_array_equal(
+        collect_state(a, cfg.num_particles)["velocity"],
+        collect_state(b, cfg.num_particles)["velocity"],
+    )

@@ -40,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpusph.core.config import SimConfig
 from tpusph.core.state import FluidState
 from tpusph.engine.step import _density_pass_sorted, _force_pass_sorted
+from tpusph.interact.impulse import click_kick
 from tpusph.neighbors.cell_list import build_cell_list
 from tpusph.physics.integrate import integrate
 
@@ -126,8 +127,8 @@ def _local_physics(comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret):
 
 
 def _device_step(
-    pos, vel, valid, pid, cfg: SimConfig, dcfg: DistConfig,
-    use_pallas: bool = False, interpret: bool = False,
+    pos, vel, valid, pid, click_cell, click_active, cfg: SimConfig,
+    dcfg: DistConfig, use_pallas: bool = False, interpret: bool = False,
 ):
     """One timestep on one device's slab (runs under shard_map)."""
     ax = dcfg.axis_name
@@ -212,6 +213,13 @@ def _device_step(
     x = jnp.where(valid[:, None], x, pos)
     v = jnp.where(valid[:, None], v, vel)
 
+    # ---- 4b. click impulse (free-mode parity, simulator.cu:482-489):
+    # applied after integration from PRE-step cells, exactly like the
+    # single-chip engine; elementwise per particle, before migration so
+    # kicked slab-crossers carry their kick to the new owner.
+    kick = click_kick(pos, valid, click_cell, cfg)
+    v = v + kick * click_active.astype(jnp.float32)
+
     # ---- 5. migration of slab-crossers (one hop)
     zn = x[:, 2]
     mig_dn = valid & (zn < z_lo)
@@ -284,7 +292,7 @@ def make_sharded_step(
     sharded = shard_map(
         fn,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec),
+        in_specs=(spec, spec, spec, spec, P(), P()),
         out_specs=(spec, spec, spec, spec, P()),
         # pallas_call outputs carry no varying-mesh-axis metadata; the specs
         # above fully describe the sharding, so skip the vma check
@@ -292,11 +300,29 @@ def make_sharded_step(
     )
 
     @jax.jit
-    def step(state: DistState):
+    def _step(state: DistState, click_cell, click_active):
         x, v, valid, pid, aux = sharded(
-            state.position, state.velocity, state.valid, state.pid
+            state.position, state.velocity, state.valid, state.pid,
+            click_cell, click_active,
         )
         return DistState(x, v, valid, pid), aux
+
+    def step(state: DistState, click_px=None, click_active=None):
+        """click_px: concrete host pixel coords (or None). The pixel→cell
+        conversion is host-side f32 (see impulse.click_cell_from_px); cells
+        enter the jitted step as a traced int32[2] — no retrace per click."""
+        import numpy as np
+
+        from tpusph.interact.impulse import click_cell_from_px
+
+        if click_px is None or (click_active is not None and not bool(click_active)):
+            cell = jnp.zeros((2,), jnp.int32)
+            active = jnp.zeros((), bool)
+        else:
+            px, py = (int(v) for v in np.asarray(click_px))
+            cell = jnp.asarray(click_cell_from_px(px, py, cfg), jnp.int32)
+            active = jnp.ones((), bool)
+        return _step(state, cell, active)
 
     return step
 

@@ -49,8 +49,9 @@ def default_dist_config(
 
 
 class DistSimulator:
-    """Drop-in multi-device variant of engine.Simulator (no click impulse in
-    the sharded step yet — use the single-chip engine for free mode)."""
+    """Drop-in multi-device variant of engine.Simulator, including free-mode
+    click impulses (simulate(click=(px, py)) kicks velocities exactly like the
+    single-chip engine, reference simulator.cu:329-367,482-489)."""
 
     def __init__(
         self,
@@ -78,10 +79,16 @@ class DistSimulator:
         host_state = init_state(self.cfg, self.random_init, self.seed)
         self.state = distribute_state(host_state, self.cfg, self.dcfg, self.mesh)
 
-    def simulate(self) -> None:
+    def simulate(self, click: tuple[int, int] | None = None) -> None:
         assert self.state is not None, "call setup() first"
+        from tpusph.interact.impulse import click_in_box
+
+        active = click is not None and click_in_box(*click)
+        click_px = np.asarray(click if active else (0, 0), np.int32)
         for _ in range(8):
-            new_state, aux = self._step(self.state)
+            new_state, aux = self._step(
+                self.state, click_px, np.asarray(active)
+            )
             aux_host = jax.device_get(aux)
             if (
                 int(aux_host.halo_overflow) == 0

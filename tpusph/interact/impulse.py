@@ -51,20 +51,35 @@ def _slab_multiplicity(cfg: SimConfig) -> jnp.ndarray:
     return jnp.zeros((c,), jnp.int32).at[jnp.clip(cz, 0, c - 1)].add(1)
 
 
-def apply_click_impulse(
-    state: FluidState,
+def click_cell_from_px(px: int, py: int, cfg: SimConfig) -> tuple[int, int]:
+    """Pixel → (cell_x, cell_y_flipped) on the HOST in numpy f32 — IEEE
+    division exactly like the reference's device math (cu:331-340). Kept out
+    of traced code deliberately: a click can land exactly on a cell boundary
+    (pixel 400 → world x = 5.0, and 5.0/0.1f = 49.99999925), where XLA's
+    choice between true division and reciprocal-multiply flips the cell."""
+    import numpy as np
+
+    F = np.float32
+    x = (F(px) - F(BOX_MIN_X)) / F(BOX_MAX_X - BOX_MIN_X) * F(cfg.box_dim)
+    y = (F(py) - F(BOX_MIN_Y)) / F(BOX_MAX_Y - BOX_MIN_Y) * F(cfg.box_dim)
+    cx = int(x / F(cfg.h))
+    cy = cfg.num_cells_per_dim - int(y / F(cfg.h))  # y-flip (cu:340)
+    return cx, cy
+
+
+def click_kick(
     pre_step_position: jnp.ndarray,
-    click_px: jnp.ndarray,
+    valid: jnp.ndarray,
+    click_cell: jnp.ndarray,
     cfg: SimConfig,
-) -> FluidState:
-    """click_px: int32[2] pixel coords. Pure function; jit with cfg static."""
+) -> jnp.ndarray:
+    """Velocity delta f32[N,3] for a click at grid cell click_cell (int32[2],
+    from click_cell_from_px), from pre-step cells. Pure and elementwise per
+    particle — usable both on the single-chip state and per-device under
+    shard_map."""
     c = cfg.num_cells_per_dim
-    mx = click_px[0].astype(jnp.float32)
-    my = click_px[1].astype(jnp.float32)
-    x = (mx - BOX_MIN_X) / jnp.float32(BOX_MAX_X - BOX_MIN_X) * jnp.float32(cfg.box_dim)
-    y = (my - BOX_MIN_Y) / jnp.float32(BOX_MAX_Y - BOX_MIN_Y) * jnp.float32(cfg.box_dim)
-    cx = (x / jnp.float32(cfg.h)).astype(jnp.int32)
-    cy = jnp.int32(c) - (y / jnp.float32(cfg.h)).astype(jnp.int32)  # y-flip (cu:340)
+    cx = click_cell[0]
+    cy = click_cell[1]
 
     pcell = cell_coords(pre_step_position, cfg)  # pre-step grid, like cu:482-489
     pcell = jnp.clip(pcell, 0, c - 1)
@@ -72,7 +87,7 @@ def apply_click_impulse(
     dy = pcell[:, 1] - cy
     mult = _slab_multiplicity(cfg)[pcell[:, 2]].astype(jnp.float32)
 
-    hit = (jnp.abs(dx) <= 2) & (jnp.abs(dy) <= 2) & state.valid
+    hit = (jnp.abs(dx) <= 2) & (jnp.abs(dy) <= 2) & valid
     push = jnp.float32(PUSH_STRENGTH)
     fdx = dx.astype(jnp.float32)
     fdy = dy.astype(jnp.float32)
@@ -80,16 +95,40 @@ def apply_click_impulse(
     kick_y = jnp.where(dy != 0, push / jnp.where(dy != 0, fdy, 1.0), 0.0)
     kick_z = jnp.where((dx == 0) & (dy == 0), -push, 0.0)
     kick = jnp.stack([kick_x, kick_y, kick_z], axis=-1) * mult[:, None]
-    kick = jnp.where(hit[:, None], kick, 0.0)
+    return jnp.where(hit[:, None], kick, 0.0)
 
+
+def apply_click_impulse(
+    state: FluidState,
+    pre_step_position: jnp.ndarray,
+    click_px,
+    cfg: SimConfig,
+) -> FluidState:
+    """click_px: CONCRETE (host) int pixel coords — the pixel→cell conversion
+    runs on the host (see click_cell_from_px); the kick itself is traced."""
+    import numpy as np
+
+    px, py = (int(v) for v in np.asarray(click_px))
+    cell = jnp.asarray(click_cell_from_px(px, py, cfg), jnp.int32)
+    kick = click_kick(pre_step_position, state.valid, cell, cfg)
     return state._replace(velocity=state.velocity + kick)
 
 
 def make_impulse(cfg: SimConfig):
-    """Jitted `(state, pre_pos, click_px) -> state`."""
+    """`(state, pre_pos, click_px) -> state` with the traced kick jitted and
+    the pixel→cell scalar conversion on the host (no retrace per click: the
+    cell coords enter as a traced int32[2])."""
 
     @jax.jit
+    def _kick(state, pre_pos, click_cell):
+        kick = click_kick(pre_pos, state.valid, click_cell, cfg)
+        return state._replace(velocity=state.velocity + kick)
+
     def impulse(state, pre_pos, click_px):
-        return apply_click_impulse(state, pre_pos, click_px, cfg)
+        import numpy as np
+
+        px, py = (int(v) for v in np.asarray(click_px))
+        cell = jnp.asarray(click_cell_from_px(px, py, cfg), jnp.int32)
+        return _kick(state, pre_pos, cell)
 
     return impulse
