@@ -12,7 +12,6 @@
 //     unseeded libc rand() particle placement (simulator.cu:430-437):
 //     rand()/RAND_MAX * (box-2) + 1 per coordinate, x,y,z order per particle.
 //   * sph_grid_init — the 0.9h-spacing lattice (simulator.cu:438-453).
-//   * sph_morton_encode — Morton keys for the z_index_sort-style ordering.
 //   * sph_render_frame — the free-mode software rasterizer (black clear,
 //     white box wireframe, blue 3px points, glFrustum(-2,2,-2,2,1,100)
 //     translated (-5,-5,-15); display.cpp:35-91).
@@ -58,24 +57,6 @@ int sph_grid_init(int n, float h, float box_dim, float *out) {
         }
     }
     return count;
-}
-
-static inline uint32_t part1by2(uint32_t x) {
-    x &= 0x3FF;
-    x = (x | (x << 16)) & 0x030000FF;
-    x = (x | (x << 8)) & 0x0300F00F;
-    x = (x | (x << 4)) & 0x030C30C3;
-    x = (x | (x << 2)) & 0x09249249;
-    return x;
-}
-
-void sph_morton_encode(const int32_t *cells, int n, int32_t *keys) {
-    for (int i = 0; i < n; i++) {
-        uint32_t x = part1by2((uint32_t)cells[3 * i + 0]);
-        uint32_t y = part1by2((uint32_t)cells[3 * i + 1]);
-        uint32_t z = part1by2((uint32_t)cells[3 * i + 2]);
-        keys[i] = (int32_t)(x | (y << 1) | (z << 2));
-    }
 }
 
 // Software rasterizer matching tpusph/viz/render.py (and display.cpp:35-91).

@@ -8,10 +8,8 @@ import pytest
 
 from tpusph.core.config import default_config
 from tpusph.core.init import grid_positions
-from tpusph.neighbors.morton import morton_encode
 from tpusph.utils.native import (
     get_lib,
-    morton_encode_native,
     reference_random_positions,
     render_frame_native,
 )
@@ -42,15 +40,6 @@ def test_native_grid_matches_python():
     assert k == 1000
     np.testing.assert_allclose(out, grid_positions(cfg), atol=1e-6)
 
-
-def test_native_morton_matches_python():
-    rng = np.random.default_rng(0)
-    cells = rng.integers(0, 512, size=(500, 3), dtype=np.int32)
-    import jax.numpy as jnp
-
-    np.testing.assert_array_equal(
-        morton_encode_native(cells), np.asarray(morton_encode(jnp.asarray(cells)))
-    )
 
 
 def test_native_render_matches_numpy():

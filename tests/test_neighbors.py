@@ -1,4 +1,4 @@
-"""Neighbor-structure tests: Morton codes, cell keys, sorted cell ranges,
+"""Neighbor-structure tests: cell keys, sorted cell ranges,
 window candidate generation, and the all-pairs ≡ cell-list invariant
 (SURVEY.md §4b/d — the TPU analog of printGridList's occupancy audit)."""
 
@@ -9,22 +9,8 @@ from tpusph.core.config import default_config
 from tpusph.core.init import init_state
 from tpusph.neighbors.cell_list import build_cell_list, window_candidates
 from tpusph.neighbors.grid import cell_coords, compute_keys, flatten_rowmajor
-from tpusph.neighbors.morton import morton_decode, morton_encode
 
 
-def test_morton_roundtrip():
-    rng = np.random.default_rng(0)
-    cells = rng.integers(0, 128, size=(1000, 3), dtype=np.int32)
-    keys = morton_encode(jnp.asarray(cells))
-    back = morton_decode(keys)
-    np.testing.assert_array_equal(np.asarray(back), cells)
-
-
-def test_morton_locality_order():
-    # Morton of (1,0,0)=1, (0,1,0)=2, (1,1,0)=3, (0,0,1)=4
-    cells = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0], [0, 0, 1]])
-    keys = np.asarray(morton_encode(cells))
-    np.testing.assert_array_equal(keys, [0, 1, 2, 3, 4])
 
 
 def test_cell_coords_truncation():

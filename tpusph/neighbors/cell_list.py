@@ -49,7 +49,7 @@ def build_cell_list(
     position: jnp.ndarray, valid: jnp.ndarray, cfg: SimConfig
 ) -> CellList:
     """One sorted pass replaces kernelBuildGrid + kernelResetGrid."""
-    keys = compute_keys(position, valid, cfg, mode="rowmajor")
+    keys = compute_keys(position, valid, cfg)
     perm = jnp.argsort(keys.key, stable=True).astype(jnp.int32)
     key_sorted = keys.key[perm]
     counts = jnp.zeros((cfg.num_cells + 1,), jnp.int32).at[keys.key].add(1)

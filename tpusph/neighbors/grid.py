@@ -20,7 +20,6 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from tpusph.core.config import SimConfig
-from tpusph.neighbors.morton import morton_encode
 
 
 def cell_coords(position: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:
@@ -41,29 +40,26 @@ class GridKeys(NamedTuple):
 
 
 def compute_keys(
-    position: jnp.ndarray, valid: jnp.ndarray, cfg: SimConfig, mode: str = "rowmajor"
+    position: jnp.ndarray, valid: jnp.ndarray, cfg: SimConfig
 ) -> GridKeys:
     """Cell keys for every particle slot. Invalid slots get the out-of-range
-    sentinel `num_cells` so they sort to the end and join no cell. Mode
-    'rowmajor' (the engine's sort key — makes stencil columns contiguous) or
-    'morton' (the z_index_sort-style space-filling key)."""
+    sentinel `num_cells` so they sort to the end and join no cell.
+
+    The key is row-major x-fastest, deliberately NOT Morton: the reference's
+    z_index_sort branch (README.md:5) uses a Z-order key to improve GPU cache
+    locality of its per-cell list walks, but the TPU engine's tile formulation
+    depends on the 27-cell stencil collapsing into 9 CONSTANT-OFFSET
+    contiguous ranges of the sorted array (cell_list.py) — true only for the
+    row-major key, where cells (x±1, y+dy, z+dz) at fixed (dy, dz) are
+    adjacent. Under a Morton key the stencil fragments into up to 27 scattered
+    ranges with block-boundary discontinuities, destroying the windowed-DMA
+    kernels. Row-major sort + contiguous windows IS this engine's analog of
+    the z_index_sort design."""
     c = cfg.num_cells_per_dim
     raw = cell_coords(position, cfg)
     oob = jnp.any((raw < 0) | (raw >= c), axis=-1)
     oob_count = jnp.sum(oob & valid).astype(jnp.int32)
     cell = jnp.clip(raw, 0, c - 1)
-    if mode == "rowmajor":
-        key = flatten_rowmajor(cell, cfg)
-    elif mode == "morton":
-        key = morton_encode(cell)
-    else:
-        raise ValueError(f"unknown key mode {mode!r}")
-    sentinel = jnp.int32(cfg.num_cells if mode == "rowmajor" else _morton_span(c))
-    key = jnp.where(valid, key, sentinel)
+    key = flatten_rowmajor(cell, cfg)
+    key = jnp.where(valid, key, jnp.int32(cfg.num_cells))
     return GridKeys(key=key, cell=cell, oob_count=oob_count)
-
-
-def _morton_span(c: int) -> int:
-    """Smallest power-of-8 Morton keyspace covering a c³ grid."""
-    bits = max(1, (c - 1).bit_length())
-    return 1 << (3 * bits)

@@ -58,7 +58,6 @@ def get_lib():
     ]
     lib.sph_grid_init.argtypes = [ctypes.c_int, ctypes.c_float, ctypes.c_float, f32p]
     lib.sph_grid_init.restype = ctypes.c_int
-    lib.sph_morton_encode.argtypes = [i32p, ctypes.c_int, i32p]
     lib.sph_render_frame.argtypes = [f32p, ctypes.c_int, u8p]
     lib.sph_native_abi_version.restype = ctypes.c_int
     if lib.sph_native_abi_version() != 1:
@@ -98,15 +97,3 @@ def render_frame_native(positions: np.ndarray):
     return img
 
 
-def morton_encode_native(cells: np.ndarray):
-    lib = get_lib()
-    if lib is None:
-        return None
-    c = np.ascontiguousarray(cells, np.int32)
-    keys = np.empty((c.shape[0],), np.int32)
-    lib.sph_morton_encode(
-        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        c.shape[0],
-        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-    )
-    return keys
