@@ -99,6 +99,17 @@ class DistSimulator:
             self._grow(aux_host)
         else:
             raise RuntimeError("dist capacity growth failed to converge")
+        if int(aux_host.misrouted) > 0:
+            # One-hop migration invariant: a particle may cross at most one
+            # slab face per step. Unreachable under the physics (crossing two
+            # slabs in one dt needs |v_z| > slab_width/dt = 125 at 8 devices;
+            # the impulse kicks are ≤ ~10), so a trip here means state
+            # corruption, not a tunable — fail loudly rather than let the
+            # particle do wrong-slab physics.
+            raise RuntimeError(
+                f"{int(aux_host.misrouted)} particle(s) crossed more than one "
+                "slab in a single step — one-hop migration invariant violated"
+            )
         self.state = new_state
         self.last_aux = aux_host
 
