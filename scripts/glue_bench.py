@@ -111,3 +111,57 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def extra():
+    """Payload-sort vs argsort+gather, and searchsorted-starts vs bincount."""
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
+    cfg = default_config(n)
+    state = init_state(cfg)
+    pos, vel, valid = state.position, state.velocity, state.valid
+    cl = jax.jit(lambda s: build_cell_list(s.position, s.valid, cfg))(state)
+    fence(cl)
+    key_i = jnp.asarray(np.random.default_rng(0).permutation(
+        np.asarray(jax.device_get(cl.key_sorted))), jnp.int32)
+
+    t = {}
+    t["argsort_gather_all"] = slope(
+        lambda z, k, p, v, va: (
+            lambda perm: (k[perm], p[perm] + z, v[perm], va[perm])
+        )(jnp.argsort(k, stable=True).astype(jnp.int32)),
+        key_i, pos, vel, valid)
+    t["payload_sort7"] = slope(
+        lambda z, k, p, v: jax.lax.sort(
+            (k,) + tuple(p[:, i] + z for i in range(3))
+            + tuple(v[:, i] for i in range(3)),
+            num_keys=1),
+        key_i, pos, vel)
+    t["payload_sort7_unstable_iota"] = slope(
+        lambda z, k, p, v: jax.lax.sort(
+            (k, jnp.arange(k.shape[0], dtype=jnp.int32))
+            + tuple(p[:, i] + z for i in range(3))
+            + tuple(v[:, i] for i in range(3)),
+            num_keys=2),
+        key_i, pos, vel)
+    t["bincount_cumsum"] = slope(
+        lambda z, k: jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(jnp.zeros((cfg.num_cells + 1,), jnp.int32)
+                       .at[k + z.astype(jnp.int32)].add(1), dtype=jnp.int32)]),
+        key_i)
+    qs = jnp.asarray(np.random.default_rng(1).integers(
+        0, cfg.num_cells, size=(46080,)), jnp.int32)
+    t["searchsorted_46k"] = slope(
+        lambda z, ks, q: jnp.searchsorted(
+            ks, q + z.astype(jnp.int32), side="left"),
+        cl.key_sorted, qs)
+    t["slice_n3_to_cols"] = slope(
+        lambda z, p: tuple(p[:, i] + z for i in range(3)), pos)
+    for name, v in t.items():
+        print(f"  {name:26s}: {v*1e3:7.3f} ms", flush=True)
+
+
+if __name__ == "__main__" and "--extra" in sys.argv:
+    sys.argv.remove("--extra")
+    extra()
+    sys.exit(0)

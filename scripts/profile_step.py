@@ -107,7 +107,8 @@ def main():
         cols = jax.jit(
             lambda cl: supertile_columns(cl.key_sorted, cl.valid_sorted, cl.starts, cfg)
         )(cl)
-        raw = jax.jit(lambda sp, cl, cols: density_pallas(sp, cl.key_sorted, cols, cfg))(sp, cl, cols)
+        raw = jax.jit(lambda sp, cl, cols: density_pallas(
+            (sp[:, 0], sp[:, 1], sp[:, 2]), cl.key_sorted, cols, cfg))(sp, cl, cols)
         rho_s, p_s = jax.jit(
             lambda raw, cl: (
                 jnp.where(cl.valid_sorted, pressure_from_density(raw, cfg)[0], 1.0),
@@ -135,12 +136,15 @@ def main():
             cl.key_sorted, cl.valid_sorted, cl.starts, jnp.int32(0),
         )
         t["density"] = slope_bench(
-            lambda sp, key_s, cols: density_pallas(sp, key_s, cols, cfg),
+            lambda sp, key_s, cols: density_pallas(
+                (sp[:, 0], sp[:, 1], sp[:, 2]), key_s, cols, cfg),
             lambda a, z: (a[0] + z, a[1], a[2]),
             sp, cl.key_sorted, cols,
         )
         t["force"] = slope_bench(
-            lambda sp, sv, r, p, key_s, cols: force_pallas(sp, sv, r, p, key_s, cols, cfg),
+            lambda sp, sv, r, p, key_s, cols: force_pallas(
+                (sp[:, 0], sp[:, 1], sp[:, 2]), (sv[:, 0], sv[:, 1], sv[:, 2]),
+                r, p, key_s, cols, cfg),
             lambda a, z: (a[0] + z, a[1], a[2], a[3], a[4], a[5]),
             sp, sv, rho_s, p_s, cl.key_sorted, cols,
         )

@@ -27,6 +27,6 @@ def test_bench_emits_json_line():
     assert r.returncode == 0, r.stderr
     line = r.stdout.strip().splitlines()[-1]
     data = json.loads(line)
-    assert set(data) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(data) == {"metric", "value", "unit", "vs_baseline", "parity"}
     assert data["metric"] == "sph_timesteps_per_sec_n512"
     assert data["value"] > 0

@@ -30,7 +30,7 @@ def compute_diagnostics(state: FluidState, cfg: SimConfig) -> Diagnostics:
     m = jnp.float32(cfg.mass)
     speed2 = jnp.sum(vel * vel, axis=1)
     nvalid = jnp.sum(v)
-    keys = compute_keys(state.position, v, cfg, mode="rowmajor").key
+    keys = compute_keys(state.position, v, cfg).key
     counts = jnp.zeros((cfg.num_cells + 1,), jnp.int32).at[keys].add(1)
     counts = counts[: cfg.num_cells]
     rho = jnp.where(v, state.density, 0.0)

@@ -112,7 +112,10 @@ def _local_physics(comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret):
         from tpusph.physics.kernels import pressure_from_density
 
         cols_info = supertile_columns(cl.key_sorted, cl.valid_sorted, cl.starts, cfg)
-        raw = density_pallas(sp, cl.key_sorted, cols_info, cfg, interpret=interpret)
+        raw = density_pallas(
+            (sp[:, 0], sp[:, 1], sp[:, 2]), cl.key_sorted, cols_info, cfg,
+            interpret=interpret,
+        )
         rho_s, p_s = pressure_from_density(raw, cfg)
         rho_s = jnp.where(cl.valid_sorted, rho_s, 1.0)
         p_s = jnp.where(cl.valid_sorted, p_s, 0.0)
@@ -199,7 +202,8 @@ def _device_step(
         from tpusph.pallas.fused import force_pallas
 
         f_s = force_pallas(
-            sp, sv, rho[cl.perm], prs[cl.perm], cl.key_sorted, cols_info, cfg,
+            (sp[:, 0], sp[:, 1], sp[:, 2]), (sv[:, 0], sv[:, 1], sv[:, 2]),
+            rho[cl.perm], prs[cl.perm], cl.key_sorted, cols_info, cfg,
             interpret=interpret,
         )
         f_s = jnp.where(cl.valid_sorted[:, None], f_s, 0.0)

@@ -228,12 +228,14 @@ def update_phase_pallas(state: FluidState, cl: CellList, cfg: SimConfig, interpr
     sv = state.velocity[cl.perm]
     cols_info = supertile_columns(cl.key_sorted, cl.valid_sorted, cl.starts, cfg)
     ovf = cols_info.overflow
-    raw_rho = density_pallas(sp, cl.key_sorted, cols_info, cfg, interpret=interpret)
+    xyz = (sp[:, 0], sp[:, 1], sp[:, 2])
+    raw_rho = density_pallas(xyz, cl.key_sorted, cols_info, cfg, interpret=interpret)
     rho_s, p_s = pressure_from_density(raw_rho, cfg)
     rho_s = jnp.where(cl.valid_sorted, rho_s, 1.0)
     p_s = jnp.where(cl.valid_sorted, p_s, 0.0)
     f_s = force_pallas(
-        sp, sv, rho_s, p_s, cl.key_sorted, cols_info, cfg, interpret=interpret
+        xyz, (sv[:, 0], sv[:, 1], sv[:, 2]), rho_s, p_s, cl.key_sorted,
+        cols_info, cfg, interpret=interpret,
     )
     f_s = jnp.where(cl.valid_sorted[:, None], f_s, 0.0)
 
@@ -259,24 +261,31 @@ def step_pallas_sorted(state: FluidState, cfg: SimConfig, interpret=False):
     (benchmarks, scan loops) save three full-state scatters per step; particle
     identity is irrelevant for rendering (the reference draws unordered blue
     points, display.cpp:52-57). Use step_pallas when stable identity matters
-    (golden trajectories, checkpoints)."""
+    (golden trajectories, checkpoints).
+
+    Build phase: payload sort (build_sorted_fields) — one lax.sort carries the
+    six field lanes with the keys, replacing argsort + (N,3) gathers +
+    kernel-input transposes (~7 ms at 262k on v5e)."""
+    from tpusph.neighbors.cell_list import build_sorted_fields
     from tpusph.pallas.fused import density_pallas, force_pallas, supertile_columns
 
-    cl = build_phase(state, cfg)
-    sp = state.position[cl.perm]
-    sv = state.velocity[cl.perm]
-    valid_s = cl.valid_sorted
-    cols_info = supertile_columns(cl.key_sorted, valid_s, cl.starts, cfg)
+    sf = build_sorted_fields(state.position, state.velocity, state.valid, cfg)
+    valid_s = sf.valid_sorted
+    cols_info = supertile_columns(sf.key_sorted, valid_s, sf.starts, cfg)
     ovf = cols_info.overflow
-    raw_rho = density_pallas(sp, cl.key_sorted, cols_info, cfg, interpret=interpret)
+    xyz = (sf.x, sf.y, sf.z)
+    raw_rho = density_pallas(xyz, sf.key_sorted, cols_info, cfg, interpret=interpret)
     rho_s, p_s = pressure_from_density(raw_rho, cfg)
     rho_s = jnp.where(valid_s, rho_s, 1.0)
     p_s = jnp.where(valid_s, p_s, 0.0)
     f_s = force_pallas(
-        sp, sv, rho_s, p_s, cl.key_sorted, cols_info, cfg, interpret=interpret
+        xyz, (sf.vx, sf.vy, sf.vz), rho_s, p_s, sf.key_sorted, cols_info, cfg,
+        interpret=interpret,
     )
     f_s = jnp.where(valid_s[:, None], f_s, 0.0)
 
+    sp = jnp.stack([sf.x, sf.y, sf.z], axis=1)
+    sv = jnp.stack([sf.vx, sf.vy, sf.vz], axis=1)
     x, v = integrate(sp, sv, f_s, rho_s, cfg)
     x = jnp.where(valid_s[:, None], x, sp)
     v = jnp.where(valid_s[:, None], v, sv)
@@ -284,7 +293,7 @@ def step_pallas_sorted(state: FluidState, cfg: SimConfig, interpret=False):
         position=x, velocity=v, force=f_s, density=rho_s, pressure=p_s,
         valid=valid_s,
     )
-    aux = StepAux(oob_count=cl.oob_count, window_overflow=ovf)
+    aux = StepAux(oob_count=sf.oob_count, window_overflow=ovf)
     return new_state, aux
 
 

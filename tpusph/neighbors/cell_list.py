@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from tpusph.core.config import SimConfig
@@ -59,6 +60,51 @@ def build_cell_list(
     return CellList(
         perm=perm,
         key_sorted=key_sorted,
+        starts=starts,
+        valid_sorted=key_sorted < cfg.num_cells,
+        oob_count=keys.oob_count,
+    )
+
+
+class SortedFields(NamedTuple):
+    """Cell-sorted particle fields as 1-D arrays — the payload-sort fast path
+    for order-free steps (step_pallas_sorted). One lax.sort moves the six
+    field lanes through the sort network alongside the keys, replacing
+    argsort + two (N,3) gathers (measured ~7 ms at 262k on v5e: XLA's
+    element-wise gather path) and the kernel-input transposes (sorted fields
+    arrive as rows already)."""
+
+    key_sorted: jnp.ndarray  # int32[Np]
+    x: jnp.ndarray  # f32[Np]
+    y: jnp.ndarray
+    z: jnp.ndarray
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    vz: jnp.ndarray
+    starts: jnp.ndarray  # int32[num_cells + 2]
+    valid_sorted: jnp.ndarray  # bool[Np]
+    oob_count: jnp.ndarray  # int32[]
+
+
+def build_sorted_fields(
+    position: jnp.ndarray, velocity: jnp.ndarray, valid: jnp.ndarray,
+    cfg: SimConfig,
+) -> SortedFields:
+    """Payload sort: one stable lax.sort carries (key, x, y, z, vx, vy, vz)."""
+    keys = compute_keys(position, valid, cfg)
+    key_sorted, x, y, z, vx, vy, vz = jax.lax.sort(
+        (keys.key,
+         position[:, 0], position[:, 1], position[:, 2],
+         velocity[:, 0], velocity[:, 1], velocity[:, 2]),
+        num_keys=1,
+        is_stable=True,
+    )
+    counts = jnp.zeros((cfg.num_cells + 1,), jnp.int32).at[keys.key].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    return SortedFields(
+        key_sorted=key_sorted, x=x, y=y, z=z, vx=vx, vy=vy, vz=vz,
         starts=starts,
         valid_sorted=key_sorted < cfg.num_cells,
         oob_count=keys.oob_count,

@@ -182,7 +182,6 @@ def _density_kernel(
     wait, slot = _super_dma_pipeline(
         i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap
     )
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
 
     for c in range(9):  # fully unrolled: offsets are compile-time constants
         wait(c)
@@ -197,11 +196,10 @@ def _density_kernel(
             tile = i * g + sub
             sub_cnt = sub_cnt_ref[tile * 9 + c].astype(jnp.int32)
             base = sub_base_ref[tile * 9 + c].astype(jnp.int32)
-            limit = (base + sub_cnt).astype(jnp.float32)
             # fold the column offset into the target keys once per column
             tkey_off = tkey + jnp.float32(offsets[c])
 
-            def blk(b, acc, c=c, base=base, limit=limit, tkey_off=tkey_off):
+            def blk(b, acc, c=c, base=base, tkey_off=tkey_off):
                 sl = pl.ds(pl.multiple_of(base + b * LANES, 128), LANES)
                 cx = cand[slot, c, 0, sl][None, :]
                 cy = cand[slot, c, 1, sl][None, :]
@@ -211,12 +209,15 @@ def _density_kernel(
                 dy = ty - cy
                 dz = tz - cz
                 r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
+                # The key mask alone is exact — no per-lane count check:
+                # 128-alignment lead-in lanes carry keys < lo_cell (diff ≤
+                # off−2), lanes beyond the window carry keys ≥ hi_cell (diff
+                # ≥ off+2) or KEY_PAD, and sentinel-keyed invalid rows are
+                # parked at the origin where the r ≤ h cutoff zeroes them.
                 keyhit = jnp.abs(ck - tkey_off) <= 1.0
-                s_f = (base + b * LANES).astype(jnp.float32)
-                live = keyhit & (lane < limit - s_f)
                 w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
                 w = w * w * w
-                return acc + jnp.where(live, w, 0.0)
+                return acc + jnp.where(keyhit, w, 0.0)
 
             # dynamic trip count: dead capacity costs nothing
             acc0 = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, LANES), blk, acc0)
@@ -227,16 +228,21 @@ def _density_kernel(
         )
 
 
-def density_pallas(sp, key_s, cols_info: TileColumns, cfg, *, interpret=False):
-    """sp f32[n,3] sorted positions. Returns raw density f32[n] (pre-clamp)."""
-    n = sp.shape[0]
+def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
+    """xyz: 3-tuple of f32[n] sorted position fields (1-D rows — the payload
+    sort emits them directly; (n,3) callers slice). Returns raw density f32[n]
+    (pre-clamp)."""
+    x, y, z = xyz
+    n = x.shape[0]
     pt, g, col_cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
     nprog = n // (pt * g)
 
+    key_f = key_s.astype(jnp.float32)
     cols = _stack_cols(
-        [sp.T, key_s[None, :].astype(jnp.float32)], 8, col_cap, key_row=3
+        [x[None, :], y[None, :], z[None, :], key_f[None, :]], 8, col_cap,
+        key_row=3,
     )
-    tgts = jnp.concatenate([sp, key_s[:, None].astype(jnp.float32)], axis=1)  # (n,4)
+    tgts = jnp.stack([x, y, z, key_f], axis=1)  # (n,4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -288,7 +294,6 @@ def _force_kernel(
     wait, slot = _super_dma_pipeline(
         i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap
     )
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
 
     for c in range(9):
         wait(c)
@@ -308,10 +313,9 @@ def _force_kernel(
             tile = i * g + sub
             sub_cnt = sub_cnt_ref[tile * 9 + c].astype(jnp.int32)
             base = sub_base_ref[tile * 9 + c].astype(jnp.int32)
-            limit = (base + sub_cnt).astype(jnp.float32)
             tkey_off = tkey + jnp.float32(offsets[c])
 
-            def blk(b, carry, c=c, base=base, limit=limit, tkey_off=tkey_off):
+            def blk(b, carry, c=c, base=base, tkey_off=tkey_off):
                 fx, fy, fz = carry
                 s = base + b * LANES
                 sl = pl.ds(pl.multiple_of(s, 128), LANES)
@@ -326,20 +330,19 @@ def _force_kernel(
                 inv_r = jax.lax.rsqrt(r2)
                 r = r2 * inv_r
                 keyhit = jnp.abs(row(_FKEY) - tkey_off) <= 1.0
-                # ONE cutoff predicate serves both terms: the reference's
-                # pressure guard (r² ≤ h², cu:107) and viscosity guard
-                # (r ≤ h, cu:126) are the same set for r ≥ 0.
-                live = (
-                    keyhit
-                    & (lane < limit - s.astype(jnp.float32))
-                    & (r >= eps)
-                    & (r2 <= h * h)
-                )
+                # Key mask alone bounds the window (see density kernel note);
+                # the r ≥ eps guard excludes self-pairs (reference EPS_F,
+                # cu:107,126). The r ≤ h cutoff is folded into hr below:
+                # max(h−r, 0) zeroes BOTH terms outside the support — the
+                # reference's pressure guard (r² ≤ h², cu:107) and viscosity
+                # guard (r ≤ h, cu:126) are the same set for r ≥ 0, and both
+                # scale linearly in hr.
+                live = keyhit & (r >= eps)
+                hr = jnp.maximum(h - r, 0.0)
                 # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's
                 # two minus signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r,
                 # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)
                 # ·(h−r)²/r, applied along disp.
-                hr = h - r
                 term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
                 s_p = jnp.where(live, (m * vk) * term * hr * hr * inv_r, 0.0)
                 fx = fx + s_p * dx
@@ -360,28 +363,30 @@ def _force_kernel(
         f_ref[0, sub, :, 2] = jnp.sum(fz, axis=1)
 
 
-def force_pallas(sp, sv, rho_s, p_s, key_s, cols_info, cfg, *, interpret=False):
-    """Returns force f32[n,3] for sorted targets."""
-    n = sp.shape[0]
+def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=False):
+    """xyz/vxyz: 3-tuples of f32[n] sorted position/velocity fields.
+    Returns force f32[n,3] for sorted targets."""
+    x, y, z = xyz
+    vx, vy, vz = vxyz
+    n = x.shape[0]
     pt, g, col_cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
     nprog = n // (pt * g)
 
+    key_f = key_s.astype(jnp.float32)
     inv2rho = 0.5 / rho_s
     cols = _stack_cols(
         [
-            sp.T,
-            sv.T,
+            x[None, :], y[None, :], z[None, :],
+            vx[None, :], vy[None, :], vz[None, :],
             inv2rho[None, :],
             (p_s * inv2rho)[None, :],
-            key_s[None, :].astype(jnp.float32),
+            key_f[None, :],
         ],
         16,
         col_cap,
         key_row=_FKEY,
     )
-    tgts = jnp.concatenate(
-        [sp, sv, p_s[:, None], key_s[:, None].astype(jnp.float32)], axis=1
-    )  # (n, 8)
+    tgts = jnp.stack([x, y, z, vx, vy, vz, p_s, key_f], axis=1)  # (n, 8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
