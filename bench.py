@@ -48,16 +48,19 @@ def verify_parity(backend: str, verify_steps: int = 10, n: int = 4096) -> str:
 
     from tpusph.core.config import default_config
     from tpusph.core.init import init_state
-    from tpusph.engine.step import BACKENDS, step_cell_list, step_pallas_sorted
+    from tpusph.engine.step import (
+        BACKENDS,
+        fields_from_state,
+        state_from_fields,
+        step_cell_list,
+        step_pallas_fields,
+    )
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from oracle_numpy import oracle_step
 
     cfg = default_config(n, chunk_size=min(4096, n))
     state0 = init_state(cfg)
-    step_timed = (
-        step_pallas_sorted if backend == "pallas_sorted" else BACKENDS[backend]
-    )
 
     def chain(stepfn):
         @jax.jit
@@ -68,6 +71,23 @@ def verify_parity(backend: str, verify_steps: int = 10, n: int = 4096) -> str:
             s2, ovf = jax.lax.scan(body, s, None, length=verify_steps)
             return s2, jnp.sum(ovf)
         return run
+
+    if backend == "pallas_sorted":
+        # verify the ACTUAL fields-native loop the bench times
+        @jax.jit
+        def chain_timed(s):
+            def body(carry, _):
+                fs, rho, prs = carry
+                (fs2, rho2, p2, _), aux = step_pallas_fields(fs, cfg)
+                return (fs2, rho2, p2), aux.window_overflow
+            fs0 = fields_from_state(s)
+            z = jnp.zeros_like(fs0.x)
+            (fs2, rho2, p2), ovf = jax.lax.scan(
+                body, (fs0, z, z), None, length=verify_steps
+            )
+            return state_from_fields(fs2, density=rho2, pressure=p2), jnp.sum(ovf)
+    else:
+        chain_timed = chain(BACKENDS[backend])
 
     ok = True
 
@@ -80,7 +100,7 @@ def verify_parity(backend: str, verify_steps: int = 10, n: int = 4096) -> str:
             print(f"parity FAIL [{name}]: {e}", file=sys.stderr)
 
     # --- K chained steps: timed backend vs cell_list, multiset-compared
-    sa, ovf_a = jax.device_get(chain(step_timed)(state0))
+    sa, ovf_a = jax.device_get(chain_timed(state0))
     sb, ovf_b = jax.device_get(chain(step_cell_list)(state0))
     if int(ovf_a) or int(ovf_b):
         print(f"parity FAIL: overflow a={int(ovf_a)} b={int(ovf_b)}", file=sys.stderr)
@@ -121,7 +141,11 @@ def main() -> None:
 
     from tpusph.core.config import default_config
     from tpusph.core.init import init_state
-    from tpusph.engine.step import BACKENDS, step_pallas_sorted
+    from tpusph.engine.step import (
+        BACKENDS,
+        fields_from_state,
+        step_pallas_fields,
+    )
 
     n = int(os.environ.get("TPUSPH_BENCH_N", 262_144))
     steps = int(os.environ.get("TPUSPH_BENCH_STEPS", 100))
@@ -134,19 +158,27 @@ def main() -> None:
     cfg = default_config(n)
 
     def make_run(cfg):
-        step = (
-            step_pallas_sorted
-            if backend == "pallas_sorted"
-            else BACKENDS[backend]
-        )
+        if backend == "pallas_sorted":
+            # fields-native loop: state stays as 1-D field rows across steps
+            @jax.jit
+            def run(state):
+                def body(fs, _):
+                    (fs2, _, _, _), aux = step_pallas_fields(fs, cfg)
+                    return fs2, aux.window_overflow
+                fs2, ovf = jax.lax.scan(
+                    body, fields_from_state(state), None, length=steps
+                )
+                return fs2, jnp.sum(ovf)
+        else:
+            step = BACKENDS[backend]
 
-        @jax.jit
-        def run(state):
-            def body(s, _):
-                s2, aux = step(s, cfg)
-                return s2, aux.window_overflow
-            s2, ovf = jax.lax.scan(body, state, None, length=steps)
-            return s2, jnp.sum(ovf)
+            @jax.jit
+            def run(state):
+                def body(s, _):
+                    s2, aux = step(s, cfg)
+                    return s2, aux.window_overflow
+                s2, ovf = jax.lax.scan(body, state, None, length=steps)
+                return s2, jnp.sum(ovf)
 
         return run
 

@@ -76,13 +76,15 @@ class SimConfig:
     # overflow detected in prep, auto-grown by the driver). The kernel loops
     # over ceil(cnt/128) live lane-blocks, so compute scales with occupancy,
     # not with this capacity.
-    pallas_tile: int = 64
+    pallas_tile: int = 128
     # sub-tiles per program: one program DMAs the stencil columns for
     # pallas_group·pallas_tile targets at once (fewer, larger DMAs)
-    pallas_group: int = 4
+    pallas_group: int = 8
     # static column buffer per super-tile (covers group span + ~3×max cell
-    # occupancy + 128 alignment; overflow detected in prep, auto-grown)
-    pallas_col_capacity: int = 2048
+    # occupancy + 128 alignment; overflow detected in prep, auto-grown).
+    # Geometry 128×8/4096 measured best on v5e at 262k (see BASELINE.md);
+    # effective_geometry() clamps pt·g to divide small test problems.
+    pallas_col_capacity: int = 4096
     # 128-lane blocks each sub-tile scans per column (covers tile span +
     # occupancy + alignment; sub-window clamping beyond this is counted as
     # overflow in prep)

@@ -177,7 +177,7 @@ def _device_step3d(
             (sp[:, 0], sp[:, 1], sp[:, 2]), (sv[:, 0], sv[:, 1], sv[:, 2]),
             rho[cl.perm], prs[cl.perm], cl.key_sorted, cols_info, cfg,
             interpret=interpret,
-        )
+        ).T
         f_s = jnp.where(cl.valid_sorted[:, None], f_s, 0.0)
     else:
         from tpusph.engine.step import _force_pass_sorted

@@ -236,7 +236,7 @@ def update_phase_pallas(state: FluidState, cl: CellList, cfg: SimConfig, interpr
     f_s = force_pallas(
         xyz, (sv[:, 0], sv[:, 1], sv[:, 2]), rho_s, p_s, cl.key_sorted,
         cols_info, cfg, interpret=interpret,
-    )
+    ).T
     f_s = jnp.where(cl.valid_sorted[:, None], f_s, 0.0)
 
     n = state.num_slots
@@ -254,22 +254,56 @@ def step_pallas(state: FluidState, cfg: SimConfig, interpret=False):
     return update_phase_pallas(state, cl, cfg, interpret=interpret)
 
 
-def step_pallas_sorted(state: FluidState, cfg: SimConfig, interpret=False):
-    """Fused-megakernel timestep that RETURNS STATE IN SORTED ORDER instead of
-    scattering back to the caller's particle order. Physics is permutation-
-    invariant (the valid mask travels with the particles), so chained steps
-    (benchmarks, scan loops) save three full-state scatters per step; particle
-    identity is irrelevant for rendering (the reference draws unordered blue
-    points, display.cpp:52-57). Use step_pallas when stable identity matters
-    (golden trajectories, checkpoints).
+class FieldsState(NamedTuple):
+    """Hot-loop particle state as 1-D field rows — the layout the fields-
+    native step carries across chained steps. No (N,3) array is ever
+    materialized inside the loop: payload sort emits rows, the Pallas kernels
+    consume and produce rows, integration runs per axis. Convert with
+    fields_from_state / state_from_fields at the loop boundary."""
 
-    Build phase: payload sort (build_sorted_fields) — one lax.sort carries the
-    six field lanes with the keys, replacing argsort + (N,3) gathers +
-    kernel-input transposes (~7 ms at 262k on v5e)."""
-    from tpusph.neighbors.cell_list import build_sorted_fields
+    x: jnp.ndarray  # f32[N]
+    y: jnp.ndarray
+    z: jnp.ndarray
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    vz: jnp.ndarray
+    valid: jnp.ndarray  # bool[N]
+
+
+def fields_from_state(state: FluidState) -> FieldsState:
+    p, v = state.position, state.velocity
+    return FieldsState(
+        p[:, 0], p[:, 1], p[:, 2], v[:, 0], v[:, 1], v[:, 2], state.valid
+    )
+
+
+def state_from_fields(fs: FieldsState, density=None, pressure=None) -> FluidState:
+    n = fs.x.shape[0]
+    return FluidState(
+        position=jnp.stack([fs.x, fs.y, fs.z], axis=1),
+        velocity=jnp.stack([fs.vx, fs.vy, fs.vz], axis=1),
+        force=jnp.zeros((n, 3), jnp.float32),
+        density=density if density is not None else jnp.ones((n,), jnp.float32),
+        pressure=pressure if pressure is not None else jnp.zeros((n,), jnp.float32),
+        valid=fs.valid,
+    )
+
+
+def step_pallas_fields(fs: FieldsState, cfg: SimConfig, interpret=False):
+    """Fields-native fused-megakernel timestep, returning state in SORTED
+    order (physics is permutation-invariant; the valid mask travels with the
+    particles). This is the production chained-loop path: state stays as 1-D
+    field rows end to end — payload sort (one lax.sort carrying the six field
+    lanes with the keys), row-consuming/row-producing kernels, per-axis
+    integration — so no (N,3) relayout ever happens inside the loop.
+    Returns ((FieldsState, rho_s, p_s, force_rows), aux)."""
+    from tpusph.neighbors.cell_list import build_sorted_fields_1d
     from tpusph.pallas.fused import density_pallas, force_pallas, supertile_columns
+    from tpusph.physics.integrate import integrate_fields
 
-    sf = build_sorted_fields(state.position, state.velocity, state.valid, cfg)
+    sf = build_sorted_fields_1d(
+        fs.x, fs.y, fs.z, fs.vx, fs.vy, fs.vz, fs.valid, cfg
+    )
     valid_s = sf.valid_sorted
     cols_info = supertile_columns(sf.key_sorted, valid_s, sf.starts, cfg)
     ovf = cols_info.overflow
@@ -278,22 +312,40 @@ def step_pallas_sorted(state: FluidState, cfg: SimConfig, interpret=False):
     rho_s, p_s = pressure_from_density(raw_rho, cfg)
     rho_s = jnp.where(valid_s, rho_s, 1.0)
     p_s = jnp.where(valid_s, p_s, 0.0)
-    f_s = force_pallas(
+    f_rows = force_pallas(
         xyz, (sf.vx, sf.vy, sf.vz), rho_s, p_s, sf.key_sorted, cols_info, cfg,
         interpret=interpret,
     )
-    f_s = jnp.where(valid_s[:, None], f_s, 0.0)
+    fx = jnp.where(valid_s, f_rows[0], 0.0)
+    fy = jnp.where(valid_s, f_rows[1], 0.0)
+    fz = jnp.where(valid_s, f_rows[2], 0.0)
 
-    sp = jnp.stack([sf.x, sf.y, sf.z], axis=1)
-    sv = jnp.stack([sf.vx, sf.vy, sf.vz], axis=1)
-    x, v = integrate(sp, sv, f_s, rho_s, cfg)
-    x = jnp.where(valid_s[:, None], x, sp)
-    v = jnp.where(valid_s[:, None], v, sv)
-    new_state = FluidState(
-        position=x, velocity=v, force=f_s, density=rho_s, pressure=p_s,
-        valid=valid_s,
+    x, y, z, vx, vy, vz = integrate_fields(
+        sf.x, sf.y, sf.z, sf.vx, sf.vy, sf.vz, fx, fy, fz, rho_s, cfg
     )
+    x = jnp.where(valid_s, x, sf.x)
+    y = jnp.where(valid_s, y, sf.y)
+    z = jnp.where(valid_s, z, sf.z)
+    vx = jnp.where(valid_s, vx, sf.vx)
+    vy = jnp.where(valid_s, vy, sf.vy)
+    vz = jnp.where(valid_s, vz, sf.vz)
+    out = FieldsState(x, y, z, vx, vy, vz, valid_s)
     aux = StepAux(oob_count=sf.oob_count, window_overflow=ovf)
+    return (out, rho_s, p_s, (fx, fy, fz)), aux
+
+
+def step_pallas_sorted(state: FluidState, cfg: SimConfig, interpret=False):
+    """Fused-megakernel timestep that RETURNS STATE IN SORTED ORDER instead of
+    scattering back to the caller's particle order (the reference draws
+    unordered blue points, display.cpp:52-57 — identity is irrelevant for
+    rendering). Use step_pallas when stable identity matters (golden
+    trajectories, checkpoints). (N,3) wrapper around step_pallas_fields; for
+    chained loops carry FieldsState directly and skip the relayouts."""
+    (fs, rho_s, p_s, f_rows), aux = step_pallas_fields(
+        fields_from_state(state), cfg, interpret=interpret
+    )
+    new_state = state_from_fields(fs, density=rho_s, pressure=p_s)
+    new_state = new_state._replace(force=jnp.stack(f_rows, axis=1))
     return new_state, aux
 
 

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from tpusph.core.config import SimConfig
-from tpusph.neighbors.grid import compute_keys
+from tpusph.neighbors.grid import compute_keys, compute_keys_fields
 
 
 class CellList(NamedTuple):
@@ -86,20 +86,16 @@ class SortedFields(NamedTuple):
     oob_count: jnp.ndarray  # int32[]
 
 
-def build_sorted_fields(
-    position: jnp.ndarray, velocity: jnp.ndarray, valid: jnp.ndarray,
-    cfg: SimConfig,
+def build_sorted_fields_1d(
+    x, y, z, vx, vy, vz, valid, cfg: SimConfig
 ) -> SortedFields:
-    """Payload sort: one stable lax.sort carries (key, x, y, z, vx, vy, vz)."""
-    keys = compute_keys(position, valid, cfg)
+    """Payload sort on 1-D field rows: one stable lax.sort carries
+    (key, x, y, z, vx, vy, vz)."""
+    key, oob_count = compute_keys_fields(x, y, z, valid, cfg)
     key_sorted, x, y, z, vx, vy, vz = jax.lax.sort(
-        (keys.key,
-         position[:, 0], position[:, 1], position[:, 2],
-         velocity[:, 0], velocity[:, 1], velocity[:, 2]),
-        num_keys=1,
-        is_stable=True,
+        (key, x, y, z, vx, vy, vz), num_keys=1, is_stable=True
     )
-    counts = jnp.zeros((cfg.num_cells + 1,), jnp.int32).at[keys.key].add(1)
+    counts = jnp.zeros((cfg.num_cells + 1,), jnp.int32).at[key].add(1)
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
@@ -107,7 +103,18 @@ def build_sorted_fields(
         key_sorted=key_sorted, x=x, y=y, z=z, vx=vx, vy=vy, vz=vz,
         starts=starts,
         valid_sorted=key_sorted < cfg.num_cells,
-        oob_count=keys.oob_count,
+        oob_count=oob_count,
+    )
+
+
+def build_sorted_fields(
+    position: jnp.ndarray, velocity: jnp.ndarray, valid: jnp.ndarray,
+    cfg: SimConfig,
+) -> SortedFields:
+    """(N,3) wrapper around build_sorted_fields_1d."""
+    return build_sorted_fields_1d(
+        position[:, 0], position[:, 1], position[:, 2],
+        velocity[:, 0], velocity[:, 1], velocity[:, 2], valid, cfg
     )
 
 

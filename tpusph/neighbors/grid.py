@@ -63,3 +63,26 @@ def compute_keys(
     key = flatten_rowmajor(cell, cfg)
     key = jnp.where(valid, key, jnp.int32(cfg.num_cells))
     return GridKeys(key=key, cell=cell, oob_count=oob_count)
+
+
+def compute_keys_fields(x, y, z, valid, cfg: SimConfig):
+    """compute_keys on 1-D field rows (f32[N] each) — avoids materializing an
+    (N,3) array in the fields-native hot loop. Returns (key int32[N],
+    oob_count int32[]) with identical semantics to compute_keys."""
+    c = cfg.num_cells_per_dim
+    inv = jnp.float32(cfg.h)
+    cx = (x / inv).astype(jnp.int32)
+    cy = (y / inv).astype(jnp.int32)
+    cz = (z / inv).astype(jnp.int32)
+    oob = (
+        (cx < 0) | (cx >= c) | (cy < 0) | (cy >= c) | (cz < 0) | (cz >= c)
+    )
+    oob_count = jnp.sum(oob & valid).astype(jnp.int32)
+    ci = jnp.int32(c)
+    key = (
+        jnp.clip(cx, 0, c - 1)
+        + ci * jnp.clip(cy, 0, c - 1)
+        + ci * ci * jnp.clip(cz, 0, c - 1)
+    )
+    key = jnp.where(valid, key, jnp.int32(cfg.num_cells))
+    return key, oob_count

@@ -54,6 +54,17 @@ def _offsets(cfg: SimConfig) -> list[int]:
     return [dy * c + dz * c * c for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
+def effective_geometry(n: int, cfg: SimConfig) -> tuple[int, int]:
+    """(pt, g) clamped so pt·g divides n (n is always a multiple of 256 —
+    config.padded_num_particles). Lets the production supertile default
+    (128×4) serve tiny test problems too."""
+    pt = min(cfg.pallas_tile, n)
+    g = max(1, min(cfg.pallas_group, n // pt))
+    while n % (pt * g):
+        g -= 1
+    return pt, g
+
+
 class TileColumns(NamedTuple):
     """Stencil-column ranges at two granularities (flattened 1-D so the SMEM
     prefetch buffers aren't lane-padded; the per-sub arrays are int16 RELATIVE
@@ -86,7 +97,8 @@ def _column_ranges(key_s, valid_s, starts, cfg: SimConfig, tile: int):
 
 
 def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
-    pt, g, cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
+    pt, g = effective_geometry(key_s.shape[0], cfg)
+    cap = cfg.pallas_col_capacity
     sub_start, sub_cnt = _column_ranges(key_s, valid_s, starts, cfg, pt)
     sup_start, sup_cnt = _column_ranges(key_s, valid_s, starts, cfg, pt * g)
     overflow = jnp.sum(jnp.maximum(sup_cnt - cap, 0)).astype(jnp.int32)
@@ -173,10 +185,11 @@ def _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_
 
 def _density_kernel(
     sub_base_ref, sub_cnt_ref, sup_start_ref, sup_cnt_ref,
-    tgt_ref, cols_hbm, rho_ref, cand, sem, *, cfg,
+    tgt_ref, cols_hbm, rho_ref, cand, sem, *, cfg, geom,
 ):
     i = pl.program_id(0)
-    pt, g, col_cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
+    pt, g = geom
+    col_cap = cfg.pallas_col_capacity
     h2 = jnp.float32(cfg.h2)
     offsets = _offsets(cfg)
     wait, slot = _super_dma_pipeline(
@@ -234,7 +247,8 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
     (pre-clamp)."""
     x, y, z = xyz
     n = x.shape[0]
-    pt, g, col_cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
+    pt, g = effective_geometry(n, cfg)
+    col_cap = cfg.pallas_col_capacity
     nprog = n // (pt * g)
 
     key_f = key_s.astype(jnp.float32)
@@ -258,7 +272,7 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
         ],
     )
     rho = pl.pallas_call(
-        functools.partial(_density_kernel, cfg=cfg),
+        functools.partial(_density_kernel, cfg=cfg, geom=(pt, g)),
         out_shape=jax.ShapeDtypeStruct((nprog, g, pt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -281,10 +295,11 @@ _FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FKEY = range(9)
 
 def _force_kernel(
     sub_base_ref, sub_cnt_ref, sup_start_ref, sup_cnt_ref,
-    tgt_ref, cols_hbm, f_ref, cand, sem, *, cfg,
+    tgt_ref, cols_hbm, f_ref, cand, sem, *, cfg, geom,
 ):
     i = pl.program_id(0)
-    pt, g, col_cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
+    pt, g = geom
+    col_cap = cfg.pallas_col_capacity
     h = jnp.float32(cfg.h)
     eps = jnp.float32(cfg.eps)
     m = jnp.float32(cfg.mass)
@@ -358,18 +373,20 @@ def _force_kernel(
 
             fcarry = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, LANES), blk, fcarry)
         fx, fy, fz = fcarry
-        f_ref[0, sub, :, 0] = jnp.sum(fx, axis=1)
-        f_ref[0, sub, :, 1] = jnp.sum(fy, axis=1)
-        f_ref[0, sub, :, 2] = jnp.sum(fz, axis=1)
+        f_ref[0, 0, sub, :] = jnp.sum(fx, axis=1)
+        f_ref[1, 0, sub, :] = jnp.sum(fy, axis=1)
+        f_ref[2, 0, sub, :] = jnp.sum(fz, axis=1)
 
 
 def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=False):
     """xyz/vxyz: 3-tuples of f32[n] sorted position/velocity fields.
-    Returns force f32[n,3] for sorted targets."""
+    Returns force f32[3,n] FIELD-MAJOR rows (lane-perfect output tiling; the
+    fields-native step consumes rows directly, (n,3) callers transpose)."""
     x, y, z = xyz
     vx, vy, vz = vxyz
     n = x.shape[0]
-    pt, g, col_cap = cfg.pallas_tile, cfg.pallas_group, cfg.pallas_col_capacity
+    pt, g = effective_geometry(n, cfg)
+    col_cap = cfg.pallas_col_capacity
     nprog = n // (pt * g)
 
     key_f = key_s.astype(jnp.float32)
@@ -395,15 +412,15 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
             pl.BlockSpec((pt * g, 8), lambda i, *_: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, g, pt, 3), lambda i, *_: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((3, 1, g, pt), lambda i, *_: (0, i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 9, 16, col_cap), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 9, 2)),
         ],
     )
     f = pl.pallas_call(
-        functools.partial(_force_kernel, cfg=cfg),
-        out_shape=jax.ShapeDtypeStruct((nprog, g, pt, 3), jnp.float32),
+        functools.partial(_force_kernel, cfg=cfg, geom=(pt, g)),
+        out_shape=jax.ShapeDtypeStruct((3, nprog, g, pt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
@@ -414,7 +431,7 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
         tgts,
         cols,
     )
-    return f.reshape(n, 3)
+    return f.reshape(3, n)  # field-major rows (fx, fy, fz)
 
 
 def tile_columns(key_s, valid_s, starts, cfg: SimConfig, pt: int, col_cap: int):

@@ -38,3 +38,30 @@ def integrate(
 
     v = jnp.where(jnp.abs(v) < jnp.float32(cfg.eps), 0.0, v)
     return x, v
+
+
+def integrate_fields(x, y, z, vx, vy, vz, fx, fy, fz, density, cfg: SimConfig):
+    """integrate() on 1-D field rows — identical per-component f32 arithmetic
+    (gravity enters the y component exactly as the 3-vector add does; the x/z
+    components' +0.0 is an f32 identity), avoiding (N,3) materialization in
+    the fields-native hot loop. Returns (x, y, z, vx, vy, vz)."""
+    dt = jnp.float32(cfg.dt)
+    g = jnp.float32(cfg.gravity)
+    lo = jnp.float32(cfg.h)
+    hi = jnp.float32(cfg.box_dim) - jnp.float32(cfg.h)
+    el = jnp.float32(-cfg.elasticity)
+    eps = jnp.float32(cfg.eps)
+
+    def axis(p, v, f, grav):
+        v = v + dt * (f / density + grav)
+        p = p + dt * v
+        out = (p < lo) | (p > hi)
+        p = jnp.clip(p, lo, hi)
+        v = jnp.where(out, v * el, v)
+        v = jnp.where(jnp.abs(v) < eps, 0.0, v)
+        return p, v
+
+    x, vx = axis(x, vx, fx, jnp.float32(0.0))
+    y, vy = axis(y, vy, fy, g)
+    z, vz = axis(z, vz, fz, jnp.float32(0.0))
+    return x, y, z, vx, vy, vz
