@@ -47,3 +47,22 @@ def test_dist_capacity_growth(eight_devices):
     dsim.simulate()  # must transparently grow the halo buffers
     assert dsim.dcfg.halo_capacity > 8
     assert dsim.num_particles_alive() == cfg.num_particles
+
+
+def test_dist_simulator_mesh3d(eight_devices):
+    """DistSimulator with a 3-D brick mesh matches the single-chip engine."""
+    cfg = default_config(512, chunk_size=512)
+    dsim = DistSimulator(
+        cfg, devices=eight_devices, random_init=True, seed=21,
+        mesh_shape=(2, 2, 2),
+    )
+    dsim.setup()
+    sim = Simulator(cfg, backend="cell_list", random_init=True, seed=21)
+    sim.setup()
+    for _ in range(5):
+        dsim.simulate()
+        sim.simulate()
+    assert dsim.num_particles_alive() == cfg.num_particles
+    np.testing.assert_allclose(
+        dsim.get_position(), sim.get_position(), rtol=1e-4, atol=1e-4
+    )

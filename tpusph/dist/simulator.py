@@ -48,10 +48,38 @@ def default_dist_config(
     )
 
 
+def default_mesh3d_config(cfg: SimConfig, mesh_shape: tuple[int, int, int],
+                          slack: float = 2.0):
+    """Capacity heuristics for the 3-D brick mesh: per-axis halo scales with
+    the brick's face shell (one h layer of the per-device share along that
+    axis); migration a few percent per axis per step."""
+    from tpusph.dist.mesh3d import Mesh3DConfig
+
+    n_dev = int(np.prod(mesh_shape))
+    share = -(-cfg.num_particles // n_dev)
+    rnd = lambda x: max(256, -(-int(x) // 256) * 256)
+    dev_cap = rnd(share * slack)
+    halos = []
+    migs = []
+    for m in mesh_shape:
+        width = cfg.box_dim / m
+        halos.append(min(rnd(max(share * cfg.h / width, 256) * slack), dev_cap))
+        migs.append(min(rnd(max(share * 0.05, 128)), dev_cap // 2))
+    return Mesh3DConfig(
+        mesh_shape=tuple(mesh_shape),
+        dev_capacity=dev_cap,
+        halo_capacity=tuple(halos),
+        migration_capacity=tuple(migs),
+    )
+
+
 class DistSimulator:
     """Drop-in multi-device variant of engine.Simulator, including free-mode
     click impulses (simulate(click=(px, py)) kicks velocities exactly like the
-    single-chip engine, reference simulator.cu:329-367,482-489)."""
+    single-chip engine, reference simulator.cu:329-367,482-489).
+
+    mesh_shape=None (default) shards 1-D z-slabs over all devices;
+    mesh_shape=(mz, my, mx) shards a 3-D brick mesh (dist/mesh3d.py)."""
 
     def __init__(
         self,
@@ -60,24 +88,49 @@ class DistSimulator:
         dcfg: DistConfig | None = None,
         random_init: bool = False,
         seed: int = 0,
+        mesh_shape: tuple[int, int, int] | None = None,
     ):
         cfg.validate()
         self.cfg = cfg
         devices = devices if devices is not None else jax.devices()
-        self.mesh = Mesh(np.array(devices), ("z",))
-        self.dcfg = dcfg or default_dist_config(cfg, len(devices))
         self.random_init = random_init
         self.seed = seed
         self.state: DistState | None = None
         self.last_aux = None
         self.use_pallas = jax.default_backend() not in ("cpu",)
-        self._step = make_sharded_step(
-            cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
-        )
+        self.mesh_shape = mesh_shape
+        if mesh_shape is None:
+            self.mesh = Mesh(np.array(devices), ("z",))
+            self.dcfg = dcfg or default_dist_config(cfg, len(devices))
+            self._step = make_sharded_step(
+                cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
+            )
+        else:
+            from tpusph.dist.mesh3d import make_mesh, make_mesh3d_step
+
+            assert dcfg is None, "pass capacities via default_mesh3d_config"
+            n_dev = int(np.prod(mesh_shape))
+            assert len(devices) >= n_dev, (
+                f"mesh {mesh_shape} needs {n_dev} devices, have {len(devices)}"
+            )
+            self.mesh = make_mesh(devices[:n_dev], tuple(mesh_shape))
+            self.dcfg = default_mesh3d_config(cfg, tuple(mesh_shape))
+            self._step = make_mesh3d_step(
+                cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
+            )
 
     def setup(self) -> None:
         host_state = init_state(self.cfg, self.random_init, self.seed)
-        self.state = distribute_state(host_state, self.cfg, self.dcfg, self.mesh)
+        if self.mesh_shape is None:
+            self.state = distribute_state(
+                host_state, self.cfg, self.dcfg, self.mesh
+            )
+        else:
+            from tpusph.dist.mesh3d import distribute_state_3d
+
+            self.state = distribute_state_3d(
+                host_state, self.cfg, self.dcfg, self.mesh
+            )
 
     def simulate(self, click: tuple[int, int] | None = None) -> None:
         assert self.state is not None, "call setup() first"
@@ -115,12 +168,16 @@ class DistSimulator:
 
     def _grow(self, aux) -> None:
         d = self.dcfg
+
+        def dbl(v):
+            return tuple(x * 2 for x in v) if isinstance(v, tuple) else v * 2
+
         if int(aux.halo_overflow) > 0:
-            d = dataclasses.replace(d, halo_capacity=d.halo_capacity * 2)
+            d = dataclasses.replace(d, halo_capacity=dbl(d.halo_capacity))
         if int(aux.migration_overflow) > 0:
             d = dataclasses.replace(
                 d,
-                migration_capacity=d.migration_capacity * 2,
+                migration_capacity=dbl(d.migration_capacity),
                 dev_capacity=d.dev_capacity * 2,
             )
         if int(aux.window_overflow) > 0:
@@ -131,9 +188,16 @@ class DistSimulator:
                 pallas_sub_blocks=self.cfg.pallas_sub_blocks * 2,
             )
         self.dcfg = d
-        self._step = make_sharded_step(
-            self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
-        )
+        if self.mesh_shape is None:
+            self._step = make_sharded_step(
+                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
+            )
+        else:
+            from tpusph.dist.mesh3d import make_mesh3d_step
+
+            self._step = make_mesh3d_step(
+                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
+            )
 
     def simulate_and_time(self, times: Times) -> None:
         """Whole-step timing (the sharded step fuses build+update; the

@@ -73,14 +73,15 @@ class TileColumns(NamedTuple):
 
     sub_base: jnp.ndarray  # i16[ntiles*9] 128-aligned start relative to super
     sub_cnt: jnp.ndarray  # i16[ntiles*9] candidates from sub_base
+    sub_fast: jnp.ndarray  # i16[ntiles] — 1: key mask provably redundant
     sup_start: jnp.ndarray  # i32[nprog*9] 128-aligned absolute start
     sup_cnt: jnp.ndarray  # i32[nprog*9] candidate count (≤ capacity)
     overflow: jnp.ndarray  # int32[] — super-column count beyond capacity
 
 
 def _column_ranges(key_s, valid_s, starts, cfg: SimConfig, tile: int):
-    """(aligned_start, cnt) int32[n//tile, 9] for the 9 stencil columns of
-    each tile of `tile` sorted targets."""
+    """(aligned_start, cnt, kmin, kmax) for the 9 stencil columns of each
+    tile of `tile` sorted targets (kmin/kmax are per-tile int32[ntiles])."""
     nc = cfg.num_cells
     ntiles = key_s.shape[0] // tile
     tk = key_s.reshape(ntiles, tile)
@@ -93,14 +94,14 @@ def _column_ranges(key_s, valid_s, starts, cfg: SimConfig, tile: int):
     start = starts[lo]
     end = starts[hi]
     astart = (start // 128) * 128  # 128-align; key mask rejects the lead-in
-    return astart.astype(jnp.int32), (end - astart).astype(jnp.int32)
+    return astart.astype(jnp.int32), (end - astart).astype(jnp.int32), kmin, kmax
 
 
 def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
     pt, g = effective_geometry(key_s.shape[0], cfg)
     cap = cfg.pallas_col_capacity
-    sub_start, sub_cnt = _column_ranges(key_s, valid_s, starts, cfg, pt)
-    sup_start, sup_cnt = _column_ranges(key_s, valid_s, starts, cfg, pt * g)
+    sub_start, sub_cnt, kmin, kmax = _column_ranges(key_s, valid_s, starts, cfg, pt)
+    sup_start, sup_cnt, _, _ = _column_ranges(key_s, valid_s, starts, cfg, pt * g)
     overflow = jnp.sum(jnp.maximum(sup_cnt - cap, 0)).astype(jnp.int32)
     # a sub window must fit its static block scan AND the super buffer
     sub_max = cfg.pallas_sub_blocks * 128
@@ -111,9 +112,29 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
     sub_base = sub_start - jnp.repeat(sup_start, g, axis=0)  # ≥0, 128-aligned
     sub_cnt = sub_cnt - jnp.maximum(sub_base + sub_cnt - cap, 0)
     sub_cnt = jnp.maximum(sub_cnt, 0)
+
+    # ---- per-sub fast flag: the in-kernel key mask is provably redundant
+    # when (a) the tile's key span ≤ C−3, so the 9 column windows are disjoint
+    # and contain no wrapped-row cells (every in-window non-stencil pair is
+    # ≥ 2 x-cells away → r ≥ h → zeroed by the kernel cutoffs), AND (b) the
+    # 128-aligned lead-in and block-rounded tail of the scanned lane range
+    # stay strictly between the neighboring columns' accepted key ranges
+    # (offsets are spaced ≥ C, so the nearest column bound dominates).
+    nc = cfg.num_cells
+    c = cfg.num_cells_per_dim
+    offs = jnp.asarray(_offsets(cfg), jnp.int32)
+    span_ok = (kmax - kmin) <= (c - 3)
+    prev_end = starts[jnp.clip(kmax[:, None] + offs[None, :] - c + 2, 0, nc + 1)]
+    lead_ok = sub_start >= prev_end
+    tail_abs = sub_start + ((sub_cnt + 127) // 128) * 128
+    next_start = starts[jnp.clip(kmin[:, None] + offs[None, :] + c - 1, 0, nc + 1)]
+    tail_ok = tail_abs <= next_start
+    sub_fast = span_ok & jnp.all(lead_ok & tail_ok, axis=1)
+
     return TileColumns(
         sub_base=sub_base.reshape(-1).astype(jnp.int16),
         sub_cnt=sub_cnt.reshape(-1).astype(jnp.int16),
+        sub_fast=sub_fast.astype(jnp.int16),
         sup_start=sup_start.reshape(-1),
         sup_cnt=jnp.minimum(sup_cnt, cap).reshape(-1),
         overflow=overflow,
@@ -184,7 +205,7 @@ def _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_
 # ---------------------------------------------------------------- density
 
 def _density_kernel(
-    sub_base_ref, sub_cnt_ref, sup_start_ref, sup_cnt_ref,
+    sub_base_ref, sub_cnt_ref, sub_fast_ref, sup_start_ref, sup_cnt_ref,
     tgt_ref, cols_hbm, rho_ref, cand, sem, *, cfg, geom,
 ):
     i = pl.program_id(0)
@@ -200,40 +221,53 @@ def _density_kernel(
         wait(c)
     for sub in range(g):
         t0 = sub * pt
+        tile = i * g + sub
         tx = tgt_ref[t0 : t0 + pt, 0:1]
         ty = tgt_ref[t0 : t0 + pt, 1:2]
         tz = tgt_ref[t0 : t0 + pt, 2:3]
         tkey = tgt_ref[t0 : t0 + pt, 3:4]
-        acc0 = jnp.zeros((pt, LANES), jnp.float32)
-        for c in range(9):
-            tile = i * g + sub
-            sub_cnt = sub_cnt_ref[tile * 9 + c].astype(jnp.int32)
-            base = sub_base_ref[tile * 9 + c].astype(jnp.int32)
-            # fold the column offset into the target keys once per column
-            tkey_off = tkey + jnp.float32(offsets[c])
 
-            def blk(b, acc, c=c, base=base, tkey_off=tkey_off):
-                sl = pl.ds(pl.multiple_of(base + b * LANES, 128), LANES)
-                cx = cand[slot, c, 0, sl][None, :]
-                cy = cand[slot, c, 1, sl][None, :]
-                cz = cand[slot, c, 2, sl][None, :]
-                ck = cand[slot, c, 3, sl][None, :]
-                dx = tx - cx
-                dy = ty - cy
-                dz = tz - cz
-                r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
-                # The key mask alone is exact — no per-lane count check:
-                # 128-alignment lead-in lanes carry keys < lo_cell (diff ≤
-                # off−2), lanes beyond the window carry keys ≥ hi_cell (diff
-                # ≥ off+2) or KEY_PAD, and sentinel-keyed invalid rows are
-                # parked at the origin where the r ≤ h cutoff zeroes them.
-                keyhit = jnp.abs(ck - tkey_off) <= 1.0
-                w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
-                w = w * w * w
-                return acc + jnp.where(keyhit, w, 0.0)
+        def sub_acc(fast, tile=tile, tx=tx, ty=ty, tz=tz, tkey=tkey):
+            acc0 = jnp.zeros((pt, LANES), jnp.float32)
+            for c in range(9):
+                sub_cnt = sub_cnt_ref[tile * 9 + c].astype(jnp.int32)
+                base = sub_base_ref[tile * 9 + c].astype(jnp.int32)
+                # fold the column offset into the target keys once per column
+                tkey_off = tkey + jnp.float32(offsets[c])
 
-            # dynamic trip count: dead capacity costs nothing
-            acc0 = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, LANES), blk, acc0)
+                def blk(b, acc, c=c, base=base, tkey_off=tkey_off):
+                    sl = pl.ds(pl.multiple_of(base + b * LANES, 128), LANES)
+                    cx = cand[slot, c, 0, sl][None, :]
+                    cy = cand[slot, c, 1, sl][None, :]
+                    cz = cand[slot, c, 2, sl][None, :]
+                    dx = tx - cx
+                    dy = ty - cy
+                    dz = tz - cz
+                    r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
+                    w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
+                    w = w * w * w
+                    if fast:
+                        # prep proved the key mask redundant for this sub
+                        # (window disjointness + lead-in/tail isolation): the
+                        # r ≤ h cutoff alone is exact, parked sentinel/pad
+                        # rows are ≥ 0.17 from any valid particle.
+                        return acc + w
+                    # No per-lane count check even here: alignment lead-in
+                    # lanes carry keys ≤ off−2, beyond-window lanes carry
+                    # keys ≥ off+2 or KEY_PAD — the key mask rejects all.
+                    ck = cand[slot, c, 3, sl][None, :]
+                    keyhit = jnp.abs(ck - tkey_off) <= 1.0
+                    return acc + jnp.where(keyhit, w, 0.0)
+
+                # dynamic trip count: dead capacity costs nothing
+                acc0 = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, LANES), blk, acc0)
+            return acc0
+
+        acc0 = jax.lax.cond(
+            sub_fast_ref[tile] > 0,
+            lambda: sub_acc(True),
+            lambda: sub_acc(False),
+        )
         rho_ref[0, sub, :] = (
             jnp.float32(cfg.mass)
             * jnp.float32(cfg.d_kernel_coeff)
@@ -259,7 +293,7 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
     tgts = jnp.stack([x, y, z, key_f], axis=1)  # (n,4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(nprog,),
         in_specs=[
             pl.BlockSpec((pt * g, 4), lambda i, *_: (i, 0)),
@@ -279,6 +313,7 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
     )(
         cols_info.sub_base,
         cols_info.sub_cnt,
+        cols_info.sub_fast,
         cols_info.sup_start,
         cols_info.sup_cnt,
         tgts,
@@ -294,7 +329,7 @@ _FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FKEY = range(9)
 
 
 def _force_kernel(
-    sub_base_ref, sub_cnt_ref, sup_start_ref, sup_cnt_ref,
+    sub_base_ref, sub_cnt_ref, sub_fast_ref, sup_start_ref, sup_cnt_ref,
     tgt_ref, cols_hbm, f_ref, cand, sem, *, cfg, geom,
 ):
     i = pl.program_id(0)
@@ -314,6 +349,7 @@ def _force_kernel(
         wait(c)
     for sub in range(g):
         t0 = sub * pt
+        tile = i * g + sub
         tx = tgt_ref[t0 : t0 + pt, 0:1]
         ty = tgt_ref[t0 : t0 + pt, 1:2]
         tz = tgt_ref[t0 : t0 + pt, 2:3]
@@ -322,57 +358,69 @@ def _force_kernel(
         tvz = tgt_ref[t0 : t0 + pt, 5:6]
         tp = tgt_ref[t0 : t0 + pt, 6:7]
         tkey = tgt_ref[t0 : t0 + pt, 7:8]
-        zero = jnp.zeros((pt, LANES), jnp.float32)
-        fcarry = (zero, zero, zero)
-        for c in range(9):
-            tile = i * g + sub
-            sub_cnt = sub_cnt_ref[tile * 9 + c].astype(jnp.int32)
-            base = sub_base_ref[tile * 9 + c].astype(jnp.int32)
-            tkey_off = tkey + jnp.float32(offsets[c])
 
-            def blk(b, carry, c=c, base=base, tkey_off=tkey_off):
-                fx, fy, fz = carry
-                s = base + b * LANES
-                sl = pl.ds(pl.multiple_of(s, 128), LANES)
-                row = lambda r: cand[slot, c, r, sl][None, :]
-                dx = tx - row(_FX)
-                dy = ty - row(_FY)
-                dz = tz - row(_FZ)
-                r2 = dx * dx + dy * dy + dz * dz
-                # r and 1/r via one rsqrt (sqrt+divide are the two slow
-                # transcendental slots in this loop); r2=0 → NaN, which
-                # the masks turn into exact 0 through the selects
-                inv_r = jax.lax.rsqrt(r2)
-                r = r2 * inv_r
-                keyhit = jnp.abs(row(_FKEY) - tkey_off) <= 1.0
-                # Key mask alone bounds the window (see density kernel note);
-                # the r ≥ eps guard excludes self-pairs (reference EPS_F,
-                # cu:107,126). The r ≤ h cutoff is folded into hr below:
-                # max(h−r, 0) zeroes BOTH terms outside the support — the
-                # reference's pressure guard (r² ≤ h², cu:107) and viscosity
-                # guard (r ≤ h, cu:126) are the same set for r ≥ 0, and both
-                # scale linearly in hr.
-                live = keyhit & (r >= eps)
-                hr = jnp.maximum(h - r, 0.0)
-                # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's
-                # two minus signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r,
-                # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)
-                # ·(h−r)²/r, applied along disp.
-                term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
-                s_p = jnp.where(live, (m * vk) * term * hr * hr * inv_r, 0.0)
-                fx = fx + s_p * dx
-                fy = fy + s_p * dy
-                fz = fz + s_p * dz
-                # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
-                # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
-                s_v = jnp.where(live, (2.0 * mu * m * vk) * hr * row(_FI2R), 0.0)
-                fx = fx + s_v * (row(_FVX) - tvx)
-                fy = fy + s_v * (row(_FVY) - tvy)
-                fz = fz + s_v * (row(_FVZ) - tvz)
-                return fx, fy, fz
+        def sub_force(fast, tile=tile, tx=tx, ty=ty, tz=tz,
+                      tvx=tvx, tvy=tvy, tvz=tvz, tp=tp, tkey=tkey):
+            zero = jnp.zeros((pt, LANES), jnp.float32)
+            fcarry = (zero, zero, zero)
+            for c in range(9):
+                sub_cnt = sub_cnt_ref[tile * 9 + c].astype(jnp.int32)
+                base = sub_base_ref[tile * 9 + c].astype(jnp.int32)
+                tkey_off = tkey + jnp.float32(offsets[c])
 
-            fcarry = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, LANES), blk, fcarry)
-        fx, fy, fz = fcarry
+                def blk(b, carry, c=c, base=base, tkey_off=tkey_off):
+                    fx, fy, fz = carry
+                    s = base + b * LANES
+                    sl = pl.ds(pl.multiple_of(s, 128), LANES)
+                    row = lambda r: cand[slot, c, r, sl][None, :]
+                    dx = tx - row(_FX)
+                    dy = ty - row(_FY)
+                    dz = tz - row(_FZ)
+                    r2 = dx * dx + dy * dy + dz * dz
+                    # r and 1/r via one rsqrt (sqrt+divide are the two slow
+                    # transcendental slots in this loop); r2=0 → NaN, which
+                    # the masks turn into exact 0 through the selects
+                    inv_r = jax.lax.rsqrt(r2)
+                    r = r2 * inv_r
+                    # The r ≥ eps guard excludes self-pairs (reference EPS_F,
+                    # cu:107,126). The r ≤ h cutoff is folded into hr:
+                    # max(h−r, 0) zeroes BOTH terms outside the support — the
+                    # reference's pressure guard (r² ≤ h², cu:107) and
+                    # viscosity guard (r ≤ h, cu:126) are the same set for
+                    # r ≥ 0, and both scale linearly in hr. When prep proved
+                    # the key mask redundant (fast), eps alone remains; else
+                    # the key-difference mask bounds the window (density note).
+                    if fast:
+                        live = r >= eps
+                    else:
+                        keyhit = jnp.abs(row(_FKEY) - tkey_off) <= 1.0
+                        live = keyhit & (r >= eps)
+                    hr = jnp.maximum(h - r, 0.0)
+                    # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's
+                    # two minus signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r,
+                    # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)
+                    # ·(h−r)²/r, applied along disp.
+                    term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
+                    s_p = jnp.where(live, (m * vk) * term * hr * hr * inv_r, 0.0)
+                    fx = fx + s_p * dx
+                    fy = fy + s_p * dy
+                    fz = fz + s_p * dz
+                    # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
+                    # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
+                    s_v = jnp.where(live, (2.0 * mu * m * vk) * hr * row(_FI2R), 0.0)
+                    fx = fx + s_v * (row(_FVX) - tvx)
+                    fy = fy + s_v * (row(_FVY) - tvy)
+                    fz = fz + s_v * (row(_FVZ) - tvz)
+                    return fx, fy, fz
+
+                fcarry = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, LANES), blk, fcarry)
+            return fcarry
+
+        fx, fy, fz = jax.lax.cond(
+            sub_fast_ref[tile] > 0,
+            lambda: sub_force(True),
+            lambda: sub_force(False),
+        )
         f_ref[0, 0, sub, :] = jnp.sum(fx, axis=1)
         f_ref[1, 0, sub, :] = jnp.sum(fy, axis=1)
         f_ref[2, 0, sub, :] = jnp.sum(fz, axis=1)
@@ -406,7 +454,7 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
     tgts = jnp.stack([x, y, z, vx, vy, vz, p_s, key_f], axis=1)  # (n, 8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(nprog,),
         in_specs=[
             pl.BlockSpec((pt * g, 8), lambda i, *_: (i, 0)),
@@ -426,6 +474,7 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
     )(
         cols_info.sub_base,
         cols_info.sub_cnt,
+        cols_info.sub_fast,
         cols_info.sup_start,
         cols_info.sup_cnt,
         tgts,
