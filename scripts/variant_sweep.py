@@ -2,8 +2,9 @@
 100-step 262k benchmark protocol. Each variant is a fresh compile (minutes
 through the relay; cached afterwards).
 
-Usage: python scripts/variant_sweep.py [N] [steps] [pt,g ...]
-e.g.   python scripts/variant_sweep.py 262144 100 64,4 128,2 128,4 256,1
+Usage: python scripts/variant_sweep.py [N] [steps] [variant ...]
+Each variant is pt,g[,col_capacity[,stencil[,sub_blocks]]].
+e.g.   python scripts/variant_sweep.py 262144 100 128,8 128,8,8192,slab3,24
 """
 
 from __future__ import annotations
@@ -27,17 +28,20 @@ from tpusph.engine.step import step_pallas_sorted
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    variants = [tuple(int(x) for x in v.split(",")) for v in sys.argv[3:]] or [
-        (64, 4), (128, 2), (128, 4), (256, 1),
-    ]  # each entry: pt,g[,col_capacity]
+    variants = [tuple(v.split(",")) for v in sys.argv[3:]] or [
+        ("64", "4"), ("128", "2"), ("128", "4"), ("256", "1"),
+    ]  # each entry: pt,g[,col_capacity[,stencil[,sub_blocks]]]
     base = default_config(n)
     state0 = init_state(base)
 
     for var in variants:
-        pt, g = var[0], var[1]
-        cap = var[2] if len(var) > 2 else base.pallas_col_capacity
+        pt, g = int(var[0]), int(var[1])
+        cap = int(var[2]) if len(var) > 2 else base.pallas_col_capacity
+        stencil = var[3] if len(var) > 3 else base.pallas_stencil
+        sub_blocks = int(var[4]) if len(var) > 4 else base.pallas_sub_blocks
         cfg = dataclasses.replace(
-            base, pallas_tile=pt, pallas_group=g, pallas_col_capacity=cap)
+            base, pallas_tile=pt, pallas_group=g, pallas_col_capacity=cap,
+            pallas_stencil=stencil, pallas_sub_blocks=sub_blocks)
 
         @jax.jit
         def run(state, cfg=cfg):
@@ -55,7 +59,9 @@ def main():
         _, ovf2 = run(state0)
         jax.device_get(ovf2)
         dt = time.perf_counter() - t0
-        print(f"pt={pt:3d} g={g} cap={cfg.pallas_col_capacity}  {steps/dt:7.2f} steps/s  "
+        print(f"pt={pt:3d} g={g} cap={cfg.pallas_col_capacity} "
+              f"{cfg.pallas_stencil} sb={cfg.pallas_sub_blocks}  "
+              f"{steps/dt:7.2f} steps/s  "
               f"({dt/steps*1e3:6.2f} ms/step, overflow={ovf}, warm={warm:.0f}s)",
               flush=True)
 

@@ -14,14 +14,25 @@ from tpusph.engine.step import step_cell_list, step_pallas, step_pallas_sorted
 pytestmark = pytest.mark.slow
 
 
-@pytest.fixture(scope="module", params=["grid", "random"])
+@pytest.fixture(
+    scope="module",
+    params=[
+        ("grid", "col9"),
+        ("random", "col9"),
+        ("grid", "slab3"),
+        ("random", "slab3"),
+    ],
+    ids=lambda p: f"{p[0]}-{p[1]}",
+)
 def setup(request):
+    init_mode, stencil = request.param
     # small pallas capacities: the interpreter executes every predicated
     # block, so production-size capacities would crawl on CPU
     cfg = default_config(
-        512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=3
+        512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
+        pallas_stencil=stencil,
     )
-    st = init_state(cfg, random_init=(request.param == "random"), seed=7)
+    st = init_state(cfg, random_init=(init_mode == "random"), seed=7)
     return cfg, st
 
 

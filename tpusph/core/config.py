@@ -85,10 +85,22 @@ class SimConfig:
     # Geometry 128×8/4096 measured best on v5e at 262k (see BASELINE.md);
     # effective_geometry() clamps pt·g to divide small test problems.
     pallas_col_capacity: int = 4096
-    # 128-lane blocks each sub-tile scans per column (covers tile span +
+    # 128-lane blocks each sub-tile scans per window (covers tile span +
     # occupancy + alignment; sub-window clamping beyond this is counted as
-    # overflow in prep)
-    pallas_sub_blocks: int = 12
+    # overflow in prep). Sized for slab3's wider windows (262k trajectory
+    # p-max sub count ≈ 2016 lanes → 16 blocks, +margin).
+    pallas_sub_blocks: int = 20
+    # Stencil decomposition for the Pallas kernels:
+    #   "col9"  — 9 windows, one per (dy, dz) neighbor column, ±1-cell x pad.
+    #   "slab3" — 3 windows, one per dz plane, covering all three y-rows
+    #             (pad ±(C+1) cells). The windows sit ~C² apart in flat-key
+    #             space so they can never overlap — the fast (mask-free) path
+    #             needs only lead/tail isolation, no tile-span condition —
+    #             and one contiguous window replaces three nearly-abutting
+    #             column windows (fewer blocks, loops and DMAs per sub-tile).
+    # Measured on v5e at 262k (100-step protocol): slab3 14.8 ms/step vs
+    # col9 26.9 — the production default.
+    pallas_stencil: str = "slab3"
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192
@@ -143,6 +155,8 @@ class SimConfig:
             if getattr(self, f) <= 0:
                 raise ValueError(f"{f} must be positive (capacity doubling "
                                  f"cannot grow a zero capacity)")
+        if self.pallas_stencil not in ("col9", "slab3"):
+            raise ValueError("pallas_stencil must be 'col9' or 'slab3'")
 
 
 def _round_up(x: int, m: int) -> int:

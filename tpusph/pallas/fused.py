@@ -6,9 +6,16 @@ kernelUpdateForces, /root/reference/src/simulator.cu:149-256). Design:
 
   * Particles sorted by row-major cell key (neighbors/cell_list.py); candidate
     fields live in HBM as small *field-major* matrices (fields × particles) so
-    a stencil column is ONE contiguous dynamic slice per column.
+    a stencil window is ONE contiguous dynamic slice.
+  * The 27-cell stencil maps to contiguous sorted-key windows at one of two
+    granularities (cfg.pallas_stencil): "col9" — one window per (dy,dz)
+    column (9 windows, ±1-cell pad) — or "slab3" — one window per dz plane
+    covering all three y-rows (3 windows, ±(C+1)-cell pad). When a tile spans
+    a large fraction of a row (the common case at production N), the three
+    column windows of a plane nearly abut, so the single slab window scans
+    ~1.5–2.5× fewer 128-lane blocks and needs 3× fewer loops and DMAs.
   * Grid = one program per SUPER-TILE of G·PT sorted targets. Each program
-    DMAs its 9 stencil columns once for the whole group (HBM→VMEM,
+    DMAs its stencil windows once for the whole group (HBM→VMEM,
     double-buffered across programs: the next super-tile streams in while this
     one computes); each of the G sub-tiles then scans only its own
     128-aligned window of the shared buffer. Grouping divides the DMA count
@@ -22,7 +29,7 @@ kernelUpdateForces, /root/reference/src/simulator.cu:149-256). Design:
   * Per-candidate force coefficients 1/(2ρ_j) and p_j/(2ρ_j) are precomputed
     once per particle in prep (not once per pair).
   * Per-pair flat-key-difference masking assigns every stencil pair to exactly
-    one column (the 27 accepted diffs are disjoint), so overlapping column
+    one window (the 27 accepted diffs are disjoint), so overlapping window
     ranges never double-count. DMA starts are 128-aligned (Mosaic requires
     lane-dim slice offsets provably divisible by 128); the extra leading lanes
     hold particles from cells below the range, which the key mask rejects
@@ -54,6 +61,26 @@ def _offsets(cfg: SimConfig) -> list[int]:
     return [dy * c + dz * c * c for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
+def _stencil(cfg: SimConfig) -> tuple[list[int], int, int]:
+    """(window offsets, lo_pad, hi_pad): window w covers flat keys
+    [kmin + off_w − lo_pad, kmax + off_w + hi_pad) for a tile spanning
+    [kmin, kmax].  col9 = one window per (dy,dz) column, ±1-cell x pad;
+    slab3 = one window per dz plane covering all three y-rows (pad C+1),
+    so three nearly-abutting column windows become ONE contiguous slice."""
+    c = cfg.num_cells_per_dim
+    if cfg.pallas_stencil == "slab3":
+        return [dz * c * c for dz in (-1, 0, 1)], c + 1, c + 2
+    return _offsets(cfg), 1, 2
+
+
+def _stencil_period(cfg: SimConfig) -> int:
+    """Flat-key distance between adjacent windows of the stencil (C for
+    col9 columns, C² for slab3 planes) — the scale at which lead-in/tail
+    isolation must hold for the mask-free fast path."""
+    c = cfg.num_cells_per_dim
+    return c * c if cfg.pallas_stencil == "slab3" else c
+
+
 def effective_geometry(n: int, cfg: SimConfig) -> tuple[int, int]:
     """(pt, g) clamped so pt·g divides n (n is always a multiple of 256 —
     config.padded_num_particles). Lets the production supertile default
@@ -73,24 +100,26 @@ class TileColumns(NamedTuple):
 
     sub_base: jnp.ndarray  # i16[ntiles*9] 128-aligned start relative to super
     sub_cnt: jnp.ndarray  # i16[ntiles*9] candidates from sub_base
-    sub_fast: jnp.ndarray  # i16[ntiles] — 1: key mask provably redundant
+    sub_fast: jnp.ndarray  # i32[ntiles] — 1: key mask provably redundant
+    #   (i32: this terminal's Mosaic cannot legalize scalar i16 compares)
     sup_start: jnp.ndarray  # i32[nprog*9] 128-aligned absolute start
     sup_cnt: jnp.ndarray  # i32[nprog*9] candidate count (≤ capacity)
     overflow: jnp.ndarray  # int32[] — super-column count beyond capacity
 
 
 def _column_ranges(key_s, valid_s, starts, cfg: SimConfig, tile: int):
-    """(aligned_start, cnt, kmin, kmax) for the 9 stencil columns of each
+    """(aligned_start, cnt, kmin, kmax) for the stencil windows of each
     tile of `tile` sorted targets (kmin/kmax are per-tile int32[ntiles])."""
     nc = cfg.num_cells
+    offsets, lo_pad, hi_pad = _stencil(cfg)
     ntiles = key_s.shape[0] // tile
     tk = key_s.reshape(ntiles, tile)
     tv = valid_s.reshape(ntiles, tile)
     kmin = jnp.min(jnp.where(tv, tk, nc), axis=1)
     kmax = jnp.max(jnp.where(tv, tk, -1), axis=1)
-    offs = jnp.asarray(_offsets(cfg), jnp.int32)
-    lo = jnp.clip(kmin[:, None] + offs[None, :] - 1, 0, nc)
-    hi = jnp.clip(kmax[:, None] + offs[None, :] + 2, lo, nc)
+    offs = jnp.asarray(offsets, jnp.int32)
+    lo = jnp.clip(kmin[:, None] + offs[None, :] - lo_pad, 0, nc)
+    hi = jnp.clip(kmax[:, None] + offs[None, :] + hi_pad, lo, nc)
     start = starts[lo]
     end = starts[hi]
     astart = (start // 128) * 128  # 128-align; key mask rejects the lead-in
@@ -114,27 +143,38 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
     sub_cnt = jnp.maximum(sub_cnt, 0)
 
     # ---- per-sub fast flag: the in-kernel key mask is provably redundant
-    # when (a) the tile's key span ≤ C−3, so the 9 column windows are disjoint
-    # and contain no wrapped-row cells (every in-window non-stencil pair is
-    # ≥ 2 x-cells away → r ≥ h → zeroed by the kernel cutoffs), AND (b) the
-    # 128-aligned lead-in and block-rounded tail of the scanned lane range
-    # stay strictly between the neighboring columns' accepted key ranges
-    # (offsets are spaced ≥ C, so the nearest column bound dominates).
+    # when (a) the stencil windows are pairwise disjoint — for col9 this
+    # needs tile key span ≤ C−3 (columns sit C apart); slab3 windows sit C²
+    # apart and are ALWAYS disjoint — so every in-window non-stencil pair is
+    # ≥ 2 cells away on some axis → r ≥ h → zeroed by the kernel cutoffs,
+    # AND (b) the 128-aligned lead-in and block-rounded tail of the scanned
+    # lane range stay strictly between the neighboring windows' accepted key
+    # ranges (within-gap lanes are geometric zeros by the same argument; only
+    # reaching INTO the adjacent window's accepted cells could double-count).
     nc = cfg.num_cells
     c = cfg.num_cells_per_dim
-    offs = jnp.asarray(_offsets(cfg), jnp.int32)
-    span_ok = (kmax - kmin) <= (c - 3)
-    prev_end = starts[jnp.clip(kmax[:, None] + offs[None, :] - c + 2, 0, nc + 1)]
+    offsets, lo_pad, hi_pad = _stencil(cfg)
+    period = _stencil_period(cfg)
+    offs = jnp.asarray(offsets, jnp.int32)
+    if cfg.pallas_stencil == "slab3":
+        span_ok = jnp.ones_like(kmin, dtype=bool)
+    else:
+        span_ok = (kmax - kmin) <= (c - 3)
+    prev_end = starts[
+        jnp.clip(kmax[:, None] + offs[None, :] - period + hi_pad, 0, nc + 1)
+    ]
     lead_ok = sub_start >= prev_end
     tail_abs = sub_start + ((sub_cnt + 127) // 128) * 128
-    next_start = starts[jnp.clip(kmin[:, None] + offs[None, :] + c - 1, 0, nc + 1)]
+    next_start = starts[
+        jnp.clip(kmin[:, None] + offs[None, :] + period - lo_pad, 0, nc + 1)
+    ]
     tail_ok = tail_abs <= next_start
     sub_fast = span_ok & jnp.all(lead_ok & tail_ok, axis=1)
 
     return TileColumns(
         sub_base=sub_base.reshape(-1).astype(jnp.int16),
         sub_cnt=sub_cnt.reshape(-1).astype(jnp.int16),
-        sub_fast=sub_fast.astype(jnp.int16),
+        sub_fast=sub_fast.astype(jnp.int32),
         sup_start=sup_start.reshape(-1),
         sup_cnt=jnp.minimum(sup_cnt, cap).reshape(-1),
         overflow=overflow,
@@ -154,12 +194,14 @@ def _stack_cols(rows: list[jnp.ndarray], total_rows: int, col_cap: int, key_row:
     return jnp.concatenate([mat, pad], axis=1)
 
 
-def _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap):
-    """Start this/next super-tile's 9 column DMAs (double-buffered across the
-    sequential grid) and return (wait_fn, slot). Each column transfers in two
-    halves; the second half only moves when the column's candidate count
-    actually reaches into it — the static capacity covers rare pile-up
-    transients without paying its bandwidth on every tile."""
+def _super_dma_pipeline(
+    i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, ncols
+):
+    """Start this/next super-tile's stencil-window DMAs (double-buffered
+    across the sequential grid) and return (wait_fn, slot). Each window
+    transfers in two halves; the second half only moves when the window's
+    candidate count actually reaches into it — the static capacity covers
+    rare pile-up transients without paying its bandwidth on every tile."""
     nprog = pl.num_programs(0)
     half = col_cap // 2
 
@@ -169,7 +211,8 @@ def _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_
             cols_hbm.at[
                 :,
                 pl.ds(
-                    pl.multiple_of(sup_start_ref[prog * 9 + c] + lo, 128), half
+                    pl.multiple_of(sup_start_ref[prog * ncols + c] + lo, 128),
+                    half,
                 ),
             ],
             cand.at[prog % 2, c, :, pl.ds(lo, half)],
@@ -177,10 +220,10 @@ def _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_
         )
 
     def start_all(prog):
-        for c in range(9):
+        for c in range(ncols):
             get_dma(prog, c, 0).start()
 
-            @pl.when(sup_cnt_ref[prog * 9 + c] > half)
+            @pl.when(sup_cnt_ref[prog * ncols + c] > half)
             def _():
                 get_dma(prog, c, 1).start()
 
@@ -195,11 +238,25 @@ def _super_dma_pipeline(i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_
     def wait(c):
         get_dma(i, c, 0).wait()
 
-        @pl.when(sup_cnt_ref[i * 9 + c] > half)
+        @pl.when(sup_cnt_ref[i * ncols + c] > half)
         def _():
             get_dma(i, c, 1).wait()
 
     return wait, i % 2
+
+
+def _key_mask(ck, tkey_off, cfg: SimConfig):
+    """Accept exactly the stencil pairs of this window. col9: key diff within
+    ±1 of the column offset. slab3: within ±1 of {−C, 0, +C} — the three
+    y-rows the slab covers (|u−C| ≤ 1 forces u > 0, so testing |u| against
+    {1, C±1} covers both signs)."""
+    u = ck - tkey_off
+    if cfg.pallas_stencil == "slab3":
+        au = jnp.abs(u)
+        return (au <= 1.0) | (
+            jnp.abs(au - jnp.float32(cfg.num_cells_per_dim)) <= 1.0
+        )
+    return jnp.abs(u) <= 1.0
 
 
 # ---------------------------------------------------------------- density
@@ -212,12 +269,13 @@ def _density_kernel(
     pt, g = geom
     col_cap = cfg.pallas_col_capacity
     h2 = jnp.float32(cfg.h2)
-    offsets = _offsets(cfg)
+    offsets, _, _ = _stencil(cfg)
+    ncols = len(offsets)
     wait, slot = _super_dma_pipeline(
-        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap
+        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, ncols
     )
 
-    for c in range(9):  # fully unrolled: offsets are compile-time constants
+    for c in range(ncols):  # fully unrolled: offsets are compile-time constants
         wait(c)
     for sub in range(g):
         t0 = sub * pt
@@ -229,9 +287,9 @@ def _density_kernel(
 
         def sub_acc(fast, tile=tile, tx=tx, ty=ty, tz=tz, tkey=tkey):
             acc0 = jnp.zeros((pt, LANES), jnp.float32)
-            for c in range(9):
-                sub_cnt = sub_cnt_ref[tile * 9 + c].astype(jnp.int32)
-                base = sub_base_ref[tile * 9 + c].astype(jnp.int32)
+            for c in range(ncols):
+                sub_cnt = sub_cnt_ref[tile * ncols + c].astype(jnp.int32)
+                base = sub_base_ref[tile * ncols + c].astype(jnp.int32)
                 # fold the column offset into the target keys once per column
                 tkey_off = tkey + jnp.float32(offsets[c])
 
@@ -253,10 +311,11 @@ def _density_kernel(
                         # rows are ≥ 0.17 from any valid particle.
                         return acc + w
                     # No per-lane count check even here: alignment lead-in
-                    # lanes carry keys ≤ off−2, beyond-window lanes carry
-                    # keys ≥ off+2 or KEY_PAD — the key mask rejects all.
+                    # lanes carry keys below the accepted set, beyond-window
+                    # lanes carry keys above it or KEY_PAD — the key mask
+                    # rejects all.
                     ck = cand[slot, c, 3, sl][None, :]
-                    keyhit = jnp.abs(ck - tkey_off) <= 1.0
+                    keyhit = _key_mask(ck, tkey_off, cfg)
                     return acc + jnp.where(keyhit, w, 0.0)
 
                 # dynamic trip count: dead capacity costs nothing
@@ -301,8 +360,8 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, g, pt), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 9, 8, col_cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 9, 2)),
+            pltpu.VMEM((2, len(_stencil(cfg)[0]), 8, col_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, len(_stencil(cfg)[0]), 2)),
         ],
     )
     rho = pl.pallas_call(
@@ -340,12 +399,13 @@ def _force_kernel(
     m = jnp.float32(cfg.mass)
     vk = jnp.float32(cfg.v_kernel_coeff)
     mu = jnp.float32(cfg.viscosity)
-    offsets = _offsets(cfg)
+    offsets, _, _ = _stencil(cfg)
+    ncols = len(offsets)
     wait, slot = _super_dma_pipeline(
-        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap
+        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, ncols
     )
 
-    for c in range(9):
+    for c in range(ncols):
         wait(c)
     for sub in range(g):
         t0 = sub * pt
@@ -363,9 +423,9 @@ def _force_kernel(
                       tvx=tvx, tvy=tvy, tvz=tvz, tp=tp, tkey=tkey):
             zero = jnp.zeros((pt, LANES), jnp.float32)
             fcarry = (zero, zero, zero)
-            for c in range(9):
-                sub_cnt = sub_cnt_ref[tile * 9 + c].astype(jnp.int32)
-                base = sub_base_ref[tile * 9 + c].astype(jnp.int32)
+            for c in range(ncols):
+                sub_cnt = sub_cnt_ref[tile * ncols + c].astype(jnp.int32)
+                base = sub_base_ref[tile * ncols + c].astype(jnp.int32)
                 tkey_off = tkey + jnp.float32(offsets[c])
 
                 def blk(b, carry, c=c, base=base, tkey_off=tkey_off):
@@ -393,7 +453,7 @@ def _force_kernel(
                     if fast:
                         live = r >= eps
                     else:
-                        keyhit = jnp.abs(row(_FKEY) - tkey_off) <= 1.0
+                        keyhit = _key_mask(row(_FKEY), tkey_off, cfg)
                         live = keyhit & (r >= eps)
                     hr = jnp.maximum(h - r, 0.0)
                     # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's
@@ -462,8 +522,8 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
         ],
         out_specs=pl.BlockSpec((3, 1, g, pt), lambda i, *_: (0, i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 9, 16, col_cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 9, 2)),
+            pltpu.VMEM((2, len(_stencil(cfg)[0]), 16, col_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, len(_stencil(cfg)[0]), 2)),
         ],
     )
     f = pl.pallas_call(
