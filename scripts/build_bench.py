@@ -67,6 +67,15 @@ def main():
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
         )
 
+    # searchsorted over the ~26k cell-boundary queries supertile prep makes
+    # (slab3 geometry: 2048 tiles × 3 windows × 4 bounds + supertile level) —
+    # the candidate replacement for the dense starts histogram
+    nq = 26_624
+    queries = (jnp.arange(nq, dtype=jnp.int32) * 37) % jnp.int32(nc + 2)
+
+    def ssorted(q):
+        return jnp.searchsorted(key_sorted, q, side="left").astype(jnp.int32)
+
     counts = jax.jit(hist)(key)
 
     t = {}
@@ -90,6 +99,11 @@ def main():
     t["cumsum"] = slope_bench(
         lambda c, z32: cumsum(c + z32), lambda a, z: (a[0], z.astype(jnp.int32)),
         counts, jnp.int32(0),
+    )
+    t["ssorted"] = slope_bench(
+        lambda q, z32: ssorted(q + z32),
+        lambda a, z: (a[0], z.astype(jnp.int32)),
+        queries, jnp.int32(0),
     )
     print("  ".join(f"{k}={v*1e3:6.2f}ms" for k, v in t.items()), flush=True)
 

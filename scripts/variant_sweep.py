@@ -3,8 +3,8 @@
 through the relay; cached afterwards).
 
 Usage: python scripts/variant_sweep.py [N] [steps] [variant ...]
-Each variant is pt,g[,col_capacity[,stencil[,sub_blocks]]].
-e.g.   python scripts/variant_sweep.py 262144 100 128,8 128,8,8192,slab3,24
+Each variant is pt,g[,col_capacity[,stencil[,sub_blocks[,block_lanes]]]].
+e.g.   python scripts/variant_sweep.py 262144 100 128,8 128,8,4096,slab3,20,256
 """
 
 from __future__ import annotations
@@ -39,9 +39,11 @@ def main():
         cap = int(var[2]) if len(var) > 2 else base.pallas_col_capacity
         stencil = var[3] if len(var) > 3 else base.pallas_stencil
         sub_blocks = int(var[4]) if len(var) > 4 else base.pallas_sub_blocks
+        bl = int(var[5]) if len(var) > 5 else base.pallas_block_lanes
         cfg = dataclasses.replace(
             base, pallas_tile=pt, pallas_group=g, pallas_col_capacity=cap,
-            pallas_stencil=stencil, pallas_sub_blocks=sub_blocks)
+            pallas_stencil=stencil, pallas_sub_blocks=sub_blocks,
+            pallas_block_lanes=bl)
 
         @jax.jit
         def run(state, cfg=cfg):
@@ -60,7 +62,8 @@ def main():
         jax.device_get(ovf2)
         dt = time.perf_counter() - t0
         print(f"pt={pt:3d} g={g} cap={cfg.pallas_col_capacity} "
-              f"{cfg.pallas_stencil} sb={cfg.pallas_sub_blocks}  "
+              f"{cfg.pallas_stencil} sb={cfg.pallas_sub_blocks} "
+              f"bl={cfg.pallas_block_lanes}  "
               f"{steps/dt:7.2f} steps/s  "
               f"({dt/steps*1e3:6.2f} ms/step, overflow={ovf}, warm={warm:.0f}s)",
               flush=True)

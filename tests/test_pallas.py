@@ -17,20 +17,21 @@ pytestmark = pytest.mark.slow
 @pytest.fixture(
     scope="module",
     params=[
-        ("grid", "col9"),
-        ("random", "col9"),
-        ("grid", "slab3"),
-        ("random", "slab3"),
+        ("grid", "col9", 128),
+        ("random", "col9", 128),
+        ("grid", "slab3", 128),
+        ("random", "slab3", 128),
+        ("random", "slab3", 256),
     ],
-    ids=lambda p: f"{p[0]}-{p[1]}",
+    ids=lambda p: f"{p[0]}-{p[1]}-bl{p[2]}",
 )
 def setup(request):
-    init_mode, stencil = request.param
+    init_mode, stencil, bl = request.param
     # small pallas capacities: the interpreter executes every predicated
     # block, so production-size capacities would crawl on CPU
     cfg = default_config(
         512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
-        pallas_stencil=stencil,
+        pallas_stencil=stencil, pallas_block_lanes=bl,
     )
     st = init_state(cfg, random_init=(init_mode == "random"), seed=7)
     return cfg, st

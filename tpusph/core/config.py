@@ -101,6 +101,11 @@ class SimConfig:
     # Measured on v5e at 262k (100-step protocol): slab3 14.8 ms/step vs
     # col9 26.9 — the production default.
     pallas_stencil: str = "slab3"
+    # Lanes processed per block-loop iteration (128 or 256): 256 halves the
+    # per-iteration overhead but rounds window scans to coarser blocks.
+    # Window starts are aligned DOWN to this width so block-rounded scans
+    # stay inside the capacity buffer.
+    pallas_block_lanes: int = 128
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192
@@ -157,6 +162,13 @@ class SimConfig:
                                  f"cannot grow a zero capacity)")
         if self.pallas_stencil not in ("col9", "slab3"):
             raise ValueError("pallas_stencil must be 'col9' or 'slab3'")
+        if self.pallas_block_lanes not in (128, 256):
+            raise ValueError("pallas_block_lanes must be 128 or 256")
+        if self.pallas_col_capacity % (2 * self.pallas_block_lanes):
+            raise ValueError(
+                "pallas_col_capacity must be a multiple of "
+                "2*pallas_block_lanes (half-DMA alignment + block rounding)"
+            )
 
 
 def _round_up(x: int, m: int) -> int:

@@ -122,7 +122,10 @@ def _column_ranges(key_s, valid_s, starts, cfg: SimConfig, tile: int):
     hi = jnp.clip(kmax[:, None] + offs[None, :] + hi_pad, lo, nc)
     start = starts[lo]
     end = starts[hi]
-    astart = (start // 128) * 128  # 128-align; key mask rejects the lead-in
+    # Align down to the block width (≥128 keeps Mosaic's DMA-offset rule);
+    # the key mask / fast-path lead-in argument rejects the extra lanes.
+    bl = cfg.pallas_block_lanes
+    astart = (start // bl) * bl
     return astart.astype(jnp.int32), (end - astart).astype(jnp.int32), kmin, kmax
 
 
@@ -164,7 +167,8 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
         jnp.clip(kmax[:, None] + offs[None, :] - period + hi_pad, 0, nc + 1)
     ]
     lead_ok = sub_start >= prev_end
-    tail_abs = sub_start + ((sub_cnt + 127) // 128) * 128
+    bl = cfg.pallas_block_lanes
+    tail_abs = sub_start + ((sub_cnt + bl - 1) // bl) * bl
     next_start = starts[
         jnp.clip(kmin[:, None] + offs[None, :] + period - lo_pad, 0, nc + 1)
     ]
@@ -286,7 +290,8 @@ def _density_kernel(
         tkey = tgt_ref[t0 : t0 + pt, 3:4]
 
         def sub_acc(fast, tile=tile, tx=tx, ty=ty, tz=tz, tkey=tkey):
-            acc0 = jnp.zeros((pt, LANES), jnp.float32)
+            bl = cfg.pallas_block_lanes
+            acc0 = jnp.zeros((pt, bl), jnp.float32)
             for c in range(ncols):
                 sub_cnt = sub_cnt_ref[tile * ncols + c].astype(jnp.int32)
                 base = sub_base_ref[tile * ncols + c].astype(jnp.int32)
@@ -294,7 +299,7 @@ def _density_kernel(
                 tkey_off = tkey + jnp.float32(offsets[c])
 
                 def blk(b, acc, c=c, base=base, tkey_off=tkey_off):
-                    sl = pl.ds(pl.multiple_of(base + b * LANES, 128), LANES)
+                    sl = pl.ds(pl.multiple_of(base + b * bl, 128), bl)
                     cx = cand[slot, c, 0, sl][None, :]
                     cy = cand[slot, c, 1, sl][None, :]
                     cz = cand[slot, c, 2, sl][None, :]
@@ -319,7 +324,7 @@ def _density_kernel(
                     return acc + jnp.where(keyhit, w, 0.0)
 
                 # dynamic trip count: dead capacity costs nothing
-                acc0 = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, LANES), blk, acc0)
+                acc0 = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, bl), blk, acc0)
             return acc0
 
         acc0 = jax.lax.cond(
@@ -421,7 +426,8 @@ def _force_kernel(
 
         def sub_force(fast, tile=tile, tx=tx, ty=ty, tz=tz,
                       tvx=tvx, tvy=tvy, tvz=tvz, tp=tp, tkey=tkey):
-            zero = jnp.zeros((pt, LANES), jnp.float32)
+            bl = cfg.pallas_block_lanes
+            zero = jnp.zeros((pt, bl), jnp.float32)
             fcarry = (zero, zero, zero)
             for c in range(ncols):
                 sub_cnt = sub_cnt_ref[tile * ncols + c].astype(jnp.int32)
@@ -430,8 +436,8 @@ def _force_kernel(
 
                 def blk(b, carry, c=c, base=base, tkey_off=tkey_off):
                     fx, fy, fz = carry
-                    s = base + b * LANES
-                    sl = pl.ds(pl.multiple_of(s, 128), LANES)
+                    s = base + b * bl
+                    sl = pl.ds(pl.multiple_of(s, 128), bl)
                     row = lambda r: cand[slot, c, r, sl][None, :]
                     dx = tx - row(_FX)
                     dy = ty - row(_FY)
@@ -473,7 +479,7 @@ def _force_kernel(
                     fz = fz + s_v * (row(_FVZ) - tvz)
                     return fx, fy, fz
 
-                fcarry = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, LANES), blk, fcarry)
+                fcarry = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, bl), blk, fcarry)
             return fcarry
 
         fx, fy, fz = jax.lax.cond(
