@@ -83,3 +83,64 @@ def test_pallas_capacity_overflow_detected():
     # 128-aligned starts + tile span exceed 128 capacity for some tile
     _, aux = jax.jit(lambda s: step_pallas(s, cfg, interpret=True))(st)
     assert int(aux.window_overflow) > 0
+
+
+def _compact_state(cfg, seed=11):
+    """A state whose 128-target tiles have SMALL sorted-key spans, so the
+    prep actually marks sub-tiles fast (grid/random init at N=512 spans
+    multiple z-planes, which correctly forces every sub slow and would
+    exercise nothing). col9 fast needs span ≤ C−3 → confine to one (y,z)
+    row with ~6 particles/cell; slab3 only needs in-plane isolation → one
+    z-plane is enough (and leaves plenty of geometric-zero lanes around
+    each window for the block-rounding guards)."""
+    import jax.numpy as jnp
+
+    from tpusph.core.state import FluidState
+
+    rng = np.random.default_rng(seed)
+    n = cfg.padded_num_particles
+    x = rng.uniform(1.0, 9.0, size=(n, 1))
+    if cfg.pallas_stencil == "col9":
+        y = rng.uniform(0.12, 0.18, size=(n, 1))
+    else:
+        y = rng.uniform(1.0, 5.0, size=(n, 1))
+    z = rng.uniform(0.12, 0.18, size=(n, 1))
+    pos = jnp.asarray(np.concatenate([x, y, z], axis=1), jnp.float32)
+    return FluidState(
+        position=pos,
+        velocity=jnp.zeros((n, 3), jnp.float32),
+        force=jnp.zeros((n, 3), jnp.float32),
+        density=jnp.ones((n,), jnp.float32),
+        pressure=jnp.zeros((n,), jnp.float32),
+        valid=jnp.ones((n,), bool),
+    )
+
+
+def test_fast_flag_equals_forced_slow(setup):
+    """Isolate the fast-path proof: the mask-free fast branch must produce
+    EXACTLY the result of the key-masked slow branch on every sub-tile the
+    prep marks fast. Run the density kernel with prep's flags and again with
+    every sub forced slow — bitwise equality required (same pairs, same
+    summation order)."""
+    import jax.numpy as jnp
+
+    from tpusph.neighbors.cell_list import build_sorted_fields
+    from tpusph.pallas.fused import density_pallas, supertile_columns
+
+    cfg, _ = setup
+    st = _compact_state(cfg)
+    sf = jax.jit(
+        lambda s: build_sorted_fields(s.position, s.velocity, s.valid, cfg)
+    )(st)
+    cols = jax.jit(
+        lambda sf: supertile_columns(sf.key_sorted, sf.valid_sorted, sf.starts, cfg)
+    )(sf)
+    assert int(cols.overflow) == 0
+    assert int(np.asarray(cols.sub_fast).sum()) > 0, "no fast subs exercised"
+    xyz = (sf.x, sf.y, sf.z)
+    rho_fast = density_pallas(xyz, sf.key_sorted, cols, cfg, interpret=True)
+    cols_slow = cols._replace(sub_fast=jnp.zeros_like(cols.sub_fast))
+    rho_slow = density_pallas(xyz, sf.key_sorted, cols_slow, cfg, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(rho_fast), np.asarray(rho_slow)
+    )

@@ -146,14 +146,19 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
     sub_cnt = jnp.maximum(sub_cnt, 0)
 
     # ---- per-sub fast flag: the in-kernel key mask is provably redundant
-    # when (a) the stencil windows are pairwise disjoint — for col9 this
-    # needs tile key span ≤ C−3 (columns sit C apart); slab3 windows sit C²
-    # apart and are ALWAYS disjoint — so every in-window non-stencil pair is
-    # ≥ 2 cells away on some axis → r ≥ h → zeroed by the kernel cutoffs,
-    # AND (b) the 128-aligned lead-in and block-rounded tail of the scanned
+    # when the block-aligned lead-in and block-rounded tail of each scanned
     # lane range stay strictly between the neighboring windows' accepted key
-    # ranges (within-gap lanes are geometric zeros by the same argument; only
-    # reaching INTO the adjacent window's accepted cells could double-count).
+    # ranges: in-window and in-gap non-stencil pairs are ≥ 2 cells away on
+    # some axis → r ≥ h → zeroed by the kernel cutoffs, and only reaching
+    # INTO an adjacent window's accepted cells could double-count a pair.
+    # These guards also subsume window overlap (a slab3 tile spanning
+    # > C²−2C−3 keys, i.e. multiple z-planes): if any particle sits in the
+    # overlapped cells, the upper window's aligned start precedes the lower
+    # window's accepted end → lead_ok fails → slow path; if none does, the
+    # two scans share no lanes and stay exact. col9 additionally requires
+    # tile span ≤ C−3 (columns sit only C apart, so overlapping column
+    # windows scan the SAME lanes for different (dy,dz) interpretations —
+    # lead/tail guards cannot separate them).
     nc = cfg.num_cells
     c = cfg.num_cells_per_dim
     offsets, lo_pad, hi_pad = _stencil(cfg)
