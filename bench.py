@@ -19,7 +19,10 @@ NumPy oracle (tests/oracle_numpy.py) — asserting ≤1e-4 relative density and
 ≤1e-4 positions, the BASELINE.json budget. The JSON line reports
 "parity": "pass"/"fail"; set TPUSPH_BENCH_VERIFY=0 to skip.
 
-Env overrides: TPUSPH_BENCH_N, TPUSPH_BENCH_STEPS, TPUSPH_BENCH_BACKEND.
+Env overrides: TPUSPH_BENCH_N, TPUSPH_BENCH_STEPS, TPUSPH_BENCH_BACKEND;
+TPUSPH_BENCH_COL_CAP / TPUSPH_BENCH_SUB_BLOCKS preset the Pallas capacities
+(skips the auto-grow recompiles at N where the defaults are known to
+overflow, e.g. 1M+ dam-break pile-ups need col=16384 sub_blocks=80).
 """
 
 from __future__ import annotations
@@ -154,8 +157,12 @@ def main() -> None:
     if not on_tpu and backend == "pallas_sorted":
         backend = "cell_list"  # Pallas compiled path needs TPU
 
-    cap = None  # use config default; grown on overflow
-    cfg = default_config(n)
+    kw = {}
+    if os.environ.get("TPUSPH_BENCH_COL_CAP"):
+        kw["pallas_col_capacity"] = int(os.environ["TPUSPH_BENCH_COL_CAP"])
+    if os.environ.get("TPUSPH_BENCH_SUB_BLOCKS"):
+        kw["pallas_sub_blocks"] = int(os.environ["TPUSPH_BENCH_SUB_BLOCKS"])
+    cfg = default_config(n, **kw)  # capacities grown on overflow below
 
     def make_run(cfg):
         if backend == "pallas_sorted":

@@ -104,8 +104,9 @@ class SimConfig:
     # Lanes processed per block-loop iteration (128 or 256): 256 halves the
     # per-iteration overhead but rounds window scans to coarser blocks.
     # Window starts are aligned DOWN to this width so block-rounded scans
-    # stay inside the capacity buffer.
-    pallas_block_lanes: int = 128
+    # stay inside the capacity buffer. v5e 262k sweep: 256 → 68.7 steps/s
+    # vs 128 → 67.6 (at the default pt=128 g=8; pt=256/512 measured worse).
+    pallas_block_lanes: int = 256
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192
