@@ -62,6 +62,26 @@ def main():
         rev = jax.lax.associative_scan(jnp.minimum, raw[::-1])[::-1]
         return rev
 
+    def merge(key_sorted):
+        # starts[c] = #keys < c via sort instead of scatter: stable-sort the
+        # keys merged with the nc+2 cell boundaries (boundaries tie-break
+        # BEFORE equal keys → side='left' semantics); a boundary c landing at
+        # merged position m has exactly c boundaries before it, so
+        # starts[c] = m − c. A second 1-key sort compacts the boundary rows
+        # back to cell order (stable sort preserves their ascending-c order).
+        nb = nc + 2
+        npart = key_sorted.shape[0]
+        val = jnp.concatenate(
+            [key_sorted, jnp.arange(nb, dtype=jnp.int32)]
+        )
+        tag = jnp.concatenate(
+            [jnp.ones(npart, jnp.int32), jnp.zeros(nb, jnp.int32)]
+        )
+        val, tag = jax.lax.sort((val, tag), num_keys=2, is_stable=False)
+        res = jnp.arange(val.shape[0], dtype=jnp.int32) - val
+        _, starts = jax.lax.sort((tag, res), num_keys=1, is_stable=True)
+        return starts[:nb]
+
     def cumsum(counts):
         return jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
@@ -100,6 +120,10 @@ def main():
         lambda c, z32: cumsum(c + z32), lambda a, z: (a[0], z.astype(jnp.int32)),
         counts, jnp.int32(0),
     )
+    t["merge"] = slope_bench(
+        lambda k, z32: merge(k + z32), lambda a, z: (a[0], z.astype(jnp.int32)),
+        key_sorted, jnp.int32(0),
+    )
     t["ssorted"] = slope_bench(
         lambda q, z32: ssorted(q + z32),
         lambda a, z: (a[0], z.astype(jnp.int32)),
@@ -107,11 +131,13 @@ def main():
     )
     print("  ".join(f"{k}={v*1e3:6.2f}ms" for k, v in t.items()), flush=True)
 
-    # correctness cross-check of `bound` against hist+cumsum
+    # correctness cross-check of `bound` and `merge` against hist+cumsum
     starts_ref = np.asarray(jax.device_get(jax.jit(cumsum)(counts)))
     starts_new = np.asarray(jax.device_get(jax.jit(bound)(key_sorted)))
     np.testing.assert_array_equal(starts_new, starts_ref)
-    print("bound == hist+cumsum: OK", flush=True)
+    starts_mrg = np.asarray(jax.device_get(jax.jit(merge)(key_sorted)))
+    np.testing.assert_array_equal(starts_mrg, starts_ref)
+    print("bound == merge == hist+cumsum: OK", flush=True)
 
 
 if __name__ == "__main__":

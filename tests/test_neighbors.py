@@ -93,3 +93,22 @@ def test_rowmajor_matches_reference_flatten():
     cfg = default_config(8)
     cell = jnp.asarray([[3, 5, 7]], jnp.int32)
     assert int(flatten_rowmajor(cell, cfg)[0]) == 3 + 5 * 100 + 7 * 10000
+
+
+def test_starts_table_semantics():
+    """starts[k] = #keys < k, over keys with collisions, empty cells, and
+    sentinel entries for invalid slots."""
+    import jax
+
+    cfg = default_config(512, num_cells_per_dim=8)
+    rng = np.random.default_rng(7)
+    key = jnp.asarray(
+        rng.integers(0, cfg.num_cells + 1, size=737), jnp.int32
+    )
+    from tpusph.neighbors.cell_list import starts_table
+
+    a = np.asarray(jax.jit(lambda k: starts_table(k, cfg))(key))
+    ref = np.array(
+        [np.sum(np.asarray(key) < k) for k in range(cfg.num_cells + 2)]
+    )
+    np.testing.assert_array_equal(a, ref)

@@ -38,6 +38,25 @@ from tpusph.core.config import SimConfig
 from tpusph.neighbors.grid import compute_keys, compute_keys_fields
 
 
+def starts_table(key, cfg: SimConfig) -> jnp.ndarray:
+    """starts[k] = #particles with key < k, as an int32[num_cells + 2] table,
+    via bincount scatter-add + exclusive cumsum.
+
+    The scatter-add costs ~1.8 ms at 262k on v5e — the entire build-phase
+    cost (the 7-lane payload sort is 0.05 ms) — and every alternative
+    measured WORSE on this stack (scripts/build_bench.py, slope method):
+    `indices_are_sorted` hint 2.3, boundary-scatter + reverse-cummin 2.5,
+    two-sort merge with the cell boundaries 3.9, jnp.searchsorted on just
+    the ~26k needed window bounds 11.7 (default scan lowering) / 1.84
+    (method="sort"). Scatter cost scales with the INDEX count, not the
+    table size (32k indices ≈ free, 4k-bin table still 1.7 ms), so coarse
+    tables don't help either. The histogram stays."""
+    counts = jnp.zeros((cfg.num_cells + 1,), jnp.int32).at[key].add(1)
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+
+
 class CellList(NamedTuple):
     perm: jnp.ndarray  # int32[Np] — sorted[i] = original[perm[i]]
     key_sorted: jnp.ndarray  # int32[Np]
@@ -53,10 +72,7 @@ def build_cell_list(
     keys = compute_keys(position, valid, cfg)
     perm = jnp.argsort(keys.key, stable=True).astype(jnp.int32)
     key_sorted = keys.key[perm]
-    counts = jnp.zeros((cfg.num_cells + 1,), jnp.int32).at[keys.key].add(1)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
-    )
+    starts = starts_table(keys.key, cfg)
     return CellList(
         perm=perm,
         key_sorted=key_sorted,
@@ -95,10 +111,7 @@ def build_sorted_fields_1d(
     key_sorted, x, y, z, vx, vy, vz = jax.lax.sort(
         (key, x, y, z, vx, vy, vz), num_keys=1, is_stable=True
     )
-    counts = jnp.zeros((cfg.num_cells + 1,), jnp.int32).at[key].add(1)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
-    )
+    starts = starts_table(key, cfg)
     return SortedFields(
         key_sorted=key_sorted, x=x, y=y, z=z, vx=vx, vy=vy, vz=vz,
         starts=starts,

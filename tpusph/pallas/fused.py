@@ -120,8 +120,8 @@ def _column_ranges(key_s, valid_s, starts, cfg: SimConfig, tile: int):
     offs = jnp.asarray(offsets, jnp.int32)
     lo = jnp.clip(kmin[:, None] + offs[None, :] - lo_pad, 0, nc)
     hi = jnp.clip(kmax[:, None] + offs[None, :] + hi_pad, lo, nc)
-    start = starts[lo]
-    end = starts[hi]
+    se = starts[jnp.stack([lo, hi])]  # one batched lookup (table OR search)
+    start, end = se[0], se[1]
     # Align down to the block width (≥128 keeps Mosaic's DMA-offset rule);
     # the key mask / fast-path lead-in argument rejects the extra lanes.
     bl = cfg.pallas_block_lanes
