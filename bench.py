@@ -20,7 +20,8 @@ NumPy oracle (tests/oracle_numpy.py) — asserting ≤1e-4 relative density and
 "parity": "pass"/"fail"; set TPUSPH_BENCH_VERIFY=0 to skip.
 
 Env overrides: TPUSPH_BENCH_N, TPUSPH_BENCH_STEPS, TPUSPH_BENCH_BACKEND;
-TPUSPH_BENCH_COL_CAP / TPUSPH_BENCH_SUB_BLOCKS preset the Pallas capacities
+TPUSPH_BENCH_COL_CAP / TPUSPH_BENCH_SUB_BLOCKS / TPUSPH_BENCH_STENCIL
+preset the Pallas capacities and stencil
 (skips the auto-grow recompiles at N where the defaults are known to
 overflow, e.g. 1M+ dam-break pile-ups need col=16384 sub_blocks=80).
 """
@@ -162,6 +163,12 @@ def main() -> None:
         kw["pallas_col_capacity"] = int(os.environ["TPUSPH_BENCH_COL_CAP"])
     if os.environ.get("TPUSPH_BENCH_SUB_BLOCKS"):
         kw["pallas_sub_blocks"] = int(os.environ["TPUSPH_BENCH_SUB_BLOCKS"])
+    if os.environ.get("TPUSPH_BENCH_STENCIL"):
+        kw["pallas_stencil"] = os.environ["TPUSPH_BENCH_STENCIL"]
+    elif n >= 1_000_000:
+        # dense pile-up regime: the hybrid stencil's per-sub col9 windows
+        # beat plain slab3 (measured v5e 1M dam-break: 14.3 vs 12.3 steps/s)
+        kw["pallas_stencil"] = "hybrid"
     cfg = default_config(n, **kw)  # capacities grown on overflow below
 
     def make_run(cfg):

@@ -163,11 +163,11 @@ def main():
         parts = "  ".join(f"{k_}={v*1e3:7.2f}" for k_, v in t.items())
         named_sum = sum(v for k_, v in t.items() if k_ != "FULL")
         print(f"{parts}  | sum={named_sum*1e3:7.2f} ms", flush=True)
-        from tpusph.pallas.fused import _stencil
+        from tpusph.pallas.fused import _sub_slots, _sup_stencil
 
-        ncols = len(_stencil(cfg)[0])
-        occ = np.asarray(jax.device_get(cols.sup_cnt)).reshape(-1, ncols)
-        sub = np.asarray(jax.device_get(cols.sub_cnt)).reshape(-1, ncols)
+        nsup = len(_sup_stencil(cfg)[0])
+        occ = np.asarray(jax.device_get(cols.sup_cnt)).reshape(-1, nsup)
+        sub = np.asarray(jax.device_get(cols.sub_cnt)).reshape(-1, _sub_slots(cfg))
         print(f"sup_cnt: mean={occ.mean():7.1f} p50={np.percentile(occ,50):7.1f} "
               f"p99={np.percentile(occ,99):7.1f} max={occ.max()}  "
               f"sub_cnt: mean={sub.mean():6.1f} max={sub.max()}  "

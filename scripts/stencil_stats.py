@@ -73,19 +73,35 @@ def main():
         starts = np.asarray(jax.device_get(cl.starts))
 
         print(f"--- step {target} (N={n}) ---", flush=True)
+        bl = float(cfg.pallas_block_lanes)
+        per_sub = {}
         for stencil in ("col9", "slab3"):
             c2 = dataclasses.replace(cfg, pallas_stencil=stencil)
             sub = window_stats(key_s, valid, starts, c2, c2.pallas_tile)
             sup = window_stats(
                 key_s, valid, starts, c2, c2.pallas_tile * c2.pallas_group
             )
-            blocks = np.ceil(sub / 128.0)
+            blocks = np.ceil(sub / bl)
+            per_sub[stencil] = blocks.sum(axis=1)
             print(
                 f"{stencil:5s}: blocks/sub sum={blocks.sum(axis=1).mean():6.1f} "
                 f"(p99={np.percentile(blocks.sum(axis=1), 99):5.0f}, "
                 f"max={blocks.sum(axis=1).max():4.0f})  "
                 f"sub_cnt max={sub.max():6d} (p99={np.percentile(sub, 99):7.0f})  "
                 f"sup_cnt max={sup.max():6d} (p99={np.percentile(sup, 99):7.0f})",
+                flush=True,
+            )
+        # hybrid: per-sub pick of the cheaper stencil, charging col9 a bias of
+        # `lam` block-equivalents for its 6 extra window loops
+        for lam in (0.0, 1.0, 2.0):
+            cost_col = per_sub["col9"] + lam * 6
+            hyb = np.minimum(cost_col, per_sub["slab3"])
+            frac_col = float(np.mean(cost_col < per_sub["slab3"]))
+            print(
+                f"hybrid(lam={lam:3.1f}): blocks/sub sum={hyb.mean():6.1f} "
+                f"(p99={np.percentile(hyb, 99):5.0f}) col-mode "
+                f"{100 * frac_col:4.1f}% of subs "
+                f"[slab-only {per_sub['slab3'].mean():6.1f}]",
                 flush=True,
             )
 

@@ -40,10 +40,11 @@ def main():
         stencil = var[3] if len(var) > 3 else base.pallas_stencil
         sub_blocks = int(var[4]) if len(var) > 4 else base.pallas_sub_blocks
         bl = int(var[5]) if len(var) > 5 else base.pallas_block_lanes
+        bias = float(var[6]) if len(var) > 6 else base.pallas_hybrid_bias
         cfg = dataclasses.replace(
             base, pallas_tile=pt, pallas_group=g, pallas_col_capacity=cap,
             pallas_stencil=stencil, pallas_sub_blocks=sub_blocks,
-            pallas_block_lanes=bl)
+            pallas_block_lanes=bl, pallas_hybrid_bias=bias)
 
         @jax.jit
         def run(state, cfg=cfg):
@@ -63,7 +64,7 @@ def main():
         dt = time.perf_counter() - t0
         print(f"pt={pt:3d} g={g} cap={cfg.pallas_col_capacity} "
               f"{cfg.pallas_stencil} sb={cfg.pallas_sub_blocks} "
-              f"bl={cfg.pallas_block_lanes}  "
+              f"bl={cfg.pallas_block_lanes} bias={cfg.pallas_hybrid_bias}  "
               f"{steps/dt:7.2f} steps/s  "
               f"({dt/steps*1e3:6.2f} ms/step, overflow={ovf}, warm={warm:.0f}s)",
               flush=True)

@@ -23,7 +23,8 @@ def _cfg(pallas: bool = False):
     if pallas:
         # small capacities: the interpreter executes every predicated block
         return default_config(
-            256, chunk_size=256, pallas_col_capacity=384, pallas_sub_blocks=3
+            256, chunk_size=256, pallas_col_capacity=512, pallas_sub_blocks=4,
+            pallas_block_lanes=128,
         )
     return default_config(256, chunk_size=256)
 

@@ -22,6 +22,8 @@ pytestmark = pytest.mark.slow
         ("grid", "slab3", 128),
         ("random", "slab3", 128),
         ("random", "slab3", 256),
+        ("grid", "hybrid", 128),
+        ("random", "hybrid", 256),
     ],
     ids=lambda p: f"{p[0]}-{p[1]}-bl{p[2]}",
 )
@@ -77,10 +79,11 @@ def test_pallas_sorted_same_physics(setup):
 
 def test_pallas_capacity_overflow_detected():
     cfg = default_config(
-        512, chunk_size=512, pallas_col_capacity=128, pallas_sub_blocks=1
+        512, chunk_size=512, pallas_col_capacity=256, pallas_sub_blocks=1,
+        pallas_block_lanes=128,
     )
     st = init_state(cfg, random_init=True, seed=3)
-    # 128-aligned starts + tile span exceed 128 capacity for some tile
+    # 128-aligned starts + tile span exceed the tiny capacity for some tile
     _, aux = jax.jit(lambda s: step_pallas(s, cfg, interpret=True))(st)
     assert int(aux.window_overflow) > 0
 
@@ -144,3 +147,50 @@ def test_fast_flag_equals_forced_slow(setup):
     np.testing.assert_array_equal(
         np.asarray(rho_fast), np.asarray(rho_slow)
     )
+
+
+def test_hybrid_modes_agree_and_match_slab3():
+    """The hybrid stencil's two per-sub layouts must compute the same
+    physics: force every eligible sub to col mode (bias −inf) and every sub
+    to slab mode (bias +inf) via the selection bias, and compare both
+    against the plain slab3 stencil. Same pairs in each case; summation
+    order differs across window layouts, so tolerance is float-roundoff,
+    not bitwise. Uses a compact state (narrow tile key spans) so the
+    span ≤ C−3 gate actually admits col mode."""
+    import dataclasses
+
+    base = default_config(
+        512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
+        pallas_stencil="col9", pallas_block_lanes=128,
+    )
+    st = _compact_state(base)  # col9-style: one (y,z) row → narrow spans
+    base = dataclasses.replace(base, pallas_stencil="hybrid")
+    ref_cfg = dataclasses.replace(base, pallas_stencil="slab3")
+    ref, _ = jax.jit(lambda s: step_pallas(s, ref_cfg, interpret=True))(st)
+    v = np.asarray(st.valid)
+    for bias in (-1e9, 1e9):
+        cfg = dataclasses.replace(base, pallas_hybrid_bias=bias)
+        if bias < 0:  # the forced-col case must actually exercise col mode
+            from tpusph.neighbors.cell_list import build_sorted_fields
+            from tpusph.pallas.fused import supertile_columns
+
+            sf = jax.jit(
+                lambda s: build_sorted_fields(
+                    s.position, s.velocity, s.valid, cfg
+                )
+            )(st)
+            cols = jax.jit(
+                lambda sf: supertile_columns(
+                    sf.key_sorted, sf.valid_sorted, sf.starts, cfg
+                )
+            )(sf)
+            assert int(np.asarray(cols.sub_mode).sum()) > 0, "no col subs"
+        out, aux = jax.jit(lambda s: step_pallas(s, cfg, interpret=True))(st)
+        assert int(aux.window_overflow) == 0
+        np.testing.assert_allclose(
+            np.asarray(out.density)[v], np.asarray(ref.density)[v], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.force)[v], np.asarray(ref.force)[v],
+            rtol=1e-4, atol=1e-5,
+        )

@@ -76,13 +76,17 @@ class SimConfig:
     # overflow detected in prep, auto-grown by the driver). The kernel loops
     # over ceil(cnt/128) live lane-blocks, so compute scales with occupancy,
     # not with this capacity.
-    pallas_tile: int = 128
+    pallas_tile: int = 64
     # sub-tiles per program: one program DMAs the stencil columns for
-    # pallas_group·pallas_tile targets at once (fewer, larger DMAs)
-    pallas_group: int = 8
+    # pallas_group·pallas_tile targets at once (fewer, larger DMAs).
+    # Flat-block-loop sweep at 262k on v5e: 64×16 73.4 steps/s, 64×32
+    # (cap 8192) 73.7, 128×8 71.7, 32×32 56.4, 64×16@bl=128 61.7 — the
+    # per-sub fixed cost no longer scales with window count, so halving
+    # the tile span (fewer scanned lanes) now wins.
+    pallas_group: int = 16
     # static column buffer per super-tile (covers group span + ~3×max cell
     # occupancy + 128 alignment; overflow detected in prep, auto-grown).
-    # Geometry 128×8/4096 measured best on v5e at 262k (see BASELINE.md);
+    # Geometry 64×16/4096 measured best on v5e at 262k (see BASELINE.md);
     # effective_geometry() clamps pt·g to divide small test problems.
     pallas_col_capacity: int = 4096
     # 128-lane blocks each sub-tile scans per window (covers tile span +
@@ -91,16 +95,25 @@ class SimConfig:
     # p-max sub count ≈ 2016 lanes → 16 blocks, +margin).
     pallas_sub_blocks: int = 20
     # Stencil decomposition for the Pallas kernels:
-    #   "col9"  — 9 windows, one per (dy, dz) neighbor column, ±1-cell x pad.
-    #   "slab3" — 3 windows, one per dz plane, covering all three y-rows
-    #             (pad ±(C+1) cells). The windows sit ~C² apart in flat-key
-    #             space so they can never overlap — the fast (mask-free) path
-    #             needs only lead/tail isolation, no tile-span condition —
-    #             and one contiguous window replaces three nearly-abutting
-    #             column windows (fewer blocks, loops and DMAs per sub-tile).
-    # Measured on v5e at 262k (100-step protocol): slab3 14.8 ms/step vs
-    # col9 26.9 — the production default.
+    #   "col9"   — 9 windows, one per (dy, dz) neighbor column, ±1-cell x pad.
+    #              A sub-tile spanning S cells scans ~9S+27 cells.
+    #   "slab3"  — 3 windows, one per dz plane, covering all three y-rows
+    #              (pad ±(C+1) cells): ~3S+6C+9 cells, 3× fewer loops/DMAs.
+    #              Wins when S is large (uniform regions: tiles span most of
+    #              a row); loses badly when S is small (dense pile-ups, where
+    #              the 6C padding dominates and every padded cell is full).
+    #   "hybrid" — super-tiles DMA slab3 windows (a slab covers all 9 of its
+    #              plane's columns); each sub-tile then scans whichever
+    #              layout needs fewer blocks — slab3 windows, or col9 windows
+    #              indexing into the same slab buffers.
+    # Measured on v5e (100-step protocol, flat-block-loop kernels): at 262k
+    # slab3 13.95 ms/step vs hybrid 14.6 (col9-era: 26.9) — slab3 default;
+    # at 1M dam-break hybrid 69.7 vs slab3 81.1 (bench.py picks hybrid for
+    # N ≥ 1M).
     pallas_stencil: str = "slab3"
+    # Extra 256-lane-block-equivalents charged to col9 in the hybrid per-sub
+    # choice, covering its 6 extra window loops (SMEM reads + loop setup).
+    pallas_hybrid_bias: float = 2.0
     # Lanes processed per block-loop iteration (128 or 256): 256 halves the
     # per-iteration overhead but rounds window scans to coarser blocks.
     # Window starts are aligned DOWN to this width so block-rounded scans
@@ -161,8 +174,10 @@ class SimConfig:
             if getattr(self, f) <= 0:
                 raise ValueError(f"{f} must be positive (capacity doubling "
                                  f"cannot grow a zero capacity)")
-        if self.pallas_stencil not in ("col9", "slab3"):
-            raise ValueError("pallas_stencil must be 'col9' or 'slab3'")
+        if self.pallas_stencil not in ("col9", "slab3", "hybrid"):
+            raise ValueError(
+                "pallas_stencil must be 'col9', 'slab3' or 'hybrid'"
+            )
         if self.pallas_block_lanes not in (128, 256):
             raise ValueError("pallas_block_lanes must be 128 or 256")
         if self.pallas_col_capacity % (2 * self.pallas_block_lanes):

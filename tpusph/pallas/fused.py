@@ -11,9 +11,14 @@ kernelUpdateForces, /root/reference/src/simulator.cu:149-256). Design:
     granularities (cfg.pallas_stencil): "col9" — one window per (dy,dz)
     column (9 windows, ±1-cell pad) — or "slab3" — one window per dz plane
     covering all three y-rows (3 windows, ±(C+1)-cell pad). When a tile spans
-    a large fraction of a row (the common case at production N), the three
+    a large fraction of a row (uniform regions at production N), the three
     column windows of a plane nearly abut, so the single slab window scans
-    ~1.5–2.5× fewer 128-lane blocks and needs 3× fewer loops and DMAs.
+    ~1.5–2.5× fewer 128-lane blocks and needs 3× fewer loops and DMAs; for
+    NARROW tiles (dense pile-ups) the slab's ±(C+1) padding dominates and
+    col9 scans far fewer lanes. "hybrid" picks per sub-tile by measured
+    block count: super-tiles always DMA slab windows (a slab covers all 9
+    of its plane's columns), and col-mode sub-tiles index into the same
+    slab buffers.
   * Grid = one program per SUPER-TILE of G·PT sorted targets. Each program
     DMAs its stencil windows once for the whole group (HBM→VMEM,
     double-buffered across programs: the next super-tile streams in while this
@@ -61,24 +66,46 @@ def _offsets(cfg: SimConfig) -> list[int]:
     return [dy * c + dz * c * c for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
-def _stencil(cfg: SimConfig) -> tuple[list[int], int, int]:
-    """(window offsets, lo_pad, hi_pad): window w covers flat keys
-    [kmin + off_w − lo_pad, kmax + off_w + hi_pad) for a tile spanning
-    [kmin, kmax].  col9 = one window per (dy,dz) column, ±1-cell x pad;
-    slab3 = one window per dz plane covering all three y-rows (pad C+1),
-    so three nearly-abutting column windows become ONE contiguous slice."""
+def _slab_geom(cfg: SimConfig) -> tuple[list[int], int, int]:
+    """slab3 geometry: one window per dz plane covering all three y-rows
+    (pad ±(C+1) cells), so three nearly-abutting column windows become ONE
+    contiguous slice. Cheapest when the tile spans a large fraction of a
+    row (window ≈ 3·span + 6C cells vs col9's 9·span + 27)."""
     c = cfg.num_cells_per_dim
-    if cfg.pallas_stencil == "slab3":
-        return [dz * c * c for dz in (-1, 0, 1)], c + 1, c + 2
+    return [dz * c * c for dz in (-1, 0, 1)], c + 1, c + 2
+
+
+def _col_geom(cfg: SimConfig) -> tuple[list[int], int, int]:
+    """col9 geometry: one window per (dy,dz) neighbor column, ±1-cell x pad.
+    Cheapest for narrow tiles (dense pile-up regions), where slab windows
+    would scan ~6C cells of padding per plane."""
     return _offsets(cfg), 1, 2
 
 
-def _stencil_period(cfg: SimConfig) -> int:
-    """Flat-key distance between adjacent windows of the stencil (C for
-    col9 columns, C² for slab3 planes) — the scale at which lead-in/tail
-    isolation must hold for the mask-free fast path."""
-    c = cfg.num_cells_per_dim
-    return c * c if cfg.pallas_stencil == "slab3" else c
+def _stencil(cfg: SimConfig) -> tuple[list[int], int, int]:
+    """(window offsets, lo_pad, hi_pad) of the SUB-tile scan windows for the
+    single-mode stencils: window w covers flat keys
+    [kmin + off_w − lo_pad, kmax + off_w + hi_pad) for a tile spanning
+    [kmin, kmax]. The hybrid stencil has no single sub geometry — it picks
+    col9 or slab3 per sub-tile (supertile_columns packs both layouts)."""
+    if cfg.pallas_stencil == "slab3":
+        return _slab_geom(cfg)
+    return _col_geom(cfg)
+
+
+def _sup_stencil(cfg: SimConfig) -> tuple[list[int], int, int]:
+    """Geometry of the windows each super-tile DMAs (the VMEM buffers).
+    hybrid DMAs slab3 super-windows — a slab covers all 9 of its plane's
+    columns, so col-mode sub-tiles index into the same buffers."""
+    if cfg.pallas_stencil in ("slab3", "hybrid"):
+        return _slab_geom(cfg)
+    return _col_geom(cfg)
+
+
+def _sub_slots(cfg: SimConfig) -> int:
+    """Descriptor slots per sub-tile in TileColumns (slab3 packs 3 windows;
+    col9 and hybrid pack 9 — hybrid zero-fills slots 3..8 for slab subs)."""
+    return 3 if cfg.pallas_stencil == "slab3" else 9
 
 
 def effective_geometry(n: int, cfg: SimConfig) -> tuple[int, int]:
@@ -98,76 +125,80 @@ class TileColumns(NamedTuple):
     offsets — bounded by the column capacity — so the SMEM footprint stays
     ~2 bytes/entry and scales to ~1M particles per chip)."""
 
-    sub_base: jnp.ndarray  # i16[ntiles*9] 128-aligned start relative to super
-    sub_cnt: jnp.ndarray  # i16[ntiles*9] candidates from sub_base
+    sub_base: jnp.ndarray  # i16[ntiles*slots] 128-aligned start rel. to super
+    sub_cnt: jnp.ndarray  # i16[ntiles*slots] candidates from sub_base
+    sub_lead: jnp.ndarray  # i16[ntiles*slots] alignment lead-in (< block)
     sub_fast: jnp.ndarray  # i32[ntiles] — 1: key mask provably redundant
     #   (i32: this terminal's Mosaic cannot legalize scalar i16 compares)
-    sup_start: jnp.ndarray  # i32[nprog*9] 128-aligned absolute start
-    sup_cnt: jnp.ndarray  # i32[nprog*9] candidate count (≤ capacity)
+    sub_mode: jnp.ndarray  # i32[ntiles] — hybrid: 1 = col9 slots, 0 = slab3
+    sup_start: jnp.ndarray  # i32[nprog*nsup] 128-aligned absolute start
+    sup_cnt: jnp.ndarray  # i32[nprog*nsup] candidate count (≤ capacity)
     overflow: jnp.ndarray  # int32[] — super-column count beyond capacity
 
 
-def _column_ranges(key_s, valid_s, starts, cfg: SimConfig, tile: int):
-    """(aligned_start, cnt, kmin, kmax) for the stencil windows of each
-    tile of `tile` sorted targets (kmin/kmax are per-tile int32[ntiles])."""
+def _tile_key_span(key_s, valid_s, cfg: SimConfig, tile: int):
+    """Per-tile (kmin, kmax) over the valid sorted keys."""
     nc = cfg.num_cells
-    offsets, lo_pad, hi_pad = _stencil(cfg)
     ntiles = key_s.shape[0] // tile
     tk = key_s.reshape(ntiles, tile)
     tv = valid_s.reshape(ntiles, tile)
     kmin = jnp.min(jnp.where(tv, tk, nc), axis=1)
     kmax = jnp.max(jnp.where(tv, tk, -1), axis=1)
+    return kmin, kmax
+
+
+def _geom_ranges(kmin, kmax, starts, cfg: SimConfig, geom):
+    """(aligned_start, cnt, lead) of each window of `geom` for tiles spanning
+    [kmin, kmax]; `lead` is the alignment lead-in (true start − aligned
+    start, < block width)."""
+    nc = cfg.num_cells
+    offsets, lo_pad, hi_pad = geom
     offs = jnp.asarray(offsets, jnp.int32)
     lo = jnp.clip(kmin[:, None] + offs[None, :] - lo_pad, 0, nc)
     hi = jnp.clip(kmax[:, None] + offs[None, :] + hi_pad, lo, nc)
-    se = starts[jnp.stack([lo, hi])]  # one batched lookup (table OR search)
+    se = starts[jnp.stack([lo, hi])]  # one batched lookup
     start, end = se[0], se[1]
     # Align down to the block width (≥128 keeps Mosaic's DMA-offset rule);
     # the key mask / fast-path lead-in argument rejects the extra lanes.
     bl = cfg.pallas_block_lanes
     astart = (start // bl) * bl
-    return astart.astype(jnp.int32), (end - astart).astype(jnp.int32), kmin, kmax
-
-
-def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
-    pt, g = effective_geometry(key_s.shape[0], cfg)
-    cap = cfg.pallas_col_capacity
-    sub_start, sub_cnt, kmin, kmax = _column_ranges(key_s, valid_s, starts, cfg, pt)
-    sup_start, sup_cnt, _, _ = _column_ranges(key_s, valid_s, starts, cfg, pt * g)
-    overflow = jnp.sum(jnp.maximum(sup_cnt - cap, 0)).astype(jnp.int32)
-    # a sub window must fit its static block scan AND the super buffer
-    sub_max = cfg.pallas_sub_blocks * 128
-    overflow = overflow + jnp.sum(jnp.maximum(sub_cnt - sub_max, 0)).astype(
-        jnp.int32
+    return (
+        astart.astype(jnp.int32),
+        (end - astart).astype(jnp.int32),
+        (start - astart).astype(jnp.int32),
     )
-    sub_cnt = jnp.minimum(sub_cnt, sub_max)
-    sub_base = sub_start - jnp.repeat(sup_start, g, axis=0)  # ≥0, 128-aligned
-    sub_cnt = sub_cnt - jnp.maximum(sub_base + sub_cnt - cap, 0)
-    sub_cnt = jnp.maximum(sub_cnt, 0)
 
-    # ---- per-sub fast flag: the in-kernel key mask is provably redundant
-    # when the block-aligned lead-in and block-rounded tail of each scanned
-    # lane range stay strictly between the neighboring windows' accepted key
-    # ranges: in-window and in-gap non-stencil pairs are ≥ 2 cells away on
-    # some axis → r ≥ h → zeroed by the kernel cutoffs, and only reaching
-    # INTO an adjacent window's accepted cells could double-count a pair.
-    # These guards also subsume window overlap (a slab3 tile spanning
-    # > C²−2C−3 keys, i.e. multiple z-planes): if any particle sits in the
-    # overlapped cells, the upper window's aligned start precedes the lower
-    # window's accepted end → lead_ok fails → slow path; if none does, the
-    # two scans share no lanes and stay exact. col9 additionally requires
-    # tile span ≤ C−3 (columns sit only C apart, so overlapping column
-    # windows scan the SAME lanes for different (dy,dz) interpretations —
-    # lead/tail guards cannot separate them).
+
+def _column_ranges(key_s, valid_s, starts, cfg: SimConfig, tile: int):
+    """(aligned_start, cnt, kmin, kmax) for the single-mode stencil windows
+    of each tile of `tile` sorted targets."""
+    kmin, kmax = _tile_key_span(key_s, valid_s, cfg, tile)
+    astart, cnt, _ = _geom_ranges(kmin, kmax, starts, cfg, _stencil(cfg))
+    return astart, cnt, kmin, kmax
+
+
+def _fast_flags(
+    sub_start, sub_cnt, kmin, kmax, starts, cfg: SimConfig, geom, period,
+    span_ok,
+):
+    """Per-sub fast flag: the in-kernel key mask is provably redundant when
+    the block-aligned lead-in and block-rounded tail of each scanned lane
+    range stay strictly between the neighboring windows' accepted key ranges:
+    in-window and in-gap non-stencil pairs are ≥ 2 cells away on some axis →
+    r ≥ h → zeroed by the kernel cutoffs, and only reaching INTO an adjacent
+    window's accepted cells could double-count a pair. These guards also
+    subsume window overlap (a slab3 tile spanning > C²−2C−3 keys, i.e.
+    multiple z-planes): if any particle sits in the overlapped cells, the
+    upper window's aligned start precedes the lower window's accepted end →
+    lead_ok fails → slow path; if none does, the two scans share no lanes
+    and stay exact. col9 additionally requires tile span ≤ C−3 — passed as
+    `span_ok` — (columns sit only C apart, so overlapping column windows
+    scan the SAME lanes for different (dy,dz) interpretations — lead/tail
+    guards cannot separate them). `period` is the flat-key distance between
+    adjacent windows (C for col9, C² for slab3)."""
     nc = cfg.num_cells
-    c = cfg.num_cells_per_dim
-    offsets, lo_pad, hi_pad = _stencil(cfg)
-    period = _stencil_period(cfg)
+    offsets, lo_pad, hi_pad = geom
     offs = jnp.asarray(offsets, jnp.int32)
-    if cfg.pallas_stencil == "slab3":
-        span_ok = jnp.ones_like(kmin, dtype=bool)
-    else:
-        span_ok = (kmax - kmin) <= (c - 3)
     prev_end = starts[
         jnp.clip(kmax[:, None] + offs[None, :] - period + hi_pad, 0, nc + 1)
     ]
@@ -178,12 +209,140 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
         jnp.clip(kmin[:, None] + offs[None, :] + period - lo_pad, 0, nc + 1)
     ]
     tail_ok = tail_abs <= next_start
-    sub_fast = span_ok & jnp.all(lead_ok & tail_ok, axis=1)
+    return span_ok & jnp.all(lead_ok & tail_ok, axis=1)
+
+
+def _clamp_sub(sub_base, sub_cnt, cfg: SimConfig):
+    """Clamp sub window counts to the static per-window block scan and the
+    super buffer; returns (cnt, per-tile scan-capacity excess). Buffer-fit
+    excess is NOT counted here — sub windows are subsets of their super
+    window, so it is already counted at the super level."""
+    cap = cfg.pallas_col_capacity
+    sub_max = cfg.pallas_sub_blocks * 128
+    excess = jnp.sum(jnp.maximum(sub_cnt - sub_max, 0), axis=1)
+    cnt = jnp.minimum(sub_cnt, sub_max)
+    cnt = cnt - jnp.maximum(sub_base + cnt - cap, 0)
+    return jnp.maximum(cnt, 0), excess
+
+
+def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
+    if cfg.pallas_stencil == "hybrid":
+        return _supertile_columns_hybrid(key_s, valid_s, starts, cfg)
+    pt, g = effective_geometry(key_s.shape[0], cfg)
+    cap = cfg.pallas_col_capacity
+    c = cfg.num_cells_per_dim
+    sub_start, sub_cnt, kmin, kmax = _column_ranges(key_s, valid_s, starts, cfg, pt)
+    sup_start, sup_cnt, _, _ = _column_ranges(key_s, valid_s, starts, cfg, pt * g)
+    overflow = jnp.sum(jnp.maximum(sup_cnt - cap, 0)).astype(jnp.int32)
+    sub_base = sub_start - jnp.repeat(sup_start, g, axis=0)  # ≥0, 128-aligned
+    sub_cnt, excess = _clamp_sub(sub_base, sub_cnt, cfg)
+    overflow = overflow + jnp.sum(excess).astype(jnp.int32)
+
+    if cfg.pallas_stencil == "slab3":
+        span_ok = jnp.ones_like(kmin, dtype=bool)
+        period = c * c
+    else:
+        span_ok = (kmax - kmin) <= (c - 3)
+        period = c
+    sub_fast = _fast_flags(
+        sub_start, sub_cnt, kmin, kmax, starts, cfg, _stencil(cfg), period,
+        span_ok,
+    )
 
     return TileColumns(
         sub_base=sub_base.reshape(-1).astype(jnp.int16),
         sub_cnt=sub_cnt.reshape(-1).astype(jnp.int16),
+        sub_lead=jnp.zeros_like(sub_cnt).reshape(-1).astype(jnp.int16),
         sub_fast=sub_fast.astype(jnp.int32),
+        sub_mode=jnp.full(
+            kmin.shape, 0 if cfg.pallas_stencil == "slab3" else 1, jnp.int32
+        ),
+        sup_start=sup_start.reshape(-1),
+        sup_cnt=jnp.minimum(sup_cnt, cap).reshape(-1),
+        overflow=overflow,
+    )
+
+
+def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
+    """Hybrid stencil prep: super-tiles always DMA the 3 slab windows (a dz
+    slab covers all 9 of its plane's columns), and each SUB-tile picks the
+    cheaper scan layout by measured block count:
+
+      * slab mode — the 3 slab windows, packed at slots 0/3/6 so the
+        kernel's static slot→buffer map (s → s//3) lands each on its plane's
+        buffer; slots 1,2,4,5,7,8 get zero trip counts. Wins when the tile
+        spans most of a row.
+      * col mode — the 9 col windows at slots s = 3·dz_idx + dy_idx,
+        indexing into the same slab buffers. Wins in dense pile-up tiles,
+        where a narrow tile's slab windows are ~6C cells of padding. Only
+        available when the tile span ≤ C−3: the kernel's plane-wide slab
+        mask needs the three ranges of a plane to be DISJOINT (wider spans
+        would double-count pairs appearing in two overlapping col ranges).
+
+    col9 is charged `pallas_hybrid_bias` extra block-equivalents for its 6
+    extra window loops."""
+    pt, g = effective_geometry(key_s.shape[0], cfg)
+    cap = cfg.pallas_col_capacity
+    c = cfg.num_cells_per_dim
+    bl = cfg.pallas_block_lanes
+    slab_geom = _slab_geom(cfg)
+    col_geom = _col_geom(cfg)
+
+    kmin, kmax = _tile_key_span(key_s, valid_s, cfg, pt)
+    skmin, skmax = _tile_key_span(key_s, valid_s, cfg, pt * g)
+    sup_start, sup_cnt, _ = _geom_ranges(skmin, skmax, starts, cfg, slab_geom)
+    overflow = jnp.sum(jnp.maximum(sup_cnt - cap, 0)).astype(jnp.int32)
+
+    slab_start, slab_cnt, slab_lead = _geom_ranges(
+        kmin, kmax, starts, cfg, slab_geom
+    )
+    col_start, col_cnt, col_lead = _geom_ranges(
+        kmin, kmax, starts, cfg, col_geom
+    )
+
+    sup_rep = jnp.repeat(sup_start, g, axis=0)  # (ntiles, 3)
+    slab_base = slab_start - sup_rep  # ≥0, bl-aligned
+    # column (dy, dz) indexes into its dz plane's slab buffer (slot s → s//3)
+    col_base = col_start - sup_rep[:, jnp.arange(9) // 3]
+    slab_cnt, slab_excess = _clamp_sub(slab_base, slab_cnt, cfg)
+    col_cnt, col_excess = _clamp_sub(col_base, col_cnt, cfg)
+
+    span_ok = (kmax - kmin) <= (c - 3)
+    blocks_slab = jnp.sum(-(-slab_cnt // bl), axis=1)
+    blocks_col = jnp.sum(-(-col_cnt // bl), axis=1)
+    mode_col = span_ok & (
+        (blocks_col + cfg.pallas_hybrid_bias) < blocks_slab
+    )
+
+    fast_slab = _fast_flags(
+        slab_start, slab_cnt, kmin, kmax, starts, cfg, slab_geom, c * c,
+        jnp.ones_like(kmin, dtype=bool),
+    )
+    fast_col = _fast_flags(
+        col_start, col_cnt, kmin, kmax, starts, cfg, col_geom, c, span_ok
+    )
+
+    ntiles = kmin.shape[0]
+
+    def spread(slab3):
+        """(ntiles, 3) slab values → slots 0/3/6 of a (ntiles, 9) layout."""
+        out = jnp.zeros((ntiles, 9), jnp.int32)
+        return out.at[:, jnp.asarray([0, 3, 6])].set(slab3)
+
+    sub_base = jnp.where(mode_col[:, None], col_base, spread(slab_base))
+    sub_cnt = jnp.where(mode_col[:, None], col_cnt, spread(slab_cnt))
+    sub_lead = jnp.where(mode_col[:, None], col_lead, spread(slab_lead))
+    sub_fast = jnp.where(mode_col, fast_col, fast_slab)
+    overflow = overflow + jnp.sum(
+        jnp.where(mode_col, col_excess, slab_excess)
+    ).astype(jnp.int32)
+
+    return TileColumns(
+        sub_base=sub_base.reshape(-1).astype(jnp.int16),
+        sub_cnt=sub_cnt.reshape(-1).astype(jnp.int16),
+        sub_lead=sub_lead.reshape(-1).astype(jnp.int16),
+        sub_fast=sub_fast.astype(jnp.int32),
+        sub_mode=mode_col.astype(jnp.int32),
         sup_start=sup_start.reshape(-1),
         sup_cnt=jnp.minimum(sup_cnt, cap).reshape(-1),
         overflow=overflow,
@@ -254,13 +413,13 @@ def _super_dma_pipeline(
     return wait, i % 2
 
 
-def _key_mask(ck, tkey_off, cfg: SimConfig):
-    """Accept exactly the stencil pairs of this window. col9: key diff within
-    ±1 of the column offset. slab3: within ±1 of {−C, 0, +C} — the three
-    y-rows the slab covers (|u−C| ≤ 1 forces u > 0, so testing |u| against
-    {1, C±1} covers both signs)."""
+def _key_mask(ck, tkey_off, kind: str, cfg: SimConfig):
+    """Accept exactly the stencil pairs of this window. "col": key diff
+    within ±1 of the column offset. "slab"/"slab_ranged": within ±1 of
+    {−C, 0, +C} — the three y-rows a slab covers (|u−C| ≤ 1 forces u > 0,
+    so testing |u| against {1, C±1} covers both signs)."""
     u = ck - tkey_off
-    if cfg.pallas_stencil == "slab3":
+    if kind in ("slab", "slab_ranged"):
         au = jnp.abs(u)
         return (au <= 1.0) | (
             jnp.abs(au - jnp.float32(cfg.num_cells_per_dim)) <= 1.0
@@ -268,23 +427,95 @@ def _key_mask(ck, tkey_off, cfg: SimConfig):
     return jnp.abs(u) <= 1.0
 
 
+def _slot_plan(cfg: SimConfig):
+    """Static slot plan for the kernels: (slot, buffer, key_offset,
+    mask_kind) per descriptor slot. One plan per config — the hybrid
+    stencil needs NO in-kernel mode dispatch (lax.cond/switch on this
+    Mosaic stack execute every branch and select — measured 25.1 ms vs
+    slab3's 14.9 at 262k for a branching variant): every hybrid slot
+    uses its dz PLANE's slab key offset and slab mask, which is correct
+    for both packings prep may choose per sub-tile:
+      * slab mode — the plane's slab window in slot 3·dz (buffer dz = s//3
+        for slots 0,3,6), slots 1,2,4,5,7,8 empty (zero trip count);
+      * col mode — the 9 col windows in slots s = 3·dz + dy (buffer s//3).
+        Under the slab mask a col window accepts its plane's stencil pairs
+        regardless of dy, so exactness needs the three ranges of a plane to
+        be disjoint (prep gates col mode on span ≤ C−3) and the scan not to
+        leak outside the true range — the "slab_ranged" slow path bounds
+        lanes to [lead, cnt) (alignment lead-in and block-rounded tail are
+        cut exactly), and the fast path keeps the col9 lead/tail guards.
+    """
+    col = _offsets(cfg)
+    slab = _slab_geom(cfg)[0]
+    if cfg.pallas_stencil == "col9":
+        return [(s, s, col[s], "col") for s in range(9)]
+    if cfg.pallas_stencil == "slab3":
+        return [(s, s, slab[s], "slab") for s in range(3)]
+    return [(s, s // 3, slab[s // 3], "slab_ranged") for s in range(9)]
+
+
 # ---------------------------------------------------------------- density
 
+def _slot_scalars(tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg):
+    """Per-sub scalar descriptors for the FLAT block loop: each kernel runs
+    ONE fori_loop over the concatenation of every slot's blocks instead of
+    one fori_loop per slot. Threading a large accumulator carry through
+    per-slot loop boundaries spills it to VMEM each time (measured on v5e at
+    262k/step 60: the force kernel's 3×(pt,bl) carry cost ~1.1 ms PER extra
+    boundary — 9-slot hybrid 14.4 ms vs 3-slot slab3 7.6 — while the density
+    kernel's single (pt,bl) carry stays in registers). Returns
+    (starts_blk, rows, total_blocks): starts_blk[s] = first flat block of
+    slot s, rows[s] = that slot's scalars (base, lead, cnt, starts_blk,
+    buffer index, key offset)."""
+    plan = _slot_plan(cfg)
+    nslots = _sub_slots(cfg)
+    bl = cfg.pallas_block_lanes
+    ranged = plan[0][3] == "slab_ranged"
+    starts_blk, rows = [], []
+    cb = jnp.int32(0)
+    for s, buf, off, _ in plan:
+        cnt = sub_cnt_ref[tile * nslots + s].astype(jnp.int32)
+        base = sub_base_ref[tile * nslots + s].astype(jnp.int32)
+        lead = (
+            sub_lead_ref[tile * nslots + s].astype(jnp.int32)
+            if ranged
+            else jnp.int32(0)
+        )
+        starts_blk.append(cb)
+        rows.append(
+            (base, lead, cnt, cb, jnp.int32(buf), jnp.float32(off))
+        )
+        cb = cb + pl.cdiv(cnt, bl)
+    return starts_blk, rows, cb
+
+
+def _pick_slot(b, starts_blk, rows):
+    """Scalar select chain resolving flat block b to its slot's scalars: the
+    owner is the LAST slot s with starts_blk[s] <= b (an empty slot shares
+    its start with the next slot, so it can never win). ~6 scalar selects
+    per extra slot, issued on the scalar core in parallel with the VPU."""
+    sel = list(rows[0])
+    for s in range(1, len(rows)):
+        is_s = b >= starts_blk[s]
+        sel = [jnp.where(is_s, rows[s][k], sel[k]) for k in range(len(sel))]
+    return sel
+
+
 def _density_kernel(
-    sub_base_ref, sub_cnt_ref, sub_fast_ref, sup_start_ref, sup_cnt_ref,
-    tgt_ref, cols_hbm, rho_ref, cand, sem, *, cfg, geom,
+    sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref, sup_start_ref,
+    sup_cnt_ref, tgt_ref, cols_hbm, rho_ref, cand, sem, *, cfg, geom,
 ):
     i = pl.program_id(0)
     pt, g = geom
     col_cap = cfg.pallas_col_capacity
     h2 = jnp.float32(cfg.h2)
-    offsets, _, _ = _stencil(cfg)
-    ncols = len(offsets)
+    nbuf = len(_sup_stencil(cfg)[0])
+    kind = _slot_plan(cfg)[0][3]  # uniform mask kind across slots
     wait, slot = _super_dma_pipeline(
-        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, ncols
+        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf
     )
 
-    for c in range(ncols):  # fully unrolled: offsets are compile-time constants
+    for c in range(nbuf):  # fully unrolled: offsets are compile-time constants
         wait(c)
     for sub in range(g):
         t0 = sub * pt
@@ -293,44 +524,53 @@ def _density_kernel(
         ty = tgt_ref[t0 : t0 + pt, 1:2]
         tz = tgt_ref[t0 : t0 + pt, 2:3]
         tkey = tgt_ref[t0 : t0 + pt, 3:4]
+        starts_blk, rows, total = _slot_scalars(
+            tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg
+        )
 
-        def sub_acc(fast, tile=tile, tx=tx, ty=ty, tz=tz, tkey=tkey):
+        def sub_acc(fast, tx=tx, ty=ty, tz=tz, tkey=tkey,
+                    starts_blk=starts_blk, rows=rows, total=total):
             bl = cfg.pallas_block_lanes
-            acc0 = jnp.zeros((pt, bl), jnp.float32)
-            for c in range(ncols):
-                sub_cnt = sub_cnt_ref[tile * ncols + c].astype(jnp.int32)
-                base = sub_base_ref[tile * ncols + c].astype(jnp.int32)
-                # fold the column offset into the target keys once per column
-                tkey_off = tkey + jnp.float32(offsets[c])
 
-                def blk(b, acc, c=c, base=base, tkey_off=tkey_off):
-                    sl = pl.ds(pl.multiple_of(base + b * bl, 128), bl)
-                    cx = cand[slot, c, 0, sl][None, :]
-                    cy = cand[slot, c, 1, sl][None, :]
-                    cz = cand[slot, c, 2, sl][None, :]
-                    dx = tx - cx
-                    dy = ty - cy
-                    dz = tz - cz
-                    r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
-                    w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
-                    w = w * w * w
-                    if fast:
-                        # prep proved the key mask redundant for this sub
-                        # (window disjointness + lead-in/tail isolation): the
-                        # r ≤ h cutoff alone is exact, parked sentinel/pad
-                        # rows are ≥ 0.17 from any valid particle.
-                        return acc + w
-                    # No per-lane count check even here: alignment lead-in
-                    # lanes carry keys below the accepted set, beyond-window
-                    # lanes carry keys above it or KEY_PAD — the key mask
-                    # rejects all.
-                    ck = cand[slot, c, 3, sl][None, :]
-                    keyhit = _key_mask(ck, tkey_off, cfg)
-                    return acc + jnp.where(keyhit, w, 0.0)
+            def blk(b, acc):
+                base, lead, cnt, cb, buf, off = _pick_slot(b, starts_blk, rows)
+                local = b - cb
+                sl = pl.ds(pl.multiple_of(base + local * bl, 128), bl)
+                cx = cand[slot, buf, 0, sl][None, :]
+                cy = cand[slot, buf, 1, sl][None, :]
+                cz = cand[slot, buf, 2, sl][None, :]
+                dx = tx - cx
+                dy = ty - cy
+                dz = tz - cz
+                r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
+                w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
+                w = w * w * w
+                if fast:
+                    # prep proved the key mask redundant for this sub
+                    # (window disjointness + lead-in/tail isolation): the
+                    # r ≤ h cutoff alone is exact, parked sentinel/pad
+                    # rows are ≥ 0.17 from any valid particle.
+                    return acc + w
+                # col9/slab3: no per-lane count check — alignment lead-in
+                # lanes carry keys below the accepted set, beyond-window
+                # lanes carry keys above it or KEY_PAD — the key mask
+                # rejects all.
+                ck = cand[slot, buf, 3, sl][None, :]
+                keyhit = _key_mask(ck, tkey + off, kind, cfg)
+                if kind == "slab_ranged":
+                    # hybrid: the plane-wide slab mask cannot separate a
+                    # col window from its neighbors' lead-in/tail lanes —
+                    # bound lanes to the true range [lead, cnt) instead.
+                    li = local * bl + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, bl), 1
+                    )
+                    keyhit = keyhit & (li >= lead) & (li < cnt)
+                return acc + jnp.where(keyhit, w, 0.0)
 
-                # dynamic trip count: dead capacity costs nothing
-                acc0 = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, bl), blk, acc0)
-            return acc0
+            # dynamic trip count: dead capacity costs nothing
+            return jax.lax.fori_loop(
+                0, total, blk, jnp.zeros((pt, bl), jnp.float32)
+            )
 
         acc0 = jax.lax.cond(
             sub_fast_ref[tile] > 0,
@@ -361,8 +601,9 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
     )
     tgts = jnp.stack([x, y, z, key_f], axis=1)  # (n,4)
 
+    nbuf = len(_sup_stencil(cfg)[0])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(nprog,),
         in_specs=[
             pl.BlockSpec((pt * g, 4), lambda i, *_: (i, 0)),
@@ -370,8 +611,8 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, g, pt), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, len(_stencil(cfg)[0]), 8, col_cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, len(_stencil(cfg)[0]), 2)),
+            pltpu.VMEM((2, nbuf, 8, col_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nbuf, 2)),
         ],
     )
     rho = pl.pallas_call(
@@ -382,6 +623,7 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
     )(
         cols_info.sub_base,
         cols_info.sub_cnt,
+        cols_info.sub_lead,
         cols_info.sub_fast,
         cols_info.sup_start,
         cols_info.sup_cnt,
@@ -398,8 +640,8 @@ _FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FKEY = range(9)
 
 
 def _force_kernel(
-    sub_base_ref, sub_cnt_ref, sub_fast_ref, sup_start_ref, sup_cnt_ref,
-    tgt_ref, cols_hbm, f_ref, cand, sem, *, cfg, geom,
+    sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref, sup_start_ref,
+    sup_cnt_ref, tgt_ref, cols_hbm, f_ref, cand, sem, *, cfg, geom,
 ):
     i = pl.program_id(0)
     pt, g = geom
@@ -409,13 +651,13 @@ def _force_kernel(
     m = jnp.float32(cfg.mass)
     vk = jnp.float32(cfg.v_kernel_coeff)
     mu = jnp.float32(cfg.viscosity)
-    offsets, _, _ = _stencil(cfg)
-    ncols = len(offsets)
+    nbuf = len(_sup_stencil(cfg)[0])
+    kind = _slot_plan(cfg)[0][3]  # uniform mask kind across slots
     wait, slot = _super_dma_pipeline(
-        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, ncols
+        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf
     )
 
-    for c in range(ncols):
+    for c in range(nbuf):
         wait(c)
     for sub in range(g):
         t0 = sub * pt
@@ -428,64 +670,70 @@ def _force_kernel(
         tvz = tgt_ref[t0 : t0 + pt, 5:6]
         tp = tgt_ref[t0 : t0 + pt, 6:7]
         tkey = tgt_ref[t0 : t0 + pt, 7:8]
+        starts_blk, rows, total = _slot_scalars(
+            tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg
+        )
 
-        def sub_force(fast, tile=tile, tx=tx, ty=ty, tz=tz,
-                      tvx=tvx, tvy=tvy, tvz=tvz, tp=tp, tkey=tkey):
+        def sub_force(fast, tx=tx, ty=ty, tz=tz, tvx=tvx, tvy=tvy, tvz=tvz,
+                      tp=tp, tkey=tkey, starts_blk=starts_blk, rows=rows,
+                      total=total):
             bl = cfg.pallas_block_lanes
             zero = jnp.zeros((pt, bl), jnp.float32)
-            fcarry = (zero, zero, zero)
-            for c in range(ncols):
-                sub_cnt = sub_cnt_ref[tile * ncols + c].astype(jnp.int32)
-                base = sub_base_ref[tile * ncols + c].astype(jnp.int32)
-                tkey_off = tkey + jnp.float32(offsets[c])
 
-                def blk(b, carry, c=c, base=base, tkey_off=tkey_off):
-                    fx, fy, fz = carry
-                    s = base + b * bl
-                    sl = pl.ds(pl.multiple_of(s, 128), bl)
-                    row = lambda r: cand[slot, c, r, sl][None, :]
-                    dx = tx - row(_FX)
-                    dy = ty - row(_FY)
-                    dz = tz - row(_FZ)
-                    r2 = dx * dx + dy * dy + dz * dz
-                    # r and 1/r via one rsqrt (sqrt+divide are the two slow
-                    # transcendental slots in this loop); r2=0 → NaN, which
-                    # the masks turn into exact 0 through the selects
-                    inv_r = jax.lax.rsqrt(r2)
-                    r = r2 * inv_r
-                    # The r ≥ eps guard excludes self-pairs (reference EPS_F,
-                    # cu:107,126). The r ≤ h cutoff is folded into hr:
-                    # max(h−r, 0) zeroes BOTH terms outside the support — the
-                    # reference's pressure guard (r² ≤ h², cu:107) and
-                    # viscosity guard (r ≤ h, cu:126) are the same set for
-                    # r ≥ 0, and both scale linearly in hr. When prep proved
-                    # the key mask redundant (fast), eps alone remains; else
-                    # the key-difference mask bounds the window (density note).
-                    if fast:
-                        live = r >= eps
-                    else:
-                        keyhit = _key_mask(row(_FKEY), tkey_off, cfg)
-                        live = keyhit & (r >= eps)
-                    hr = jnp.maximum(h - r, 0.0)
-                    # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's
-                    # two minus signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r,
-                    # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)
-                    # ·(h−r)²/r, applied along disp.
-                    term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
-                    s_p = jnp.where(live, (m * vk) * term * hr * hr * inv_r, 0.0)
-                    fx = fx + s_p * dx
-                    fy = fy + s_p * dy
-                    fz = fz + s_p * dz
-                    # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
-                    # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
-                    s_v = jnp.where(live, (2.0 * mu * m * vk) * hr * row(_FI2R), 0.0)
-                    fx = fx + s_v * (row(_FVX) - tvx)
-                    fy = fy + s_v * (row(_FVY) - tvy)
-                    fz = fz + s_v * (row(_FVZ) - tvz)
-                    return fx, fy, fz
+            def blk(b, carry):
+                fx, fy, fz = carry
+                base, lead, cnt, cb, buf, off = _pick_slot(b, starts_blk, rows)
+                local = b - cb
+                sl = pl.ds(pl.multiple_of(base + local * bl, 128), bl)
+                row = lambda r: cand[slot, buf, r, sl][None, :]
+                dx = tx - row(_FX)
+                dy = ty - row(_FY)
+                dz = tz - row(_FZ)
+                r2 = dx * dx + dy * dy + dz * dz
+                # r and 1/r via one rsqrt (sqrt+divide are the two slow
+                # transcendental slots in this loop); r2=0 → NaN, which
+                # the masks turn into exact 0 through the selects
+                inv_r = jax.lax.rsqrt(r2)
+                r = r2 * inv_r
+                # The r ≥ eps guard excludes self-pairs (reference EPS_F,
+                # cu:107,126). The r ≤ h cutoff is folded into hr:
+                # max(h−r, 0) zeroes BOTH terms outside the support — the
+                # reference's pressure guard (r² ≤ h², cu:107) and
+                # viscosity guard (r ≤ h, cu:126) are the same set for
+                # r ≥ 0, and both scale linearly in hr. When prep proved
+                # the key mask redundant (fast), eps alone remains; else
+                # the key-difference mask bounds the window (density note).
+                if fast:
+                    live = r >= eps
+                else:
+                    keyhit = _key_mask(row(_FKEY), tkey + off, kind, cfg)
+                    if kind == "slab_ranged":
+                        # hybrid: bound lanes to the true range — see
+                        # the density kernel note
+                        li = local * bl + jax.lax.broadcasted_iota(
+                            jnp.int32, (1, bl), 1
+                        )
+                        keyhit = keyhit & (li >= lead) & (li < cnt)
+                    live = keyhit & (r >= eps)
+                hr = jnp.maximum(h - r, 0.0)
+                # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's
+                # two minus signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r,
+                # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)
+                # ·(h−r)²/r, applied along disp.
+                term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
+                s_p = jnp.where(live, (m * vk) * term * hr * hr * inv_r, 0.0)
+                fx = fx + s_p * dx
+                fy = fy + s_p * dy
+                fz = fz + s_p * dz
+                # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
+                # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
+                s_v = jnp.where(live, (2.0 * mu * m * vk) * hr * row(_FI2R), 0.0)
+                fx = fx + s_v * (row(_FVX) - tvx)
+                fy = fy + s_v * (row(_FVY) - tvy)
+                fz = fz + s_v * (row(_FVZ) - tvz)
+                return fx, fy, fz
 
-                fcarry = jax.lax.fori_loop(0, pl.cdiv(sub_cnt, bl), blk, fcarry)
-            return fcarry
+            return jax.lax.fori_loop(0, total, blk, (zero, zero, zero))
 
         fx, fy, fz = jax.lax.cond(
             sub_fast_ref[tile] > 0,
@@ -524,8 +772,9 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
     )
     tgts = jnp.stack([x, y, z, vx, vy, vz, p_s, key_f], axis=1)  # (n, 8)
 
+    nbuf = len(_sup_stencil(cfg)[0])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(nprog,),
         in_specs=[
             pl.BlockSpec((pt * g, 8), lambda i, *_: (i, 0)),
@@ -533,8 +782,8 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
         ],
         out_specs=pl.BlockSpec((3, 1, g, pt), lambda i, *_: (0, i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, len(_stencil(cfg)[0]), 16, col_cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, len(_stencil(cfg)[0]), 2)),
+            pltpu.VMEM((2, nbuf, 16, col_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nbuf, 2)),
         ],
     )
     f = pl.pallas_call(
@@ -545,6 +794,7 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
     )(
         cols_info.sub_base,
         cols_info.sub_cnt,
+        cols_info.sub_lead,
         cols_info.sub_fast,
         cols_info.sup_start,
         cols_info.sup_cnt,
@@ -556,7 +806,7 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
 
 def tile_columns(key_s, valid_s, starts, cfg: SimConfig, pt: int, col_cap: int):
     """Back-compat wrapper (per-tile ranges only) used by tests."""
-    astart, cnt = _column_ranges(key_s, valid_s, starts, cfg, pt)
+    astart, cnt, _, _ = _column_ranges(key_s, valid_s, starts, cfg, pt)
     overflow = jnp.sum(jnp.maximum(cnt - col_cap, 0)).astype(jnp.int32)
     return (
         astart.reshape(-1),
