@@ -167,8 +167,13 @@ def main() -> None:
         kw["pallas_stencil"] = os.environ["TPUSPH_BENCH_STENCIL"]
     elif n >= 1_000_000:
         # dense pile-up regime: the hybrid stencil's per-sub col9 windows
-        # beat plain slab3 (measured v5e 1M dam-break: 14.3 vs 12.3 steps/s)
+        # beat plain slab3 (measured v5e 1M dam-break: 14.3 vs 12.3 steps/s),
+        # and the geometry optimum stays at 128x8 (64x16, the 262k optimum,
+        # measured 13.7/11.6 there — wider slab windows amortize better over
+        # bigger tiles when every padded cell is full)
         kw["pallas_stencil"] = "hybrid"
+        kw.setdefault("pallas_tile", 128)
+        kw.setdefault("pallas_group", 8)
     cfg = default_config(n, **kw)  # capacities grown on overflow below
 
     def make_run(cfg):
