@@ -194,3 +194,39 @@ def test_hybrid_modes_agree_and_match_slab3():
             np.asarray(out.force)[v], np.asarray(ref.force)[v],
             rtol=1e-4, atol=1e-5,
         )
+
+
+def test_sub_descriptor_dtype_widens_past_int16():
+    """Capacity auto-grow past the int16 range must widen the SMEM sub-window
+    descriptors instead of silently wrapping (sub_base is relative to the
+    super buffer and bounded by pallas_col_capacity)."""
+    import jax.numpy as jnp
+
+    from tpusph.neighbors.cell_list import build_sorted_fields
+    from tpusph.pallas.fused import density_pallas, supertile_columns
+
+    small = default_config(
+        512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
+        pallas_block_lanes=128,
+    )
+    big = default_config(
+        512, chunk_size=512, pallas_col_capacity=65536,
+        pallas_sub_blocks=512, pallas_block_lanes=128,
+    )
+    st = init_state(small, random_init=True, seed=7)
+    for cfg, want in ((small, jnp.int16), (big, jnp.int32)):
+        sf = jax.jit(
+            lambda s: build_sorted_fields(s.position, s.velocity, s.valid, cfg)
+        )(st)
+        cols = jax.jit(
+            lambda sf: supertile_columns(
+                sf.key_sorted, sf.valid_sorted, sf.starts, cfg
+            )
+        )(sf)
+        assert cols.sub_base.dtype == want
+        assert cols.sub_cnt.dtype == want
+        # the kernel consumes either width
+        rho = density_pallas(
+            (sf.x, sf.y, sf.z), sf.key_sorted, cols, cfg, interpret=True
+        )
+        assert bool(jnp.all(rho > 0))

@@ -121,9 +121,10 @@ def effective_geometry(n: int, cfg: SimConfig) -> tuple[int, int]:
 
 class TileColumns(NamedTuple):
     """Stencil-column ranges at two granularities (flattened 1-D so the SMEM
-    prefetch buffers aren't lane-padded; the per-sub arrays are int16 RELATIVE
-    offsets — bounded by the column capacity — so the SMEM footprint stays
-    ~2 bytes/entry and scales to ~1M particles per chip)."""
+    prefetch buffers aren't lane-padded; the per-sub arrays are RELATIVE
+    offsets bounded by the column capacity — int16 while capacities fit
+    (2 bytes/entry scales to ~1M particles per chip), widened to int32
+    automatically when capacity auto-grow exceeds the int16 range)."""
 
     sub_base: jnp.ndarray  # i16[ntiles*slots] 128-aligned start rel. to super
     sub_cnt: jnp.ndarray  # i16[ntiles*slots] candidates from sub_base
@@ -134,6 +135,14 @@ class TileColumns(NamedTuple):
     sup_start: jnp.ndarray  # i32[nprog*nsup] 128-aligned absolute start
     sup_cnt: jnp.ndarray  # i32[nprog*nsup] candidate count (≤ capacity)
     overflow: jnp.ndarray  # int32[] — super-column count beyond capacity
+
+
+def _sub_dtype(cfg: SimConfig):
+    """int16 while every per-sub scalar (base ≤ capacity, cnt ≤ the block
+    scan limit, lead < block width) fits; int32 after capacity regrow pushes
+    past the int16 range (2× SMEM prefetch footprint, still small)."""
+    limit = max(cfg.pallas_col_capacity, cfg.pallas_sub_blocks * 128)
+    return jnp.int16 if limit <= 32767 else jnp.int32
 
 
 def _tile_key_span(key_s, valid_s, cfg: SimConfig, tile: int):
@@ -249,10 +258,11 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
         span_ok,
     )
 
+    idt = _sub_dtype(cfg)
     return TileColumns(
-        sub_base=sub_base.reshape(-1).astype(jnp.int16),
-        sub_cnt=sub_cnt.reshape(-1).astype(jnp.int16),
-        sub_lead=jnp.zeros_like(sub_cnt).reshape(-1).astype(jnp.int16),
+        sub_base=sub_base.reshape(-1).astype(idt),
+        sub_cnt=sub_cnt.reshape(-1).astype(idt),
+        sub_lead=jnp.zeros_like(sub_cnt).reshape(-1).astype(idt),
         sub_fast=sub_fast.astype(jnp.int32),
         sub_mode=jnp.full(
             kmin.shape, 0 if cfg.pallas_stencil == "slab3" else 1, jnp.int32
@@ -337,10 +347,11 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
         jnp.where(mode_col, col_excess, slab_excess)
     ).astype(jnp.int32)
 
+    idt = _sub_dtype(cfg)
     return TileColumns(
-        sub_base=sub_base.reshape(-1).astype(jnp.int16),
-        sub_cnt=sub_cnt.reshape(-1).astype(jnp.int16),
-        sub_lead=sub_lead.reshape(-1).astype(jnp.int16),
+        sub_base=sub_base.reshape(-1).astype(idt),
+        sub_cnt=sub_cnt.reshape(-1).astype(idt),
+        sub_lead=sub_lead.reshape(-1).astype(idt),
         sub_fast=sub_fast.astype(jnp.int32),
         sub_mode=mode_col.astype(jnp.int32),
         sup_start=sup_start.reshape(-1),
