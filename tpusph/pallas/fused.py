@@ -813,14 +813,3 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
         cols,
     )
     return f.reshape(3, n)  # field-major rows (fx, fy, fz)
-
-
-def tile_columns(key_s, valid_s, starts, cfg: SimConfig, pt: int, col_cap: int):
-    """Back-compat wrapper (per-tile ranges only) used by tests."""
-    astart, cnt, _, _ = _column_ranges(key_s, valid_s, starts, cfg, pt)
-    overflow = jnp.sum(jnp.maximum(cnt - col_cap, 0)).astype(jnp.int32)
-    return (
-        astart.reshape(-1),
-        jnp.minimum(cnt, col_cap).reshape(-1),
-        overflow,
-    )
