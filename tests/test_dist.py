@@ -132,14 +132,17 @@ def test_halo_overflow_detected(setup, eight_devices):
     assert total > 0
 
 
-def test_sharded_pallas_matches_xla(setup, eight_devices):
+@pytest.mark.parametrize("stencil", ["slab3", "hybrid"])
+def test_sharded_pallas_matches_xla(setup, eight_devices, stencil):
     """Per-device Pallas megakernels inside shard_map (interpret mode on CPU)
-    must match the XLA sharded step."""
+    must match the XLA sharded step — with the default slab3 stencil and
+    with the hybrid stencil composed under sharding."""
     from tpusph.dist.sharded import make_sharded_step as mss
 
     cfg, st = setup
     cfg = __import__("dataclasses").replace(
-        cfg, pallas_col_capacity=512, pallas_sub_blocks=3
+        cfg, pallas_col_capacity=512, pallas_sub_blocks=3,
+        pallas_stencil=stencil,
     )
     mesh = _mesh(eight_devices, 2)
     dcfg = DistConfig(
