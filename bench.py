@@ -133,6 +133,27 @@ def verify_parity(backend: str, verify_steps: int = 10, n: int = 4096) -> str:
     return "pass" if ok else "fail"
 
 
+def config_overrides(n: int, env) -> dict:
+    """SimConfig overrides from TPUSPH_BENCH_* env vars plus the measured
+    per-N presets: at N >= 1M (dense pile-up regime) the hybrid stencil's
+    per-sub col9 windows beat plain slab3 (v5e 1M dam-break: 14.3 vs 12.3
+    steps/s) and the geometry optimum stays at 128x8 (64x16, the 262k
+    optimum, measured 13.7/11.6 there — wider slab windows amortize better
+    over bigger tiles when every padded cell is full)."""
+    kw = {}
+    if env.get("TPUSPH_BENCH_COL_CAP"):
+        kw["pallas_col_capacity"] = int(env["TPUSPH_BENCH_COL_CAP"])
+    if env.get("TPUSPH_BENCH_SUB_BLOCKS"):
+        kw["pallas_sub_blocks"] = int(env["TPUSPH_BENCH_SUB_BLOCKS"])
+    if env.get("TPUSPH_BENCH_STENCIL"):
+        kw["pallas_stencil"] = env["TPUSPH_BENCH_STENCIL"]
+    elif n >= 1_000_000:
+        kw["pallas_stencil"] = "hybrid"
+        kw["pallas_tile"] = 128
+        kw["pallas_group"] = 8
+    return kw
+
+
 def main() -> None:
     import jax
 
@@ -158,23 +179,8 @@ def main() -> None:
     if not on_tpu and backend == "pallas_sorted":
         backend = "cell_list"  # Pallas compiled path needs TPU
 
-    kw = {}
-    if os.environ.get("TPUSPH_BENCH_COL_CAP"):
-        kw["pallas_col_capacity"] = int(os.environ["TPUSPH_BENCH_COL_CAP"])
-    if os.environ.get("TPUSPH_BENCH_SUB_BLOCKS"):
-        kw["pallas_sub_blocks"] = int(os.environ["TPUSPH_BENCH_SUB_BLOCKS"])
-    if os.environ.get("TPUSPH_BENCH_STENCIL"):
-        kw["pallas_stencil"] = os.environ["TPUSPH_BENCH_STENCIL"]
-    elif n >= 1_000_000:
-        # dense pile-up regime: the hybrid stencil's per-sub col9 windows
-        # beat plain slab3 (measured v5e 1M dam-break: 14.3 vs 12.3 steps/s),
-        # and the geometry optimum stays at 128x8 (64x16, the 262k optimum,
-        # measured 13.7/11.6 there — wider slab windows amortize better over
-        # bigger tiles when every padded cell is full)
-        kw["pallas_stencil"] = "hybrid"
-        kw.setdefault("pallas_tile", 128)
-        kw.setdefault("pallas_group", 8)
-    cfg = default_config(n, **kw)  # capacities grown on overflow below
+    cfg = default_config(n, **config_overrides(n, os.environ))
+    # capacities grown on overflow below
 
     def make_run(cfg):
         if backend == "pallas_sorted":

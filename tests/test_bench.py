@@ -30,3 +30,23 @@ def test_bench_emits_json_line():
     assert set(data) == {"metric", "value", "unit", "vs_baseline", "parity"}
     assert data["metric"] == "sph_timesteps_per_sec_n512"
     assert data["value"] > 0
+
+
+def test_config_overrides_presets():
+    """Env overrides and the measured per-N presets (hybrid stencil + 128x8
+    geometry at N >= 1M; no overrides below)."""
+    sys.path.insert(0, REPO)
+    from bench import config_overrides
+
+    assert config_overrides(262_144, {}) == {}
+    kw = config_overrides(1_048_576, {})
+    assert kw == {
+        "pallas_stencil": "hybrid", "pallas_tile": 128, "pallas_group": 8
+    }
+    kw = config_overrides(
+        1_048_576,
+        {"TPUSPH_BENCH_STENCIL": "slab3", "TPUSPH_BENCH_COL_CAP": "8192"},
+    )
+    assert kw["pallas_stencil"] == "slab3"  # explicit env wins over preset
+    assert kw["pallas_col_capacity"] == 8192
+    assert "pallas_tile" not in kw
