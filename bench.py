@@ -134,23 +134,38 @@ def verify_parity(backend: str, verify_steps: int = 10, n: int = 4096) -> str:
 
 
 def config_overrides(n: int, env) -> dict:
-    """SimConfig overrides from TPUSPH_BENCH_* env vars plus the measured
-    per-N presets: at N >= 1M (dense pile-up regime) the hybrid stencil's
-    per-sub col9 windows beat plain slab3 (v5e 1M dam-break: 14.3 vs 12.3
-    steps/s) and the geometry optimum stays at 128x8 (64x16, the 262k
-    optimum, measured 13.7/11.6 there — wider slab windows amortize better
-    over bigger tiles when every padded cell is full)."""
+    """SimConfig overrides: measured per-N presets first, then TPUSPH_BENCH_*
+    env vars on top (each env var replaces its preset piece independently).
+    At N >= 1M (dense pile-up regime) the hybrid stencil's per-sub col9
+    windows beat plain slab3 (v5e 1M dam-break: 14.3 vs 12.3 steps/s), the
+    geometry optimum stays at 128x8 (64x16, the 262k optimum, measured
+    13.7/11.6 there — wider slab windows amortize better over bigger tiles
+    when every padded cell is full), and the dam-break pile-up transients
+    need col=16384 sub_blocks=80 — preset so the bench never pays the
+    auto-grow recompile loop at 1M."""
     kw = {}
+    if n >= 1_000_000:
+        # measured-known-good 1M preset: hybrid stencil, 128x8 geometry, and
+        # the pile-up capacities (col=16384 sub_blocks=80) — presetting the
+        # capacities too skips the multi-minute auto-grow recompiles
+        kw["pallas_stencil"] = "hybrid"
+        kw["pallas_tile"] = 128
+        kw["pallas_group"] = 8
+        kw["pallas_col_capacity"] = 16384
+        kw["pallas_sub_blocks"] = 80
+    # env vars override any preset piece independently
     if env.get("TPUSPH_BENCH_COL_CAP"):
         kw["pallas_col_capacity"] = int(env["TPUSPH_BENCH_COL_CAP"])
     if env.get("TPUSPH_BENCH_SUB_BLOCKS"):
         kw["pallas_sub_blocks"] = int(env["TPUSPH_BENCH_SUB_BLOCKS"])
     if env.get("TPUSPH_BENCH_STENCIL"):
         kw["pallas_stencil"] = env["TPUSPH_BENCH_STENCIL"]
-    elif n >= 1_000_000:
-        kw["pallas_stencil"] = "hybrid"
-        kw["pallas_tile"] = 128
-        kw["pallas_group"] = 8
+    if env.get("TPUSPH_BENCH_TILE"):
+        kw["pallas_tile"] = int(env["TPUSPH_BENCH_TILE"])
+    if env.get("TPUSPH_BENCH_GROUP"):
+        kw["pallas_group"] = int(env["TPUSPH_BENCH_GROUP"])
+    if env.get("TPUSPH_BENCH_BLOCK_LANES"):
+        kw["pallas_block_lanes"] = int(env["TPUSPH_BENCH_BLOCK_LANES"])
     return kw
 
 

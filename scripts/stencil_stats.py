@@ -41,7 +41,10 @@ def window_stats(key_s, valid, starts, cfg, tile):
     lo = np.clip(kmin[:, None] + offs[None, :] - lo_pad, 0, nc)
     hi = np.clip(kmax[:, None] + offs[None, :] + hi_pad, lo, nc)
     start = starts[lo]
-    cnt = starts[hi] - (start // 128) * 128
+    # align down to the production block width so predicted lane counts match
+    # fused._geom_ranges exactly (bl=256 by default, not the 128-lane minimum)
+    bl = cfg.pallas_block_lanes
+    cnt = starts[hi] - (start // bl) * bl
     return cnt  # (ntiles, nwin) lanes incl. alignment lead-in
 
 

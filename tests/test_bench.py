@@ -34,14 +34,15 @@ def test_bench_emits_json_line():
 
 def test_config_overrides_presets():
     """Env overrides and the measured per-N presets (hybrid stencil + 128x8
-    geometry at N >= 1M; no overrides below)."""
+    geometry + pile-up capacities at N >= 1M; no overrides below)."""
     sys.path.insert(0, REPO)
     from bench import config_overrides
 
     assert config_overrides(262_144, {}) == {}
     kw = config_overrides(1_048_576, {})
     assert kw == {
-        "pallas_stencil": "hybrid", "pallas_tile": 128, "pallas_group": 8
+        "pallas_stencil": "hybrid", "pallas_tile": 128, "pallas_group": 8,
+        "pallas_col_capacity": 16384, "pallas_sub_blocks": 80,
     }
     kw = config_overrides(
         1_048_576,
@@ -49,4 +50,12 @@ def test_config_overrides_presets():
     )
     assert kw["pallas_stencil"] == "slab3"  # explicit env wins over preset
     assert kw["pallas_col_capacity"] == 8192
-    assert "pallas_tile" not in kw
+    # the geometry + capacity presets survive a stencil-only override
+    assert kw["pallas_tile"] == 128 and kw["pallas_group"] == 8
+    assert kw["pallas_sub_blocks"] == 80
+    # geometry env overrides
+    kw = config_overrides(512, {"TPUSPH_BENCH_TILE": "64",
+                                "TPUSPH_BENCH_GROUP": "4",
+                                "TPUSPH_BENCH_BLOCK_LANES": "128"})
+    assert kw == {"pallas_tile": 64, "pallas_group": 4,
+                  "pallas_block_lanes": 128}

@@ -225,9 +225,15 @@ def _clamp_sub(sub_base, sub_cnt, cfg: SimConfig):
     """Clamp sub window counts to the static per-window block scan and the
     super buffer; returns (cnt, per-tile scan-capacity excess). Buffer-fit
     excess is NOT counted here — sub windows are subsets of their super
-    window, so it is already counted at the super level."""
+    window, so it is already counted at the super level.
+
+    NOTE pallas_sub_blocks is in 128-LANE units regardless of
+    cfg.pallas_block_lanes (the kernels loop in pallas_block_lanes-wide
+    blocks, so at bl=256 the effective per-window block budget is
+    sub_blocks/2). The clamp is safe either way — scans never exceed this
+    lane limit — but configure sub_blocks in 128-lane lanes÷128."""
     cap = cfg.pallas_col_capacity
-    sub_max = cfg.pallas_sub_blocks * 128
+    sub_max = cfg.pallas_sub_blocks * 128  # 128-lane units (see note above)
     excess = jnp.sum(jnp.maximum(sub_cnt - sub_max, 0), axis=1)
     cnt = jnp.minimum(sub_cnt, sub_max)
     cnt = cnt - jnp.maximum(sub_base + cnt - cap, 0)
