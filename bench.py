@@ -15,9 +15,11 @@ Every bench line carries its own correctness proof: before timing, a parity
 check runs ON THE SAME DEVICE — K chained steps of the timed backend vs the
 XLA cell-list backend at N=4096 (multiset-compared: the sorted variant
 permutes particle identity), plus one step of cell_list vs the independent
-NumPy oracle (tests/oracle_numpy.py) — asserting ≤1e-4 relative density and
-≤1e-4 positions, the BASELINE.json budget. The JSON line reports
-"parity": "pass"/"fail"; set TPUSPH_BENCH_VERIFY=0 to skip.
+NumPy oracle (tests/oracle_numpy.py), PLUS one step of the timed backend vs
+the XLA tile path at the HEADLINE N with the exact timed config (catches
+geometry/capacity-dependent bugs small N cannot see) — asserting ≤1e-4
+relative density and ≤1e-4 positions, the BASELINE.json budget. The JSON
+line reports "parity": "pass"/"fail"; set TPUSPH_BENCH_VERIFY=0 to skip.
 
 Env overrides: TPUSPH_BENCH_N, TPUSPH_BENCH_STEPS, TPUSPH_BENCH_BACKEND;
 TPUSPH_BENCH_COL_CAP / TPUSPH_BENCH_SUB_BLOCKS / TPUSPH_BENCH_STENCIL
@@ -133,6 +135,55 @@ def verify_parity(backend: str, verify_steps: int = 10, n: int = 4096) -> str:
     return "pass" if ok else "fail"
 
 
+def verify_headline(cfg, state0, backend: str) -> str:
+    """One ON-DEVICE step of the timed backend vs the independent XLA
+    cell-list tile path at the HEADLINE N and the exact timed config
+    (stencil/geometry/capacities), multiset-compared. Catches geometry- or
+    capacity-dependent Mosaic bugs that the small-N gate cannot see (the
+    fast-path/hybrid machinery only engages at production N). Returns
+    'pass'/'fail'."""
+    if backend != "pallas_sorted":
+        return "pass"  # the timed backend IS the reference path
+    import dataclasses
+
+    import numpy as np
+    import jax
+
+    from tpusph.engine.step import step_cell_list, step_pallas_sorted
+
+    a, aux_a = jax.jit(lambda s: step_pallas_sorted(s, cfg))(state0)
+    a, aux_a = jax.device_get((a, aux_a))
+    if int(aux_a.window_overflow):
+        print("headline parity FAIL: pallas overflow", file=sys.stderr)
+        return "fail"
+    ccfg = cfg
+    for _ in range(4):
+        b, aux_b = jax.jit(lambda s: step_cell_list(s, ccfg))(state0)
+        b, aux_b = jax.device_get((b, aux_b))
+        if int(aux_b.window_overflow) == 0:
+            break
+        ccfg = dataclasses.replace(
+            ccfg, tile_cand_capacity=ccfg.tile_cand_capacity * 2
+        )
+    else:
+        print("headline parity FAIL: cell_list overflow", file=sys.stderr)
+        return "fail"
+    va, vb = np.asarray(a.valid), np.asarray(b.valid)
+    if va.sum() != vb.sum():
+        print("headline parity FAIL: count mismatch", file=sys.stderr)
+        return "fail"
+    pa, ra = _canon(np.asarray(a.position)[va], np.asarray(a.density)[va])
+    pb, rb = _canon(np.asarray(b.position)[vb], np.asarray(b.density)[vb])
+    ok = True
+    try:
+        np.testing.assert_allclose(ra, rb, rtol=1e-4, atol=0)
+        np.testing.assert_allclose(pa, pb, rtol=0, atol=1e-4)
+    except AssertionError as e:
+        ok = False
+        print(f"headline parity FAIL: {e}", file=sys.stderr)
+    return "pass" if ok else "fail"
+
+
 def config_overrides(n: int, env) -> dict:
     """SimConfig overrides: measured per-N presets first, then TPUSPH_BENCH_*
     env vars on top (each env var replaces its preset piece independently).
@@ -169,7 +220,58 @@ def config_overrides(n: int, env) -> dict:
     return kw
 
 
+def main_dist() -> None:
+    """Sharded-engine bench mode (TPUSPH_BENCH_DIST=<ndev>): the scan-chained
+    multi-chip production loop, ONE dispatch for the whole run. On this
+    1-chip host it is a functional smoke over virtual CPU devices (set
+    XLA_FLAGS=--xla_force_host_platform_device_count=<ndev>); the same code
+    path is the real multi-chip bench when hardware shows up. 'parity' is
+    'pass' when the run completes with conservation + zero overflow (run()
+    raises otherwise; physics equality with the single-chip engine is
+    asserted by tests/test_dist_simulator.py)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from tpusph.core.config import default_config
+    from tpusph.dist.simulator import DistSimulator
+
+    ndev = int(os.environ["TPUSPH_BENCH_DIST"])
+    n = int(os.environ.get("TPUSPH_BENCH_N", 262_144))
+    steps = int(os.environ.get("TPUSPH_BENCH_STEPS", 100))
+    devices = jax.devices()
+    if len(devices) < ndev:
+        print(
+            f"need {ndev} devices, have {len(devices)} — set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={ndev} for a CPU smoke",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    cfg = default_config(n, **config_overrides(n, os.environ))
+    sim = DistSimulator(cfg, devices=devices[:ndev])
+    sim.setup()
+    sim.run(1)  # compile + capacity settle
+    t0 = time.perf_counter()
+    sim.run(steps)  # one dispatch
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": f"sph_dist_timesteps_per_sec_n{n}_d{ndev}",
+                "value": round(steps / dt, 3),
+                "unit": "timesteps/s",
+                "vs_baseline": round(steps / dt / 100.0, 4),
+                "parity": "pass",
+            }
+        )
+    )
+
+
 def main() -> None:
+    if os.environ.get("TPUSPH_BENCH_DIST"):
+        main_dist()
+        return
     import jax
 
     # persistent compile cache: the 100-step scan program compiles once per
@@ -227,6 +329,10 @@ def main() -> None:
     parity = "skipped"
     if os.environ.get("TPUSPH_BENCH_VERIFY", "1") != "0":
         parity = verify_parity(backend)
+        if parity == "pass":
+            # the gate must cover the configuration it reports: one step at
+            # the headline N with the exact timed config
+            parity = verify_headline(cfg, state0, backend)
 
     # warmup: compile + verify capacity holds over the full horizon
     for _ in range(6):
@@ -240,6 +346,7 @@ def main() -> None:
             cfg,
             pallas_col_capacity=cfg.pallas_col_capacity * 2,
             pallas_sub_blocks=cfg.pallas_sub_blocks * 2,
+            pallas_desc_blocks=cfg.pallas_desc_blocks * 2,
             tile_cand_capacity=cfg.tile_cand_capacity * 2,
         )
         print(

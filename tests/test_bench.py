@@ -32,6 +32,37 @@ def test_bench_emits_json_line():
     assert data["value"] > 0
 
 
+def test_bench_dist_mode_smoke():
+    """TPUSPH_BENCH_DIST runs the scan-chained sharded loop on a virtual
+    CPU mesh and emits the dist metric line."""
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2",
+        TPUSPH_BENCH_DIST="2",
+        TPUSPH_BENCH_N="512",
+        TPUSPH_BENCH_STEPS="3",
+    )
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import bench; bench.main()",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    data = json.loads(r.stdout.strip().splitlines()[-1])
+    assert data["metric"] == "sph_dist_timesteps_per_sec_n512_d2"
+    assert data["value"] > 0 and data["parity"] == "pass"
+
+
 def test_config_overrides_presets():
     """Env overrides and the measured per-N presets (hybrid stencil + 128x8
     geometry + pile-up capacities at N >= 1M; no overrides below)."""

@@ -55,6 +55,38 @@ def test_help_flag():
     assert "Number of particles to simulate" in r.stdout
 
 
+def test_stencil_and_capacity_flags():
+    """--stencil/--pallas-* reach SimConfig (run still completes on CPU)."""
+    r = run_cli(
+        "-n", "256", "-m", "time", "--steps", "2",
+        "--stencil", "hybrid", "--pallas-col-capacity", "1024",
+        "--pallas-sub-blocks", "8",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Grid construction" in r.stdout
+
+
+def test_mesh_flag_runs_dist_simulator():
+    """--mesh z on a 2-virtual-device CPU mesh runs the sharded engine."""
+    env = dict(ENV)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "tpusph", "-n", "256", "-m", "time",
+         "--steps", "2", "--mesh", "z"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "SPH update" in r.stdout
+
+
+def test_mesh_flag_bad_shape_rejected():
+    r = run_cli("-n", "64", "--mesh", "2x2")
+    assert r.returncode == 1
+    assert "Program Options:" in r.stdout
+
+
 def test_free_mode_headless_frames(tmp_path):
     out = str(tmp_path / "frames")
     r = run_cli(

@@ -49,6 +49,82 @@ def test_dist_capacity_growth(eight_devices):
     assert dsim.num_particles_alive() == cfg.num_particles
 
 
+def test_dist_run_matches_stepwise(eight_devices):
+    """The scan-chained production loop (one dispatch per chunk) must equal
+    the per-step dispatch path exactly — same per-device programs, no
+    host-sync-dependent behavior."""
+    cfg = default_config(512, chunk_size=512)
+    a = DistSimulator(cfg, devices=eight_devices, random_init=True, seed=21)
+    a.setup()
+    b = DistSimulator(cfg, devices=eight_devices, random_init=True, seed=21)
+    b.setup()
+    a.run(4, chunk=2)  # two chained dispatches
+    for _ in range(4):
+        b.simulate()
+    assert a.num_particles_alive() == cfg.num_particles
+    np.testing.assert_allclose(
+        a.get_position(), b.get_position(), rtol=0, atol=1e-6
+    )
+
+
+def test_dist_run_capacity_growth(eight_devices):
+    """Overflow inside a scan chunk must re-run the chunk from its initial
+    state with grown capacities (physics never degraded)."""
+    from tpusph.dist.sharded import DistConfig
+
+    cfg = default_config(512, chunk_size=512)
+    tiny = DistConfig(
+        n_devices=8, dev_capacity=512, halo_capacity=8, migration_capacity=64
+    )
+    a = DistSimulator(cfg, devices=eight_devices, dcfg=tiny,
+                      random_init=True, seed=2)
+    a.setup()
+    a.run(3)
+    assert a.dcfg.halo_capacity > 8
+    b = DistSimulator(cfg, devices=eight_devices, random_init=True, seed=2)
+    b.setup()
+    b.run(3)
+    np.testing.assert_allclose(
+        a.get_position(), b.get_position(), rtol=0, atol=1e-6
+    )
+
+
+def test_dist_checkpoint_roundtrip(eight_devices):
+    """DistState save → load onto a DIFFERENT mesh shape → resumed
+    trajectory equals the uninterrupted one."""
+    from jax.sharding import Mesh
+
+    from tpusph.core.io import load_dist_state, save_dist_state
+    from tpusph.dist.sharded import make_sharded_run
+
+    import numpy as _np
+
+    cfg = default_config(512, chunk_size=512)
+    sim = DistSimulator(cfg, devices=eight_devices, random_init=True, seed=13)
+    sim.setup()
+    sim.run(2)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "dist.npz")
+        save_dist_state(path, sim.state, sim.cfg, sim.dcfg)
+        # restore onto a 4-device mesh (different shape → re-distribution)
+        mesh4 = Mesh(_np.array(eight_devices[:4]), ("z",))
+        dstate, cfg2, dcfg2 = load_dist_state(path, mesh4)
+        assert cfg2 == sim.cfg and dcfg2.n_devices == 4
+        run4 = make_sharded_run(cfg2, dcfg2, mesh4, steps=2)
+        resumed, aux = run4(dstate)
+        assert int(aux.num_particles) == cfg.num_particles
+
+    sim.run(2)  # uninterrupted continuation
+    from tpusph.dist.sharded import collect_state
+
+    got = collect_state(resumed, cfg.num_particles)["position"]
+    np.testing.assert_allclose(
+        got, sim.get_position(), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_dist_simulator_mesh3d(eight_devices):
     """DistSimulator with a 3-D brick mesh matches the single-chip engine."""
     cfg = default_config(512, chunk_size=512)

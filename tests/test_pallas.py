@@ -17,23 +17,26 @@ pytestmark = pytest.mark.slow
 @pytest.fixture(
     scope="module",
     params=[
-        ("grid", "col9", 128),
-        ("random", "col9", 128),
-        ("grid", "slab3", 128),
-        ("random", "slab3", 128),
-        ("random", "slab3", 256),
-        ("grid", "hybrid", 128),
-        ("random", "hybrid", 256),
+        ("grid", "col9", 128, False),
+        ("random", "col9", 128, True),
+        ("grid", "slab3", 128, False),
+        ("random", "slab3", 128, False),
+        ("random", "slab3", 256, True),
+        ("grid", "slab3", 256, False),
+        ("grid", "hybrid", 128, True),
+        ("grid", "hybrid", 128, False),
+        ("random", "hybrid", 256, True),
     ],
-    ids=lambda p: f"{p[0]}-{p[1]}-bl{p[2]}",
+    ids=lambda p: f"{p[0]}-{p[1]}-bl{p[2]}{'-desc' if p[3] else ''}",
 )
 def setup(request):
-    init_mode, stencil, bl = request.param
+    init_mode, stencil, bl, desc = request.param
     # small pallas capacities: the interpreter executes every predicated
     # block, so production-size capacities would crawl on CPU
     cfg = default_config(
         512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
-        pallas_stencil=stencil, pallas_block_lanes=bl,
+        pallas_stencil=stencil, pallas_block_lanes=bl, pallas_desc=desc,
+        pallas_desc_blocks=48,
     )
     st = init_state(cfg, random_init=(init_mode == "random"), seed=7)
     return cfg, st
@@ -84,6 +87,18 @@ def test_pallas_capacity_overflow_detected():
     )
     st = init_state(cfg, random_init=True, seed=3)
     # 128-aligned starts + tile span exceed the tiny capacity for some tile
+    _, aux = jax.jit(lambda s: step_pallas(s, cfg, interpret=True))(st)
+    assert int(aux.window_overflow) > 0
+
+
+def test_pallas_desc_blocks_overflow_detected():
+    """A per-tile block total beyond pallas_desc_blocks must be counted as
+    overflow (the clamped descriptor list would drop interactions)."""
+    cfg = default_config(
+        512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
+        pallas_block_lanes=128, pallas_desc=True, pallas_desc_blocks=2,
+    )
+    st = init_state(cfg, random_init=True, seed=3)
     _, aux = jax.jit(lambda s: step_pallas(s, cfg, interpret=True))(st)
     assert int(aux.window_overflow) > 0
 

@@ -94,6 +94,52 @@ def test_move_particles_out_of_bounds_noop():
     np.testing.assert_array_equal(np.asarray(sim.state.velocity), v0)
 
 
+def test_get_position_async_matches_sync():
+    cfg = default_config(256, chunk_size=256)
+    sim = Simulator(cfg, random_init=True, seed=9)
+    sim.setup()
+    sim.simulate()
+    fetch = sim.get_position_async()
+    sim_sync = sim.get_position()
+    np.testing.assert_array_equal(fetch.wait(), sim_sync)
+    # a stale handle (pre-advance) must not leak into get_position
+    stale = sim.get_position_async()
+    sim.simulate()
+    assert not np.allclose(stale.wait(), sim.get_position())
+
+
+def test_free_mode_pipelined_frames_match_sequential(tmp_path):
+    """The double-buffered free-mode loop must produce byte-identical frames
+    to the sequential simulate→fetch→render loop (same trajectory, same
+    per-frame positions — only the overlap schedule differs)."""
+    from tpusph.viz.render import render_frame, run_free_mode
+
+    cfg = default_config(128, chunk_size=128)
+    clicks = {1: (400, 300)}
+
+    sim = Simulator(cfg, random_init=True, seed=4)
+    sim.setup()
+    out = tmp_path / "frames"
+    run_free_mode(sim, frames=4, out_dir=str(out), clicks=clicks)
+    assert sorted(p.name for p in out.iterdir()) == [
+        f"frame_{k:05d}.png" for k in range(4)
+    ]
+
+    ref = Simulator(cfg, random_init=True, seed=4)
+    ref.setup()
+    for k in range(4):
+        ref.simulate(click=clicks.get(k))
+        img = render_frame(ref.get_position())
+        got = (out / f"frame_{k:05d}.png").read_bytes()
+        import io
+
+        from tpusph.viz.render import save_png
+
+        tmp = tmp_path / "ref.png"
+        save_png(img, str(tmp))
+        assert tmp.read_bytes() == got, f"frame {k} differs"
+
+
 def test_render_frame_shape_and_content():
     cfg = default_config(128, chunk_size=128)
     sim = Simulator(cfg, random_init=True, seed=2)

@@ -6,7 +6,8 @@
 Same defaults (N=1000, grid init, time mode; main.cpp:21-23), same usage text
 (main.cpp:12-18), same 100-iteration timed benchmark printing the Times table
 (main.cpp:68-76). Extra TPU-era flags (--steps, --backend, --seed, --out,
---frames) extend, never change, the reference surface.
+--frames, and the scaling surface --mesh/--stencil/--pallas-*) extend, never
+change, the reference surface.
 """
 
 from __future__ import annotations
@@ -70,6 +71,27 @@ def build_parser() -> argparse.ArgumentParser:
         action="append",
     )
     p.add_argument("--window-capacity", type=int, default=None)
+    # scaling-layer surface (SURVEY.md §2.5): spatial domain sharding +
+    # Pallas stencil/capacity presets, reachable without env vars
+    p.add_argument(
+        "--mesh",
+        type=str,
+        default=None,
+        metavar="z|ZxYxX",
+        help="shard the box across devices: 'z' = 1-D z-slabs over all "
+        "devices, 'ZxYxX' (e.g. 2x2x2) = 3-D brick mesh",
+    )
+    p.add_argument(
+        "--stencil",
+        choices=["col9", "slab3", "hybrid"],
+        default=None,
+        help="Pallas stencil decomposition (default: slab3; hybrid wins in "
+        "dense pile-up regimes, e.g. N >= 1M)",
+    )
+    p.add_argument("--pallas-col-capacity", type=int, default=None,
+                   help="per-window candidate buffer (e.g. 16384 at N >= 1M)")
+    p.add_argument("--pallas-sub-blocks", type=int, default=None,
+                   help="per-window 128-lane block scan budget (80 at N >= 1M)")
     p.add_argument(
         "--profile",
         type=str,
@@ -100,18 +122,44 @@ def main(argv: list[str] | None = None) -> int:
 
     _maybe_force_cpu()
     from tpusph.core.config import default_config
-    from tpusph.engine.simulator import Simulator
 
     kw = {}
     if args.window_capacity is not None:
         kw["window_capacity"] = args.window_capacity
+    if args.stencil is not None:
+        kw["pallas_stencil"] = args.stencil
+    if args.pallas_col_capacity is not None:
+        kw["pallas_col_capacity"] = args.pallas_col_capacity
+    if args.pallas_sub_blocks is not None:
+        kw["pallas_sub_blocks"] = args.pallas_sub_blocks
     cfg = default_config(args.num_particles, **kw)
-    sim = Simulator(
-        cfg,
-        backend=args.backend,
-        random_init=(args.init_mode == "random"),
-        seed=args.seed,
-    )
+
+    if args.mesh is not None:
+        from tpusph.dist.simulator import DistSimulator
+
+        mesh_shape = None
+        if args.mesh != "z":
+            try:
+                mesh_shape = tuple(int(v) for v in args.mesh.split("x"))
+                assert len(mesh_shape) == 3
+            except (ValueError, AssertionError):
+                print(usage(), end="")
+                return 1
+        sim = DistSimulator(
+            cfg,
+            random_init=(args.init_mode == "random"),
+            seed=args.seed,
+            mesh_shape=mesh_shape,
+        )
+    else:
+        from tpusph.engine.simulator import Simulator
+
+        sim = Simulator(
+            cfg,
+            backend=args.backend,
+            random_init=(args.init_mode == "random"),
+            seed=args.seed,
+        )
     sim.setup()
 
     if args.exec_mode == "time":

@@ -120,6 +120,15 @@ class SimConfig:
     # stay inside the capacity buffer. v5e 262k sweep: 256 → 68.7 steps/s
     # vs 128 → 67.6 (at the default pt=128 g=8; pt=256/512 measured worse).
     pallas_block_lanes: int = 256
+    # Flat DESCRIPTOR loop: prep precomputes one packed SMEM descriptor per
+    # scanned block (flat 128-lane VMEM offset + slot id), so the kernels'
+    # block loop does ONE scalar SMEM load per iteration instead of the
+    # ~6-scalar-per-slot select chain resolving block → window. Costs
+    # ntiles × pallas_desc_blocks SMEM entries (2 i16 arrays); per-tile
+    # block totals beyond pallas_desc_blocks are detected as overflow and
+    # the driver regrows.
+    pallas_desc: bool = False
+    pallas_desc_blocks: int = 16
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192
@@ -169,6 +178,7 @@ class SimConfig:
             "pallas_group",
             "pallas_col_capacity",
             "pallas_sub_blocks",
+            "pallas_desc_blocks",
             "chunk_size",
         ):
             if getattr(self, f) <= 0:

@@ -331,6 +331,60 @@ def make_sharded_step(
     return step
 
 
+def make_sharded_run(
+    cfg: SimConfig, dcfg: DistConfig, mesh: Mesh, steps: int,
+    use_pallas: bool = False, interpret: bool = False,
+):
+    """Scan-chained multi-chip production loop: ONE jitted dispatch runs
+    `steps` sharded timesteps (lax.scan INSIDE shard_map, so the whole chain
+    compiles to a single per-device program with its ICI collectives — no
+    per-step host round-trip, the multi-chip analog of the bench's
+    single-chip lax.scan chain). Aux counters are accumulated in-graph:
+    overflow/misrouting/oob summed over the chain, num_particles from the
+    final step. Returns jitted `DistState -> (DistState, DistAux)`."""
+    dcfg.validate()
+    ax = dcfg.axis_name
+    spec = P(ax)
+    zero_cell = jnp.zeros((2,), jnp.int32)
+    inactive = jnp.zeros((), bool)
+
+    def device_run(pos, vel, valid, pid):
+        def body(carry, _):
+            pos, vel, valid, pid = carry
+            x, v, valid2, pid2, aux = _device_step(
+                pos, vel, valid, pid, zero_cell, inactive, cfg, dcfg,
+                use_pallas=use_pallas, interpret=interpret,
+            )
+            return (x, v, valid2, pid2), aux
+        carry, auxs = lax.scan(body, (pos, vel, valid, pid), None, length=steps)
+        aux = DistAux(
+            halo_overflow=jnp.sum(auxs.halo_overflow),
+            migration_overflow=jnp.sum(auxs.migration_overflow),
+            window_overflow=jnp.sum(auxs.window_overflow),
+            oob_count=jnp.sum(auxs.oob_count),
+            misrouted=jnp.sum(auxs.misrouted),
+            num_particles=auxs.num_particles[-1],
+        )
+        return carry[0], carry[1], carry[2], carry[3], aux
+
+    sharded = shard_map(
+        device_run,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(state: DistState):
+        x, v, valid, pid, aux = sharded(
+            state.position, state.velocity, state.valid, state.pid
+        )
+        return DistState(x, v, valid, pid), aux
+
+    return run
+
+
 # --------------------------------------------------------------------- host IO
 def distribute_state(
     state: FluidState, cfg: SimConfig, dcfg: DistConfig, mesh: Mesh

@@ -186,6 +186,7 @@ class DistSimulator:
                 tile_cand_capacity=self.cfg.tile_cand_capacity * 2,
                 pallas_col_capacity=self.cfg.pallas_col_capacity * 2,
                 pallas_sub_blocks=self.cfg.pallas_sub_blocks * 2,
+                pallas_desc_blocks=self.cfg.pallas_desc_blocks * 2,
             )
         self.dcfg = d
         if self.mesh_shape is None:
@@ -198,6 +199,56 @@ class DistSimulator:
             self._step = make_mesh3d_step(
                 self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
             )
+
+    def run(self, steps: int, chunk: int | None = None) -> None:
+        """Production loop: scan-chained sharded steps, ONE dispatch per
+        `chunk` steps (default: all of them), aux checked once per chunk on
+        host instead of every step (the multi-chip analog of the bench's
+        single-chip lax.scan chain; replaces simulate()'s per-step
+        device_get sync). On capacity overflow the chunk is re-run from its
+        initial state with doubled capacities, so the physics that lands in
+        self.state is never degraded. 1-D slab mesh only (the 3-D brick
+        mesh keeps the per-step driver)."""
+        assert self.state is not None, "call setup() first"
+        assert self.mesh_shape is None, "run() supports the 1-D slab mesh"
+        from tpusph.dist.sharded import make_sharded_run
+
+        chunk = steps if chunk is None else max(1, chunk)
+        done = 0
+        runners: dict[int, object] = {}
+        while done < steps:
+            k = min(chunk, steps - done)
+            for _ in range(8):
+                if k not in runners:
+                    runners[k] = make_sharded_run(
+                        self.cfg, self.dcfg, self.mesh,
+                        steps=k, use_pallas=self.use_pallas,
+                    )
+                new_state, aux = runners[k](self.state)
+                aux_host = jax.device_get(aux)
+                if (
+                    int(aux_host.halo_overflow) == 0
+                    and int(aux_host.migration_overflow) == 0
+                    and int(aux_host.window_overflow) == 0
+                ):
+                    break
+                self._grow(aux_host)
+                runners.clear()  # capacities changed: re-trace
+            else:
+                raise RuntimeError("dist capacity growth failed to converge")
+            if int(aux_host.misrouted) > 0:
+                raise RuntimeError(
+                    f"{int(aux_host.misrouted)} particle(s) crossed more "
+                    "than one slab in a single step"
+                )
+            if int(aux_host.num_particles) != self.cfg.num_particles:
+                raise RuntimeError(
+                    f"particle conservation broken: "
+                    f"{int(aux_host.num_particles)} != {self.cfg.num_particles}"
+                )
+            self.state = new_state
+            self.last_aux = aux_host
+            done += k
 
     def simulate_and_time(self, times: Times) -> None:
         """Whole-step timing (the sharded step fuses build+update; the

@@ -42,6 +42,30 @@ from tpusph.engine.step import (
 from tpusph.interact.impulse import click_in_box, make_impulse
 
 
+class AsyncPositionFetch:
+    """An in-flight device→host position copy. Constructing it starts the
+    transfer (copy_to_host_async); wait() blocks until the data is on host.
+    Keeping the device array referenced keeps the source buffer alive for
+    the duration of the transfer."""
+
+    def __init__(self, position, num_particles: int):
+        self._arr = position
+        self._n = num_particles
+        self._host: np.ndarray | None = None
+        try:
+            position.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass  # backend without async copies: wait() falls back to sync
+
+    def matches(self, position) -> bool:
+        return self._arr is position
+
+    def wait(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.asarray(jax.device_get(self._arr))[: self._n]
+        return self._host
+
+
 class Simulator:
     def __init__(
         self,
@@ -60,6 +84,7 @@ class Simulator:
         self.seed = seed
         self.state: FluidState | None = None
         self._position_host: np.ndarray | None = None
+        self._pending_fetch: AsyncPositionFetch | None = None
         self._build_fns()
 
     # ------------------------------------------------------------------ setup
@@ -88,6 +113,7 @@ class Simulator:
             window_capacity=self.cfg.window_capacity * 2,
             pallas_col_capacity=self.cfg.pallas_col_capacity * 2,
             pallas_sub_blocks=self.cfg.pallas_sub_blocks * 2,
+            pallas_desc_blocks=self.cfg.pallas_desc_blocks * 2,
         )
         self._build_fns()
 
@@ -154,23 +180,47 @@ class Simulator:
             self.simulate_and_time(times)
             return
 
-        # Per-step D2H position copy, like cu:532-533.
-        pos = np.asarray(jax.device_get(new_state.position))
+        # Per-step D2H position copy, like cu:532-533, but DOUBLE-BUFFERED:
+        # wait for the PREVIOUS step's in-flight copy (its transfer
+        # overlapped this step's build+update phases), then start this
+        # step's copy — the memcpy phase pays only the non-overlapped
+        # remainder instead of a full synchronous transfer per step.
+        if self._pending_fetch is not None:
+            self._position_host = self._pending_fetch.wait()
+        self._pending_fetch = AsyncPositionFetch(
+            new_state.position, self.cfg.num_particles
+        )
         t3 = time.perf_counter()
         times.memcpy += t3 - t2
 
         self.state = new_state
-        self._position_host = pos[: self.cfg.num_particles]
         times.iters += 1
 
     # --------------------------------------------------------------- queries
     def get_position(self) -> np.ndarray:
-        """Host-side f32[N,3] position snapshot (getPosition, cu:407-409)."""
+        """Host-side f32[N,3] position snapshot (getPosition, cu:407-409).
+        Joins the in-flight async copy when one covers the current state;
+        falls back to a synchronous fetch otherwise."""
         assert self.state is not None, "call setup() first"
+        if self._pending_fetch is not None and self._pending_fetch.matches(
+            self.state.position
+        ):
+            return self._pending_fetch.wait()
         if self._position_host is None:
             pos = np.asarray(jax.device_get(self.state.position))
             self._position_host = pos[: self.cfg.num_particles]
         return self._position_host
+
+    def get_position_async(self) -> AsyncPositionFetch:
+        """Start a device→host copy of the CURRENT positions and return the
+        in-flight handle (SURVEY.md §5 comm backend: the free-mode loop
+        dispatches step k+1 before waiting on step k's positions, so frame
+        time is max(step, fetch) instead of step + fetch)."""
+        assert self.state is not None, "call setup() first"
+        self._pending_fetch = AsyncPositionFetch(
+            self.state.position, self.cfg.num_particles
+        )
+        return self._pending_fetch
 
     def move_particles(self, click: tuple[int, int]) -> None:
         """Apply a click impulse outside the step loop — implements the

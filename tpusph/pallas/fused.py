@@ -124,10 +124,23 @@ class TileColumns(NamedTuple):
     prefetch buffers aren't lane-padded; the per-sub arrays are RELATIVE
     offsets bounded by the column capacity — int16 while capacities fit
     (2 bytes/entry scales to ~1M particles per chip), widened to int32
-    automatically when capacity auto-grow exceeds the int16 range)."""
+    automatically when capacity auto-grow exceeds the int16 range).
 
-    sub_base: jnp.ndarray  # i16[ntiles*slots] 128-aligned start rel. to super
-    sub_cnt: jnp.ndarray  # i16[ntiles*slots] candidates from sub_base
+    sub_base is stored in flat 128-lane BLOCK units into the lane-flattened
+    candidate buffer (buf·col_capacity + lane_start)//128 — always exact
+    (window starts are 128-aligned), keeps int16 viable to huge capacities,
+    and lets the kernel address any of the nbuf window buffers with one
+    scalar (no per-block buffer select).
+
+    When cfg.pallas_desc, desc_base/desc_meta/desc_cnt additionally hold one
+    packed descriptor per scanned block (dense per-tile rows of
+    pallas_desc_blocks): desc_base = flat 128-lane block offset of the
+    block, desc_meta = its slot id, desc_cnt = the tile's live block count.
+    The kernels' flat block loop then does one SMEM load per iteration
+    instead of a select chain."""
+
+    sub_base: jnp.ndarray  # i16[ntiles*slots] window start, flat BLOCK units
+    sub_cnt: jnp.ndarray  # i16[ntiles*slots] candidate LANES from sub_base
     sub_lead: jnp.ndarray  # i16[ntiles*slots] alignment lead-in (< block)
     sub_fast: jnp.ndarray  # i32[ntiles] — 1: key mask provably redundant
     #   (i32: this terminal's Mosaic cannot legalize scalar i16 compares)
@@ -135,13 +148,20 @@ class TileColumns(NamedTuple):
     sup_start: jnp.ndarray  # i32[nprog*nsup] 128-aligned absolute start
     sup_cnt: jnp.ndarray  # i32[nprog*nsup] candidate count (≤ capacity)
     overflow: jnp.ndarray  # int32[] — super-column count beyond capacity
+    desc_base: jnp.ndarray | None = None  # i16[ntiles*MB] flat block offset
+    desc_meta: jnp.ndarray | None = None  # i16[ntiles*MB] slot id
+    desc_cnt: jnp.ndarray | None = None  # i16[ntiles] live blocks (≤ MB)
 
 
 def _sub_dtype(cfg: SimConfig):
-    """int16 while every per-sub scalar (base ≤ capacity, cnt ≤ the block
-    scan limit, lead < block width) fits; int32 after capacity regrow pushes
-    past the int16 range (2× SMEM prefetch footprint, still small)."""
-    limit = max(cfg.pallas_col_capacity, cfg.pallas_sub_blocks * 128)
+    """int16 while every per-sub scalar (base in flat block units ≤
+    nbuf·capacity/128, cnt ≤ the block scan limit in lanes, lead < block
+    width) fits; int32 after capacity regrow pushes past the int16 range
+    (2× SMEM prefetch footprint, still small)."""
+    nbuf = len(_sup_stencil(cfg)[0])
+    limit = max(
+        nbuf * cfg.pallas_col_capacity // 128, cfg.pallas_sub_blocks * 128
+    )
     return jnp.int16 if limit <= 32767 else jnp.int32
 
 
@@ -240,6 +260,46 @@ def _clamp_sub(sub_base, sub_cnt, cfg: SimConfig):
     return jnp.maximum(cnt, 0), excess
 
 
+def _flat_blocks(base_lanes, buf_idx, cfg: SimConfig):
+    """Per-window start in flat 128-lane block units of the lane-flattened
+    candidate buffer: (buf·capacity + lane_start)//128. Exact — lane starts
+    are 128-aligned by _geom_ranges."""
+    cap = cfg.pallas_col_capacity
+    return (buf_idx[None, :] * cap + base_lanes) // 128
+
+
+def _build_desc(base_blk, cnt, cfg: SimConfig):
+    """Dense per-tile block descriptors for the flat descriptor loop: for
+    each tile, the concatenation of its windows' scanned blocks in slot
+    order. Returns (desc_base, desc_meta, desc_cnt, excess_lanes):
+    desc_base[t, j] = flat 128-lane block offset of the tile's j-th block,
+    desc_meta[t, j] = its slot id, desc_cnt[t] = live blocks (≤ MB). Blocks
+    beyond pallas_desc_blocks are counted as overflow (driver regrows)."""
+    ntiles, ns = base_blk.shape
+    bl = cfg.pallas_block_lanes
+    mb = cfg.pallas_desc_blocks
+    bw = -(-cnt // bl)  # (ntiles, ns) blocks per window
+    cw = jnp.cumsum(bw, axis=1) - bw  # exclusive
+    total = cw[:, -1] + bw[:, -1]
+    j = jnp.arange(mb, dtype=jnp.int32)[None, :]  # (1, MB)
+    # owner slot of flat block j: the LAST w with cw[w] <= j whose window is
+    # non-empty (an empty window shares its cw with the next slot and can
+    # never win the chain below)
+    wj = jnp.zeros((ntiles, mb), jnp.int32)
+    base_sel = jnp.zeros((ntiles, mb), jnp.int32)
+    local = jnp.zeros((ntiles, mb), jnp.int32)
+    for w in range(ns):
+        is_w = (j >= cw[:, w : w + 1]) & (bw[:, w : w + 1] > 0)
+        wj = jnp.where(is_w, w, wj)
+        base_sel = jnp.where(is_w, base_blk[:, w : w + 1], base_sel)
+        local = jnp.where(is_w, j - cw[:, w : w + 1], local)
+    live = j < total[:, None]
+    desc_base = jnp.where(live, base_sel + local * (bl // 128), 0)
+    desc_meta = jnp.where(live, wj, 0)
+    excess = jnp.sum(jnp.maximum(total - mb, 0)) * bl
+    return desc_base, desc_meta, jnp.minimum(total, mb), excess
+
+
 def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
     if cfg.pallas_stencil == "hybrid":
         return _supertile_columns_hybrid(key_s, valid_s, starts, cfg)
@@ -264,9 +324,18 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
         span_ok,
     )
 
+    ns = sub_base.shape[1]
+    base_blk = _flat_blocks(sub_base, jnp.arange(ns, dtype=jnp.int32), cfg)
+    desc_base = desc_meta = desc_cnt = None
+    if cfg.pallas_desc:
+        desc_base, desc_meta, desc_cnt, excess = _build_desc(
+            base_blk, sub_cnt, cfg
+        )
+        overflow = overflow + excess.astype(jnp.int32)
+
     idt = _sub_dtype(cfg)
     return TileColumns(
-        sub_base=sub_base.reshape(-1).astype(idt),
+        sub_base=base_blk.reshape(-1).astype(idt),
         sub_cnt=sub_cnt.reshape(-1).astype(idt),
         sub_lead=jnp.zeros_like(sub_cnt).reshape(-1).astype(idt),
         sub_fast=sub_fast.astype(jnp.int32),
@@ -276,6 +345,9 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
         sup_start=sup_start.reshape(-1),
         sup_cnt=jnp.minimum(sup_cnt, cap).reshape(-1),
         overflow=overflow,
+        desc_base=None if desc_base is None else desc_base.reshape(-1).astype(idt),
+        desc_meta=None if desc_meta is None else desc_meta.reshape(-1).astype(idt),
+        desc_cnt=None if desc_cnt is None else desc_cnt.astype(idt),
     )
 
 
@@ -353,9 +425,21 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
         jnp.where(mode_col, col_excess, slab_excess)
     ).astype(jnp.int32)
 
+    # every hybrid slot s (col or slab packing) lives in its dz plane's slab
+    # buffer s//3
+    base_blk = _flat_blocks(
+        sub_base, jnp.arange(9, dtype=jnp.int32) // 3, cfg
+    )
+    desc_base = desc_meta = desc_cnt = None
+    if cfg.pallas_desc:
+        desc_base, desc_meta, desc_cnt, excess = _build_desc(
+            base_blk, sub_cnt, cfg
+        )
+        overflow = overflow + excess.astype(jnp.int32)
+
     idt = _sub_dtype(cfg)
     return TileColumns(
-        sub_base=sub_base.reshape(-1).astype(idt),
+        sub_base=base_blk.reshape(-1).astype(idt),
         sub_cnt=sub_cnt.reshape(-1).astype(idt),
         sub_lead=sub_lead.reshape(-1).astype(idt),
         sub_fast=sub_fast.astype(jnp.int32),
@@ -363,6 +447,9 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
         sup_start=sup_start.reshape(-1),
         sup_cnt=jnp.minimum(sup_cnt, cap).reshape(-1),
         overflow=overflow,
+        desc_base=None if desc_base is None else desc_base.reshape(-1).astype(idt),
+        desc_meta=None if desc_meta is None else desc_meta.reshape(-1).astype(idt),
+        desc_cnt=None if desc_cnt is None else desc_cnt.astype(idt),
     )
 
 
@@ -386,7 +473,11 @@ def _super_dma_pipeline(
     across the sequential grid) and return (wait_fn, slot). Each window
     transfers in two halves; the second half only moves when the window's
     candidate count actually reaches into it — the static capacity covers
-    rare pile-up transients without paying its bandwidth on every tile."""
+    rare pile-up transients without paying its bandwidth on every tile.
+
+    The VMEM destination is LANE-FLATTENED — window c occupies lanes
+    [c·col_cap, (c+1)·col_cap) of a (2, rows, ncols·col_cap) scratch — so
+    the kernels address any window with a single flat lane offset."""
     nprog = pl.num_programs(0)
     half = col_cap // 2
 
@@ -400,7 +491,7 @@ def _super_dma_pipeline(
                     half,
                 ),
             ],
-            cand.at[prog % 2, c, :, pl.ds(lo, half)],
+            cand.at[prog % 2, :, pl.ds(c * col_cap + lo, half)],
             sem.at[prog % 2, c, part],
         )
 
@@ -490,18 +581,18 @@ def _slot_scalars(tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg):
     ranged = plan[0][3] == "slab_ranged"
     starts_blk, rows = [], []
     cb = jnp.int32(0)
-    for s, buf, off, _ in plan:
+    for s, _buf, off, _ in plan:
         cnt = sub_cnt_ref[tile * nslots + s].astype(jnp.int32)
-        base = sub_base_ref[tile * nslots + s].astype(jnp.int32)
+        # sub_base is stored in flat 128-lane block units (buffer offset
+        # folded in) — ×128 recovers the flat lane offset
+        base = sub_base_ref[tile * nslots + s].astype(jnp.int32) * 128
         lead = (
             sub_lead_ref[tile * nslots + s].astype(jnp.int32)
             if ranged
             else jnp.int32(0)
         )
         starts_blk.append(cb)
-        rows.append(
-            (base, lead, cnt, cb, jnp.int32(buf), jnp.float32(off))
-        )
+        rows.append((base, lead, cnt, cb, jnp.float32(off)))
         cb = cb + pl.cdiv(cnt, bl)
     return starts_blk, rows, cb
 
@@ -509,8 +600,10 @@ def _slot_scalars(tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg):
 def _pick_slot(b, starts_blk, rows):
     """Scalar select chain resolving flat block b to its slot's scalars: the
     owner is the LAST slot s with starts_blk[s] <= b (an empty slot shares
-    its start with the next slot, so it can never win). ~6 scalar selects
-    per extra slot, issued on the scalar core in parallel with the VPU."""
+    its start with the next slot, so it can never win). ~5 scalar selects
+    per extra slot, issued on the scalar core in parallel with the VPU.
+    (The flat DESCRIPTOR loop — cfg.pallas_desc — replaces this chain with
+    one SMEM load per block; this path remains for pallas_desc=False.)"""
     sel = list(rows[0])
     for s in range(1, len(rows)):
         is_s = b >= starts_blk[s]
@@ -518,15 +611,38 @@ def _pick_slot(b, starts_blk, rows):
     return sel
 
 
-def _density_kernel(
-    sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref, sup_start_ref,
-    sup_cnt_ref, tgt_ref, cols_hbm, rho_ref, cand, sem, *, cfg, geom,
-):
+def _slot_koff(s, kind: str, cfg: SimConfig):
+    """Key offset of slot s as a traced f32 scalar (desc loop: the slot id
+    comes from SMEM, so the offset is computed, not a compile-time
+    constant). Matches _slot_plan's static table exactly."""
+    c = cfg.num_cells_per_dim
+    if kind == "col":
+        dz = s // 3
+        dy = s - 3 * dz
+        off = (dy - 1) * c + (dz - 1) * (c * c)
+    elif kind == "slab":
+        off = (s - 1) * (c * c)
+    else:  # slab_ranged: slot s scans its dz plane s//3's slab window
+        off = (s // 3 - 1) * (c * c)
+    return off.astype(jnp.float32)
+
+
+def _density_kernel(*refs, cfg, geom):
+    if cfg.pallas_desc:
+        (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
+         desc_base_ref, desc_meta_ref, desc_cnt_ref, sup_start_ref,
+         sup_cnt_ref, tgt_ref, cols_hbm, rho_ref, cand, sem) = refs
+    else:
+        (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
+         sup_start_ref, sup_cnt_ref, tgt_ref, cols_hbm, rho_ref, cand,
+         sem) = refs
     i = pl.program_id(0)
     pt, g = geom
     col_cap = cfg.pallas_col_capacity
     h2 = jnp.float32(cfg.h2)
     nbuf = len(_sup_stencil(cfg)[0])
+    ns = _sub_slots(cfg)
+    mb = cfg.pallas_desc_blocks
     kind = _slot_plan(cfg)[0][3]  # uniform mask kind across slots
     wait, slot = _super_dma_pipeline(
         i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf
@@ -541,21 +657,34 @@ def _density_kernel(
         ty = tgt_ref[t0 : t0 + pt, 1:2]
         tz = tgt_ref[t0 : t0 + pt, 2:3]
         tkey = tgt_ref[t0 : t0 + pt, 3:4]
-        starts_blk, rows, total = _slot_scalars(
-            tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg
-        )
+        if cfg.pallas_desc:
+            starts_blk = rows = None
+            total = desc_cnt_ref[tile].astype(jnp.int32)
+        else:
+            starts_blk, rows, total = _slot_scalars(
+                tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg
+            )
 
-        def sub_acc(fast, tx=tx, ty=ty, tz=tz, tkey=tkey,
+        def sub_acc(fast, tx=tx, ty=ty, tz=tz, tkey=tkey, tile=tile,
                     starts_blk=starts_blk, rows=rows, total=total):
             bl = cfg.pallas_block_lanes
 
             def blk(b, acc):
-                base, lead, cnt, cb, buf, off = _pick_slot(b, starts_blk, rows)
-                local = b - cb
-                sl = pl.ds(pl.multiple_of(base + local * bl, 128), bl)
-                cx = cand[slot, buf, 0, sl][None, :]
-                cy = cand[slot, buf, 1, sl][None, :]
-                cz = cand[slot, buf, 2, sl][None, :]
+                if cfg.pallas_desc:
+                    # flat descriptor loop: one SMEM load resolves the
+                    # block's flat lane offset (select chain eliminated)
+                    didx = tile * mb + b
+                    base = desc_base_ref[didx].astype(jnp.int32) * 128
+                    sl = pl.ds(pl.multiple_of(base, 128), bl)
+                else:
+                    base, lead, cnt, cb, off = _pick_slot(
+                        b, starts_blk, rows
+                    )
+                    local = b - cb
+                    sl = pl.ds(pl.multiple_of(base + local * bl, 128), bl)
+                cx = cand[slot, 0, sl][None, :]
+                cy = cand[slot, 1, sl][None, :]
+                cz = cand[slot, 2, sl][None, :]
                 dx = tx - cx
                 dy = ty - cy
                 dz = tz - cz
@@ -572,13 +701,24 @@ def _density_kernel(
                 # lanes carry keys below the accepted set, beyond-window
                 # lanes carry keys above it or KEY_PAD — the key mask
                 # rejects all.
-                ck = cand[slot, buf, 3, sl][None, :]
+                if cfg.pallas_desc:
+                    s = desc_meta_ref[didx].astype(jnp.int32)
+                    off = _slot_koff(s, kind, cfg)
+                ck = cand[slot, 3, sl][None, :]
                 keyhit = _key_mask(ck, tkey + off, kind, cfg)
                 if kind == "slab_ranged":
                     # hybrid: the plane-wide slab mask cannot separate a
                     # col window from its neighbors' lead-in/tail lanes —
                     # bound lanes to the true range [lead, cnt) instead.
-                    li = local * bl + jax.lax.broadcasted_iota(
+                    if cfg.pallas_desc:
+                        widx = tile * ns + s
+                        wbase = sub_base_ref[widx].astype(jnp.int32) * 128
+                        lead = sub_lead_ref[widx].astype(jnp.int32)
+                        cnt = sub_cnt_ref[widx].astype(jnp.int32)
+                        lo = base - wbase
+                    else:
+                        lo = local * bl
+                    li = lo + jax.lax.broadcasted_iota(
                         jnp.int32, (1, bl), 1
                     )
                     keyhit = keyhit & (li >= lead) & (li < cnt)
@@ -619,8 +759,9 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
     tgts = jnp.stack([x, y, z, key_f], axis=1)  # (n,4)
 
     nbuf = len(_sup_stencil(cfg)[0])
+    prefetch = _prefetch_args(cols_info, cfg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=len(prefetch),
         grid=(nprog,),
         in_specs=[
             pl.BlockSpec((pt * g, 4), lambda i, *_: (i, 0)),
@@ -628,7 +769,7 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, g, pt), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, nbuf, 8, col_cap), jnp.float32),
+            pltpu.VMEM((2, 8, nbuf * col_cap), jnp.float32),
             pltpu.SemaphoreType.DMA((2, nbuf, 2)),
         ],
     )
@@ -637,17 +778,23 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
         out_shape=jax.ShapeDtypeStruct((nprog, g, pt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(
+    )(*prefetch, tgts, cols)
+    return rho.reshape(n)
+
+
+def _prefetch_args(cols_info: TileColumns, cfg: SimConfig):
+    """Scalar-prefetch argument list in the kernels' unpacking order (the
+    desc arrays slot in between sub_fast and sup_start when present)."""
+    args = [
         cols_info.sub_base,
         cols_info.sub_cnt,
         cols_info.sub_lead,
         cols_info.sub_fast,
-        cols_info.sup_start,
-        cols_info.sup_cnt,
-        tgts,
-        cols,
-    )
-    return rho.reshape(n)
+    ]
+    if cfg.pallas_desc:
+        args += [cols_info.desc_base, cols_info.desc_meta, cols_info.desc_cnt]
+    args += [cols_info.sup_start, cols_info.sup_cnt]
+    return args
 
 
 # ---------------------------------------------------------------- forces
@@ -656,10 +803,15 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
 _FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FKEY = range(9)
 
 
-def _force_kernel(
-    sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref, sup_start_ref,
-    sup_cnt_ref, tgt_ref, cols_hbm, f_ref, cand, sem, *, cfg, geom,
-):
+def _force_kernel(*refs, cfg, geom):
+    if cfg.pallas_desc:
+        (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
+         desc_base_ref, desc_meta_ref, desc_cnt_ref, sup_start_ref,
+         sup_cnt_ref, tgt_ref, cols_hbm, f_ref, cand, sem) = refs
+    else:
+        (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
+         sup_start_ref, sup_cnt_ref, tgt_ref, cols_hbm, f_ref, cand,
+         sem) = refs
     i = pl.program_id(0)
     pt, g = geom
     col_cap = cfg.pallas_col_capacity
@@ -669,6 +821,8 @@ def _force_kernel(
     vk = jnp.float32(cfg.v_kernel_coeff)
     mu = jnp.float32(cfg.viscosity)
     nbuf = len(_sup_stencil(cfg)[0])
+    ns = _sub_slots(cfg)
+    mb = cfg.pallas_desc_blocks
     kind = _slot_plan(cfg)[0][3]  # uniform mask kind across slots
     wait, slot = _super_dma_pipeline(
         i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf
@@ -687,22 +841,33 @@ def _force_kernel(
         tvz = tgt_ref[t0 : t0 + pt, 5:6]
         tp = tgt_ref[t0 : t0 + pt, 6:7]
         tkey = tgt_ref[t0 : t0 + pt, 7:8]
-        starts_blk, rows, total = _slot_scalars(
-            tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg
-        )
+        if cfg.pallas_desc:
+            starts_blk = rows = None
+            total = desc_cnt_ref[tile].astype(jnp.int32)
+        else:
+            starts_blk, rows, total = _slot_scalars(
+                tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg
+            )
 
         def sub_force(fast, tx=tx, ty=ty, tz=tz, tvx=tvx, tvy=tvy, tvz=tvz,
-                      tp=tp, tkey=tkey, starts_blk=starts_blk, rows=rows,
-                      total=total):
+                      tp=tp, tkey=tkey, tile=tile, starts_blk=starts_blk,
+                      rows=rows, total=total):
             bl = cfg.pallas_block_lanes
             zero = jnp.zeros((pt, bl), jnp.float32)
 
             def blk(b, carry):
                 fx, fy, fz = carry
-                base, lead, cnt, cb, buf, off = _pick_slot(b, starts_blk, rows)
-                local = b - cb
-                sl = pl.ds(pl.multiple_of(base + local * bl, 128), bl)
-                row = lambda r: cand[slot, buf, r, sl][None, :]
+                if cfg.pallas_desc:
+                    didx = tile * mb + b
+                    base = desc_base_ref[didx].astype(jnp.int32) * 128
+                    sl = pl.ds(pl.multiple_of(base, 128), bl)
+                else:
+                    base, lead, cnt, cb, off = _pick_slot(
+                        b, starts_blk, rows
+                    )
+                    local = b - cb
+                    sl = pl.ds(pl.multiple_of(base + local * bl, 128), bl)
+                row = lambda r: cand[slot, r, sl][None, :]
                 dx = tx - row(_FX)
                 dy = ty - row(_FY)
                 dz = tz - row(_FZ)
@@ -723,11 +888,24 @@ def _force_kernel(
                 if fast:
                     live = r >= eps
                 else:
+                    if cfg.pallas_desc:
+                        s = desc_meta_ref[didx].astype(jnp.int32)
+                        off = _slot_koff(s, kind, cfg)
                     keyhit = _key_mask(row(_FKEY), tkey + off, kind, cfg)
                     if kind == "slab_ranged":
                         # hybrid: bound lanes to the true range — see
                         # the density kernel note
-                        li = local * bl + jax.lax.broadcasted_iota(
+                        if cfg.pallas_desc:
+                            widx = tile * ns + s
+                            wbase = (
+                                sub_base_ref[widx].astype(jnp.int32) * 128
+                            )
+                            lead = sub_lead_ref[widx].astype(jnp.int32)
+                            cnt = sub_cnt_ref[widx].astype(jnp.int32)
+                            lo = base - wbase
+                        else:
+                            lo = local * bl
+                        li = lo + jax.lax.broadcasted_iota(
                             jnp.int32, (1, bl), 1
                         )
                         keyhit = keyhit & (li >= lead) & (li < cnt)
@@ -790,8 +968,9 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
     tgts = jnp.stack([x, y, z, vx, vy, vz, p_s, key_f], axis=1)  # (n, 8)
 
     nbuf = len(_sup_stencil(cfg)[0])
+    prefetch = _prefetch_args(cols_info, cfg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=len(prefetch),
         grid=(nprog,),
         in_specs=[
             pl.BlockSpec((pt * g, 8), lambda i, *_: (i, 0)),
@@ -799,7 +978,7 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
         ],
         out_specs=pl.BlockSpec((3, 1, g, pt), lambda i, *_: (0, i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, nbuf, 16, col_cap), jnp.float32),
+            pltpu.VMEM((2, 16, nbuf * col_cap), jnp.float32),
             pltpu.SemaphoreType.DMA((2, nbuf, 2)),
         ],
     )
@@ -808,14 +987,5 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
         out_shape=jax.ShapeDtypeStruct((3, nprog, g, pt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(
-        cols_info.sub_base,
-        cols_info.sub_cnt,
-        cols_info.sub_lead,
-        cols_info.sub_fast,
-        cols_info.sup_start,
-        cols_info.sup_cnt,
-        tgts,
-        cols,
-    )
+    )(*prefetch, tgts, cols)
     return f.reshape(3, n)  # field-major rows (fx, fy, fz)

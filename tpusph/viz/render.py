@@ -155,14 +155,37 @@ def run_free_mode(sim, frames: int = 0, out_dir: str = "frames", clicks=None) ->
     clicks = clicks or {}
     if frames > 0:
         os.makedirs(out_dir, exist_ok=True)
+        # Double-buffered readback: step k+1 is dispatched BEFORE the host
+        # waits on step k's position transfer, so the D2H copy (and the
+        # host-side rasterization) overlap the next device step — frame
+        # time ≈ max(step, fetch + render) instead of their sum. Frames
+        # are identical to the sequential loop: frame k always renders the
+        # post-step-k positions, exactly like the reference's display()
+        # (display.cpp:35-57, paying its stall at simulator.cu:479-480).
+        pending = None  # (frame index, in-flight fetch)
         for k in range(frames):
             sim.simulate(click=clicks.get(k))
-            img = render_frame(sim.get_position())
-            save_png(img, os.path.join(out_dir, f"frame_{k:05d}.png"))
+            fetch = (
+                sim.get_position_async()
+                if hasattr(sim, "get_position_async")
+                else None
+            )
+            if pending is not None:
+                _render_to(pending[1].wait(), pending[0], out_dir)
+            if fetch is None:  # DistSimulator: synchronous collect
+                _render_to(sim.get_position(), k, out_dir)
+            else:
+                pending = (k, fetch)
+        if pending is not None:
+            _render_to(pending[1].wait(), pending[0], out_dir)
         print(f"wrote {frames} frames to {out_dir}/")
         return
 
     _run_interactive(sim)
+
+
+def _render_to(positions: np.ndarray, k: int, out_dir: str) -> None:
+    save_png(render_frame(positions), os.path.join(out_dir, f"frame_{k:05d}.png"))
 
 
 def _run_interactive(sim) -> None:
