@@ -43,6 +43,14 @@ def main():
         "desc": dataclasses.replace(
             cfg0, pallas_desc=True, pallas_desc_blocks=mb
         ),
+        "desc_u2": dataclasses.replace(
+            cfg0, pallas_desc=True, pallas_desc_blocks=mb,
+            pallas_desc_unroll=2,
+        ),
+        "desc_u4": dataclasses.replace(
+            cfg0, pallas_desc=True, pallas_desc_blocks=mb,
+            pallas_desc_unroll=4,
+        ),
     }
 
     state = init_state(cfg0)

@@ -77,9 +77,15 @@ def slope_bench(fn, inject, *args, reps=4):
 
 
 def main():
+    import os
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
     probe_steps = [int(s) for s in sys.argv[2:]] or [0, 30, 60, 90]
-    cfg = default_config(n)
+    # profile the PRODUCTION config: bench per-N presets + TPUSPH_BENCH_* env
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import config_overrides
+
+    cfg = default_config(n, **config_overrides(n, os.environ))
     state0 = init_state(cfg)
 
     def advance(state, k):

@@ -91,6 +91,55 @@ def test_pallas_capacity_overflow_detected():
     assert int(aux.window_overflow) > 0
 
 
+def test_pallas_desc_unroll_matches_plain():
+    """The unrolled descriptor loop (dead-block padding into the parking
+    segment) must be bit-identical to the u=1 desc loop: dead blocks
+    contribute exactly zero, live block order is unchanged."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpusph.neighbors.cell_list import build_sorted_fields
+    from tpusph.pallas.fused import (
+        density_pallas,
+        force_pallas,
+        supertile_columns,
+    )
+    from tpusph.physics.kernels import pressure_from_density
+
+    base = default_config(
+        512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
+        pallas_stencil="slab3", pallas_block_lanes=128, pallas_desc=True,
+        pallas_desc_blocks=48,
+    )
+    st = init_state(base, random_init=True, seed=7)
+    outs = {}
+    for u in (1, 2, 4):
+        cfg = dataclasses.replace(base, pallas_desc_unroll=u)
+        sf = jax.jit(
+            lambda s: build_sorted_fields(s.position, s.velocity, s.valid, cfg)
+        )(st)
+        cols = jax.jit(
+            lambda sf: supertile_columns(
+                sf.key_sorted, sf.valid_sorted, sf.starts, cfg
+            )
+        )(sf)
+        assert int(cols.overflow) == 0
+        xyz = (sf.x, sf.y, sf.z)
+        rho = density_pallas(xyz, sf.key_sorted, cols, cfg, interpret=True)
+        rho_c, p_c = pressure_from_density(rho, cfg)
+        rho_c = jnp.where(sf.valid_sorted, rho_c, 1.0)
+        p_c = jnp.where(sf.valid_sorted, p_c, 0.0)
+        f = force_pallas(
+            xyz, (sf.vx, sf.vy, sf.vz), rho_c, p_c, sf.key_sorted, cols, cfg,
+            interpret=True,
+        )
+        outs[u] = (np.asarray(rho), np.asarray(f))
+    for u in (2, 4):
+        np.testing.assert_array_equal(outs[u][0], outs[1][0])
+        np.testing.assert_array_equal(outs[u][1], outs[1][1])
+
+
 def test_pallas_desc_blocks_overflow_detected():
     """A per-tile block total beyond pallas_desc_blocks must be counted as
     overflow (the clamped descriptor list would drop interactions)."""

@@ -129,6 +129,15 @@ class SimConfig:
     # the driver regrows.
     pallas_desc: bool = False
     pallas_desc_blocks: int = 16
+    # Block-loop unroll factor (descriptor loop only): each fori iteration
+    # processes this many blocks, amortizing the per-iteration loop/branch
+    # overhead that dominates the per-block cost on this stack (measured
+    # scripts/loop_probe.py: 2x unroll cut the dynamic-loop block time
+    # ~40%). Prep pads each tile's descriptor list to a multiple of this
+    # with DEAD blocks pointing at a zeroed parking segment of the
+    # candidate buffer (zero contribution by the same ≥0.17-distance
+    # argument as parked padding particles).
+    pallas_desc_unroll: int = 1
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192
@@ -190,6 +199,14 @@ class SimConfig:
             )
         if self.pallas_block_lanes not in (128, 256):
             raise ValueError("pallas_block_lanes must be 128 or 256")
+        if self.pallas_desc_unroll not in (1, 2, 4):
+            raise ValueError("pallas_desc_unroll must be 1, 2 or 4")
+        if self.pallas_desc_unroll > 1 and not self.pallas_desc:
+            raise ValueError("pallas_desc_unroll needs pallas_desc=True")
+        if self.pallas_desc_blocks % self.pallas_desc_unroll:
+            raise ValueError(
+                "pallas_desc_blocks must be a multiple of pallas_desc_unroll"
+            )
         if self.pallas_col_capacity % (2 * self.pallas_block_lanes):
             raise ValueError(
                 "pallas_col_capacity must be a multiple of "

@@ -274,10 +274,19 @@ def _build_desc(base_blk, cnt, cfg: SimConfig):
     order. Returns (desc_base, desc_meta, desc_cnt, excess_lanes):
     desc_base[t, j] = flat 128-lane block offset of the tile's j-th block,
     desc_meta[t, j] = its slot id, desc_cnt[t] = live blocks (≤ MB). Blocks
-    beyond pallas_desc_blocks are counted as overflow (driver regrows)."""
+    beyond pallas_desc_blocks are counted as overflow (driver regrows).
+
+    Dead slots (and unroll padding — desc_cnt is rounded up to a multiple
+    of pallas_desc_unroll) point at the zeroed PARKING block the kernels
+    append after the DMA windows (flat block nbuf·capacity/128): positions
+    0 are ≥ h·√3 from any valid target, keys KEY_PAD, so a dead block
+    contributes exactly zero through both the fast and slow paths."""
     ntiles, ns = base_blk.shape
     bl = cfg.pallas_block_lanes
     mb = cfg.pallas_desc_blocks
+    u = cfg.pallas_desc_unroll
+    nbuf = len(_sup_stencil(cfg)[0])
+    dead_blk = nbuf * cfg.pallas_col_capacity // 128
     bw = -(-cnt // bl)  # (ntiles, ns) blocks per window
     cw = jnp.cumsum(bw, axis=1) - bw  # exclusive
     total = cw[:, -1] + bw[:, -1]
@@ -294,10 +303,12 @@ def _build_desc(base_blk, cnt, cfg: SimConfig):
         base_sel = jnp.where(is_w, base_blk[:, w : w + 1], base_sel)
         local = jnp.where(is_w, j - cw[:, w : w + 1], local)
     live = j < total[:, None]
-    desc_base = jnp.where(live, base_sel + local * (bl // 128), 0)
+    desc_base = jnp.where(live, base_sel + local * (bl // 128), dead_blk)
     desc_meta = jnp.where(live, wj, 0)
-    excess = jnp.sum(jnp.maximum(total - mb, 0)) * bl
-    return desc_base, desc_meta, jnp.minimum(total, mb), excess
+    padded = -(-total // u) * u  # unroll padding (dead slots cover the tail)
+    excess = jnp.sum(jnp.maximum(padded - mb, 0)) * bl
+    # validate() enforces mb % u == 0, so the clamp preserves divisibility
+    return desc_base, desc_meta, jnp.minimum(padded, mb), excess
 
 
 def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
@@ -521,6 +532,39 @@ def _super_dma_pipeline(
     return wait, i % 2
 
 
+def _init_parking(i, cand, nbuf, col_cap, rows, key_row, cfg):
+    """Zero the PARKING block (the bl lanes after the DMA windows) once, in
+    both double-buffer slots: dead/unroll-padding descriptors point here.
+    Position rows 0 → ≥ h·√3 from any valid target (w = 0, hr = 0); key row
+    KEY_PAD → slow-path masks reject."""
+    park = pl.ds(nbuf * col_cap, cfg.pallas_block_lanes)
+
+    @pl.when(i == 0)
+    def _():
+        for s in range(2):
+            cand[s, :, park] = jnp.zeros(
+                (rows, cfg.pallas_block_lanes), jnp.float32
+            )
+            cand[s, key_row : key_row + 1, park] = jnp.full(
+                (1, cfg.pallas_block_lanes), KEY_PAD, jnp.float32
+            )
+
+
+def _unrolled_fori(total, blk, init, cfg: SimConfig):
+    """fori over blocks, processing pallas_desc_unroll blocks per iteration
+    (prep pads total to a multiple of the unroll with dead blocks)."""
+    u = cfg.pallas_desc_unroll if cfg.pallas_desc else 1
+    if u == 1:
+        return jax.lax.fori_loop(0, total, blk, init)
+
+    def group(gi, acc):
+        for k in range(u):
+            acc = blk(gi * u + k, acc)
+        return acc
+
+    return jax.lax.fori_loop(0, total // u, group, init)
+
+
 def _key_mask(ck, tkey_off, kind: str, cfg: SimConfig):
     """Accept exactly the stencil pairs of this window. "col": key diff
     within ±1 of the column offset. "slab"/"slab_ranged": within ±1 of
@@ -647,6 +691,8 @@ def _density_kernel(*refs, cfg, geom):
     wait, slot = _super_dma_pipeline(
         i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf
     )
+    if cfg.pallas_desc:
+        _init_parking(i, cand, nbuf, col_cap, 8, 3, cfg)
 
     for c in range(nbuf):  # fully unrolled: offsets are compile-time constants
         wait(c)
@@ -682,9 +728,14 @@ def _density_kernel(*refs, cfg, geom):
                     )
                     local = b - cb
                     sl = pl.ds(pl.multiple_of(base + local * bl, 128), bl)
-                cx = cand[slot, 0, sl][None, :]
-                cy = cand[slot, 1, sl][None, :]
-                cz = cand[slot, 2, sl][None, :]
+                # ONE wide dynamic-offset load per block: (8, bl) brings all
+                # candidate rows; per-row (1, bl) slices of the loaded value
+                # are static sublane extracts (dynamic-offset VMEM slices
+                # cost ~40 ns each on this stack — scripts/loop_probe.py)
+                cblk = cand[slot, :, sl]
+                cx = cblk[0:1, :]
+                cy = cblk[1:2, :]
+                cz = cblk[2:3, :]
                 dx = tx - cx
                 dy = ty - cy
                 dz = tz - cz
@@ -704,7 +755,7 @@ def _density_kernel(*refs, cfg, geom):
                 if cfg.pallas_desc:
                     s = desc_meta_ref[didx].astype(jnp.int32)
                     off = _slot_koff(s, kind, cfg)
-                ck = cand[slot, 3, sl][None, :]
+                ck = cblk[3:4, :]
                 keyhit = _key_mask(ck, tkey + off, kind, cfg)
                 if kind == "slab_ranged":
                     # hybrid: the plane-wide slab mask cannot separate a
@@ -725,8 +776,8 @@ def _density_kernel(*refs, cfg, geom):
                 return acc + jnp.where(keyhit, w, 0.0)
 
             # dynamic trip count: dead capacity costs nothing
-            return jax.lax.fori_loop(
-                0, total, blk, jnp.zeros((pt, bl), jnp.float32)
+            return _unrolled_fori(
+                total, blk, jnp.zeros((pt, bl), jnp.float32), cfg
             )
 
         acc0 = jax.lax.cond(
@@ -769,7 +820,13 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, g, pt), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, nbuf * col_cap), jnp.float32),
+            # +1 parking block after the DMA windows when the descriptor
+            # loop is on (dead/unroll-padding blocks scan it)
+            pltpu.VMEM(
+                (2, 8, nbuf * col_cap
+                 + (cfg.pallas_block_lanes if cfg.pallas_desc else 0)),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA((2, nbuf, 2)),
         ],
     )
@@ -827,6 +884,8 @@ def _force_kernel(*refs, cfg, geom):
     wait, slot = _super_dma_pipeline(
         i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf
     )
+    if cfg.pallas_desc:
+        _init_parking(i, cand, nbuf, col_cap, 16, _FKEY, cfg)
 
     for c in range(nbuf):
         wait(c)
@@ -867,7 +926,10 @@ def _force_kernel(*refs, cfg, geom):
                     )
                     local = b - cb
                     sl = pl.ds(pl.multiple_of(base + local * bl, 128), bl)
-                row = lambda r: cand[slot, r, sl][None, :]
+                # one wide (16, bl) dynamic-offset load; rows are static
+                # sublane extracts (see the density-kernel note)
+                cblk = cand[slot, :, sl]
+                row = lambda r: cblk[r : r + 1, :]
                 dx = tx - row(_FX)
                 dy = ty - row(_FY)
                 dz = tz - row(_FZ)
@@ -928,7 +990,7 @@ def _force_kernel(*refs, cfg, geom):
                 fz = fz + s_v * (row(_FVZ) - tvz)
                 return fx, fy, fz
 
-            return jax.lax.fori_loop(0, total, blk, (zero, zero, zero))
+            return _unrolled_fori(total, blk, (zero, zero, zero), cfg)
 
         fx, fy, fz = jax.lax.cond(
             sub_fast_ref[tile] > 0,
@@ -978,7 +1040,11 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
         ],
         out_specs=pl.BlockSpec((3, 1, g, pt), lambda i, *_: (0, i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, nbuf * col_cap), jnp.float32),
+            pltpu.VMEM(
+                (2, 16, nbuf * col_cap
+                 + (cfg.pallas_block_lanes if cfg.pallas_desc else 0)),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA((2, nbuf, 2)),
         ],
     )
