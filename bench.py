@@ -195,6 +195,15 @@ def config_overrides(n: int, env) -> dict:
     need col=16384 sub_blocks=80 — preset so the bench never pays the
     auto-grow recompile loop at 1M."""
     kw = {}
+    if n < 1_000_000:
+        # flat descriptor loop + 2x block unroll: the per-iteration
+        # loop/branch overhead dominates short block loops (measured
+        # scripts/desc_ab.py at 262k: density 3.73 -> 2.55 ms, force
+        # 5.89 -> 5.35 at step 60). Off at 1M: the dense per-tile
+        # descriptor rows would blow the SMEM budget at 8192 tiles.
+        kw["pallas_desc"] = True
+        kw["pallas_desc_blocks"] = 24
+        kw["pallas_desc_unroll"] = 2
     if n >= 1_000_000:
         # measured-known-good 1M preset: hybrid stencil, 128x8 geometry, and
         # the pile-up capacities (col=16384 sub_blocks=80) — presetting the
@@ -217,6 +226,13 @@ def config_overrides(n: int, env) -> dict:
         kw["pallas_group"] = int(env["TPUSPH_BENCH_GROUP"])
     if env.get("TPUSPH_BENCH_BLOCK_LANES"):
         kw["pallas_block_lanes"] = int(env["TPUSPH_BENCH_BLOCK_LANES"])
+    if env.get("TPUSPH_BENCH_DESC"):
+        kw["pallas_desc"] = env["TPUSPH_BENCH_DESC"] == "1"
+        if not kw["pallas_desc"]:
+            kw.pop("pallas_desc_unroll", None)
+    if env.get("TPUSPH_BENCH_DESC_UNROLL"):
+        kw["pallas_desc_unroll"] = int(env["TPUSPH_BENCH_DESC_UNROLL"])
+        kw["pallas_desc"] = True
     return kw
 
 
@@ -347,6 +363,7 @@ def main() -> None:
             pallas_col_capacity=cfg.pallas_col_capacity * 2,
             pallas_sub_blocks=cfg.pallas_sub_blocks * 2,
             pallas_desc_blocks=cfg.pallas_desc_blocks * 2,
+            pallas_starts_kcap=cfg.pallas_starts_kcap * 2,
             tile_cand_capacity=cfg.tile_cand_capacity * 2,
         )
         print(

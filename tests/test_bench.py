@@ -69,12 +69,18 @@ def test_config_overrides_presets():
     sys.path.insert(0, REPO)
     from bench import config_overrides
 
-    assert config_overrides(262_144, {}) == {}
+    assert config_overrides(262_144, {}) == {
+        "pallas_desc": True, "pallas_desc_blocks": 24,
+        "pallas_desc_unroll": 2,
+    }
     kw = config_overrides(1_048_576, {})
     assert kw == {
         "pallas_stencil": "hybrid", "pallas_tile": 128, "pallas_group": 8,
         "pallas_col_capacity": 16384, "pallas_sub_blocks": 80,
     }
+    # desc can be forced off (and the unroll preset goes with it)
+    kw = config_overrides(262_144, {"TPUSPH_BENCH_DESC": "0"})
+    assert kw["pallas_desc"] is False and "pallas_desc_unroll" not in kw
     kw = config_overrides(
         1_048_576,
         {"TPUSPH_BENCH_STENCIL": "slab3", "TPUSPH_BENCH_COL_CAP": "8192"},
@@ -84,9 +90,9 @@ def test_config_overrides_presets():
     # the geometry + capacity presets survive a stencil-only override
     assert kw["pallas_tile"] == 128 and kw["pallas_group"] == 8
     assert kw["pallas_sub_blocks"] == 80
-    # geometry env overrides
+    # geometry env overrides (on top of the sub-1M desc preset)
     kw = config_overrides(512, {"TPUSPH_BENCH_TILE": "64",
                                 "TPUSPH_BENCH_GROUP": "4",
                                 "TPUSPH_BENCH_BLOCK_LANES": "128"})
-    assert kw == {"pallas_tile": 64, "pallas_group": 4,
-                  "pallas_block_lanes": 128}
+    assert kw["pallas_tile"] == 64 and kw["pallas_group"] == 4
+    assert kw["pallas_block_lanes"] == 128 and kw["pallas_desc"] is True

@@ -138,6 +138,15 @@ class SimConfig:
     # candidate buffer (zero contribution by the same ≥0.17-distance
     # argument as parked padding particles).
     pallas_desc_unroll: int = 1
+    # Starts-table rank kernel (pallas/starts.py): replaces the bincount
+    # scatter-add (≈7 ns/particle on this stack — the whole build-phase
+    # cost at 1M) with a no-scatter Pallas outer-compare over the sorted
+    # keys. chunk = table cells per grid program (work = chunk × N
+    # compare-adds total; fewer programs ↔ more compute per program);
+    # kcap = per-chunk key-slice capacity (overflow detected, regrown).
+    pallas_starts: bool = False
+    pallas_starts_chunk: int = 2048
+    pallas_starts_kcap: int = 16384
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192
@@ -206,6 +215,15 @@ class SimConfig:
         if self.pallas_desc_blocks % self.pallas_desc_unroll:
             raise ValueError(
                 "pallas_desc_blocks must be a multiple of pallas_desc_unroll"
+            )
+        if self.pallas_starts_chunk % 64 or self.pallas_starts_chunk <= 0:
+            raise ValueError(
+                "pallas_starts_chunk must be a positive multiple of 64"
+            )
+        if self.pallas_starts_kcap % 512 or self.pallas_starts_kcap <= 0:
+            raise ValueError(
+                "pallas_starts_kcap must be a positive multiple of 512 "
+                "(4-part conditional DMA alignment)"
             )
         if self.pallas_col_capacity % (2 * self.pallas_block_lanes):
             raise ValueError(

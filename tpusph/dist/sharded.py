@@ -104,7 +104,7 @@ def _local_physics(comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret):
     cell-list machinery; `use_pallas` swaps the XLA tile passes for the fused
     Pallas megakernels (per-device, inside shard_map — each chip runs its own
     kernel grid)."""
-    cl = build_cell_list(comb_pos, comb_valid, cfg)
+    cl = build_cell_list(comb_pos, comb_valid, cfg, interpret=interpret)
     sp = comb_pos[cl.perm]
     sv = comb_vel[cl.perm]
     if use_pallas:
@@ -126,7 +126,7 @@ def _local_physics(comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret):
             sp, cl.key_sorted, cl.valid_sorted, cl.starts, cfg
         )
         extra = None
-    return cl, sp, sv, rho_s, p_s, ovf, extra
+    return cl, sp, sv, rho_s, p_s, ovf + cl.starts_overflow, extra
 
 
 def _device_step(

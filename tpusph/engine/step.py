@@ -181,11 +181,13 @@ def step_allpairs(state: FluidState, cfg: SimConfig):
     return new_state, aux
 
 
-def build_phase(state: FluidState, cfg: SimConfig) -> CellList:
+def build_phase(
+    state: FluidState, cfg: SimConfig, interpret: bool = False
+) -> CellList:
     """Neighbor-structure build — the timed "grid construction" phase
     (kernelBuildGrid, simulator.cu:505-513). Also subsumes kernelResetGrid:
     the structure is rebuilt from scratch each step."""
-    return build_cell_list(state.position, state.valid, cfg)
+    return build_cell_list(state.position, state.valid, cfg, interpret)
 
 
 def update_phase(state: FluidState, cl: CellList, cfg: SimConfig):
@@ -208,7 +210,10 @@ def update_phase(state: FluidState, cl: CellList, cfg: SimConfig):
     pressure = jnp.zeros((n,), jnp.float32).at[cl.perm].set(p_s)
 
     new_state = _finish(state, force, density, pressure, cfg)
-    aux = StepAux(oob_count=cl.oob_count, window_overflow=ovf)
+    aux = StepAux(
+        oob_count=cl.oob_count,
+        window_overflow=ovf + cl.starts_overflow,
+    )
     return new_state, aux
 
 
@@ -244,13 +249,16 @@ def update_phase_pallas(state: FluidState, cl: CellList, cfg: SimConfig, interpr
     density = jnp.ones((n,), jnp.float32).at[cl.perm].set(rho_s)
     pressure = jnp.zeros((n,), jnp.float32).at[cl.perm].set(p_s)
     new_state = _finish(state, force, density, pressure, cfg)
-    aux = StepAux(oob_count=cl.oob_count, window_overflow=ovf)
+    aux = StepAux(
+        oob_count=cl.oob_count,
+        window_overflow=ovf + cl.starts_overflow,
+    )
     return new_state, aux
 
 
 def step_pallas(state: FluidState, cfg: SimConfig, interpret=False):
     """Fused-megakernel timestep (BASELINE.json config #4)."""
-    cl = build_phase(state, cfg)
+    cl = build_phase(state, cfg, interpret=interpret)
     return update_phase_pallas(state, cl, cfg, interpret=interpret)
 
 
@@ -302,11 +310,12 @@ def step_pallas_fields(fs: FieldsState, cfg: SimConfig, interpret=False):
     from tpusph.physics.integrate import integrate_fields
 
     sf = build_sorted_fields_1d(
-        fs.x, fs.y, fs.z, fs.vx, fs.vy, fs.vz, fs.valid, cfg
+        fs.x, fs.y, fs.z, fs.vx, fs.vy, fs.vz, fs.valid, cfg,
+        interpret=interpret,
     )
     valid_s = sf.valid_sorted
     cols_info = supertile_columns(sf.key_sorted, valid_s, sf.starts, cfg)
-    ovf = cols_info.overflow
+    ovf = cols_info.overflow + sf.starts_overflow
     xyz = (sf.x, sf.y, sf.z)
     raw_rho = density_pallas(xyz, sf.key_sorted, cols_info, cfg, interpret=interpret)
     rho_s, p_s = pressure_from_density(raw_rho, cfg)

@@ -57,28 +57,43 @@ def starts_table(key, cfg: SimConfig) -> jnp.ndarray:
     )
 
 
+def starts_from_sorted(key, key_sorted, cfg: SimConfig, interpret=False):
+    """(starts, overflow): the rank kernel (pallas/starts.py) when
+    cfg.pallas_starts — no scatter, ~4× cheaper at 1M — else the measured
+    XLA bincount histogram. overflow counts chunk key slices beyond
+    pallas_starts_kcap (drivers regrow)."""
+    if cfg.pallas_starts:
+        from tpusph.pallas.starts import starts_table_pallas
+
+        return starts_table_pallas(key_sorted, cfg, interpret=interpret)
+    return starts_table(key, cfg), jnp.int32(0)
+
+
 class CellList(NamedTuple):
     perm: jnp.ndarray  # int32[Np] — sorted[i] = original[perm[i]]
     key_sorted: jnp.ndarray  # int32[Np]
     starts: jnp.ndarray  # int32[num_cells + 2] — exclusive prefix counts
     valid_sorted: jnp.ndarray  # bool[Np]
     oob_count: jnp.ndarray  # int32[] diagnostic (reference printf, cu:60-73)
+    starts_overflow: jnp.ndarray  # int32[] rank-kernel kcap overflow
 
 
 def build_cell_list(
-    position: jnp.ndarray, valid: jnp.ndarray, cfg: SimConfig
+    position: jnp.ndarray, valid: jnp.ndarray, cfg: SimConfig,
+    interpret: bool = False,
 ) -> CellList:
     """One sorted pass replaces kernelBuildGrid + kernelResetGrid."""
     keys = compute_keys(position, valid, cfg)
     perm = jnp.argsort(keys.key, stable=True).astype(jnp.int32)
     key_sorted = keys.key[perm]
-    starts = starts_table(keys.key, cfg)
+    starts, s_ovf = starts_from_sorted(keys.key, key_sorted, cfg, interpret)
     return CellList(
         perm=perm,
         key_sorted=key_sorted,
         starts=starts,
         valid_sorted=key_sorted < cfg.num_cells,
         oob_count=keys.oob_count,
+        starts_overflow=s_ovf,
     )
 
 
@@ -100,10 +115,11 @@ class SortedFields(NamedTuple):
     starts: jnp.ndarray  # int32[num_cells + 2]
     valid_sorted: jnp.ndarray  # bool[Np]
     oob_count: jnp.ndarray  # int32[]
+    starts_overflow: jnp.ndarray  # int32[] rank-kernel kcap overflow
 
 
 def build_sorted_fields_1d(
-    x, y, z, vx, vy, vz, valid, cfg: SimConfig
+    x, y, z, vx, vy, vz, valid, cfg: SimConfig, interpret: bool = False
 ) -> SortedFields:
     """Payload sort on 1-D field rows: one stable lax.sort carries
     (key, x, y, z, vx, vy, vz)."""
@@ -111,23 +127,25 @@ def build_sorted_fields_1d(
     key_sorted, x, y, z, vx, vy, vz = jax.lax.sort(
         (key, x, y, z, vx, vy, vz), num_keys=1, is_stable=True
     )
-    starts = starts_table(key, cfg)
+    starts, s_ovf = starts_from_sorted(key, key_sorted, cfg, interpret)
     return SortedFields(
         key_sorted=key_sorted, x=x, y=y, z=z, vx=vx, vy=vy, vz=vz,
         starts=starts,
         valid_sorted=key_sorted < cfg.num_cells,
         oob_count=oob_count,
+        starts_overflow=s_ovf,
     )
 
 
 def build_sorted_fields(
     position: jnp.ndarray, velocity: jnp.ndarray, valid: jnp.ndarray,
-    cfg: SimConfig,
+    cfg: SimConfig, interpret: bool = False,
 ) -> SortedFields:
     """(N,3) wrapper around build_sorted_fields_1d."""
     return build_sorted_fields_1d(
         position[:, 0], position[:, 1], position[:, 2],
-        velocity[:, 0], velocity[:, 1], velocity[:, 2], valid, cfg
+        velocity[:, 0], velocity[:, 1], velocity[:, 2], valid, cfg,
+        interpret=interpret,
     )
 
 
