@@ -194,25 +194,9 @@ def config_overrides(n: int, env) -> dict:
     when every padded cell is full), and the dam-break pile-up transients
     need col=16384 sub_blocks=80 — preset so the bench never pays the
     auto-grow recompile loop at 1M."""
-    kw = {}
-    if n < 1_000_000:
-        # flat descriptor loop + 2x block unroll: the per-iteration
-        # loop/branch overhead dominates short block loops (measured
-        # scripts/desc_ab.py at 262k: density 3.73 -> 2.55 ms, force
-        # 5.89 -> 5.35 at step 60). Off at 1M: the dense per-tile
-        # descriptor rows would blow the SMEM budget at 8192 tiles.
-        kw["pallas_desc"] = True
-        kw["pallas_desc_blocks"] = 24
-        kw["pallas_desc_unroll"] = 2
-    if n >= 1_000_000:
-        # measured-known-good 1M preset: hybrid stencil, 128x8 geometry, and
-        # the pile-up capacities (col=16384 sub_blocks=80) — presetting the
-        # capacities too skips the multi-minute auto-grow recompiles
-        kw["pallas_stencil"] = "hybrid"
-        kw["pallas_tile"] = 128
-        kw["pallas_group"] = 8
-        kw["pallas_col_capacity"] = 16384
-        kw["pallas_sub_blocks"] = 80
+    from tpusph.core.config import tuned_overrides
+
+    kw = tuned_overrides(n)
     # env vars override any preset piece independently
     if env.get("TPUSPH_BENCH_COL_CAP"):
         kw["pallas_col_capacity"] = int(env["TPUSPH_BENCH_COL_CAP"])

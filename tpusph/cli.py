@@ -121,7 +121,7 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     _maybe_force_cpu()
-    from tpusph.core.config import default_config
+    from tpusph.core.config import tuned_config
 
     kw = {}
     if args.window_capacity is not None:
@@ -132,7 +132,9 @@ def main(argv: list[str] | None = None) -> int:
         kw["pallas_col_capacity"] = args.pallas_col_capacity
     if args.pallas_sub_blocks is not None:
         kw["pallas_sub_blocks"] = args.pallas_sub_blocks
-    cfg = default_config(args.num_particles, **kw)
+    # measured per-N presets (tuned_overrides) under the explicit flags, so
+    # e.g. `sph -n 1048576 -m time` lands on the known-good 1M config
+    cfg = tuned_config(args.num_particles, **kw)
 
     if args.mesh is not None:
         from tpusph.dist.simulator import DistSimulator

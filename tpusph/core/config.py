@@ -242,3 +242,38 @@ def default_config(num_particles: int = MAX_PARTICLES_DEFAULT, **kw) -> SimConfi
     cfg = SimConfig(num_particles=num_particles, **kw)
     cfg.validate()
     return cfg
+
+
+def tuned_overrides(num_particles: int) -> dict:
+    """Measured per-N performance presets (v5e, 100-step dam-break):
+
+      * N < 1M — flat descriptor loop + 2× block unroll (density
+        3.73→2.55 ms, force 5.89→5.35 at 262k step 60; scripts/desc_ab.py).
+      * N ≥ 1M — hybrid stencil + 128×8 geometry + pile-up capacities
+        (col=16384, sub_blocks=80): skips the multi-minute auto-grow
+        recompiles the dam-break transients would otherwise trigger.
+        Descriptor loop OFF — the dense per-tile SMEM rows don't fit at
+        8192 tiles.
+
+    Used by bench.py (plus TPUSPH_BENCH_* env on top) and the CLI (flags
+    win), so `sph -n 1048576 -m time` gets the known-good config."""
+    if num_particles >= 1_000_000:
+        return {
+            "pallas_stencil": "hybrid",
+            "pallas_tile": 128,
+            "pallas_group": 8,
+            "pallas_col_capacity": 16384,
+            "pallas_sub_blocks": 80,
+        }
+    return {
+        "pallas_desc": True,
+        "pallas_desc_blocks": 24,
+        "pallas_desc_unroll": 2,
+    }
+
+
+def tuned_config(num_particles: int = MAX_PARTICLES_DEFAULT, **kw) -> SimConfig:
+    """default_config + tuned_overrides, explicit kwargs winning."""
+    preset = tuned_overrides(num_particles)
+    preset.update(kw)
+    return default_config(num_particles, **preset)
