@@ -140,16 +140,26 @@ def test_pallas_desc_unroll_matches_plain():
         np.testing.assert_array_equal(outs[u][1], outs[1][1])
 
 
-def test_pallas_desc_blocks_overflow_detected():
-    """A per-tile block total beyond pallas_desc_blocks must be counted as
-    overflow (the clamped descriptor list would drop interactions)."""
-    cfg = default_config(
+def test_pallas_desc_blocks_fallback_correct():
+    """Tiles whose block total exceeds pallas_desc_blocks must fall back to
+    the select-chain branch with IDENTICAL physics (MB is a performance
+    knob, never a capacity): a deliberately tiny MB forces (nearly) every
+    tile down the fallback and the step must still match cell_list."""
+    import dataclasses
+
+    tiny = default_config(
         512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
         pallas_block_lanes=128, pallas_desc=True, pallas_desc_blocks=2,
     )
-    st = init_state(cfg, random_init=True, seed=3)
-    _, aux = jax.jit(lambda s: step_pallas(s, cfg, interpret=True))(st)
-    assert int(aux.window_overflow) > 0
+    st = init_state(tiny, random_init=True, seed=3)
+    ref_cfg = dataclasses.replace(
+        tiny, pallas_desc=False, pallas_desc_unroll=1
+    )
+    a, aux = jax.jit(lambda s: step_pallas(s, tiny, interpret=True))(st)
+    b, _ = jax.jit(lambda s: step_pallas(s, ref_cfg, interpret=True))(st)
+    assert int(aux.window_overflow) == 0  # MB misfit is NOT overflow
+    np.testing.assert_array_equal(np.asarray(a.density), np.asarray(b.density))
+    np.testing.assert_array_equal(np.asarray(a.force), np.asarray(b.force))
 
 
 def _compact_state(cfg, seed=11):

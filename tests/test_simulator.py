@@ -125,16 +125,14 @@ def test_free_mode_pipelined_frames_match_sequential(tmp_path):
         f"frame_{k:05d}.png" for k in range(4)
     ]
 
+    from tpusph.viz.render import save_png
+
     ref = Simulator(cfg, random_init=True, seed=4)
     ref.setup()
     for k in range(4):
         ref.simulate(click=clicks.get(k))
         img = render_frame(ref.get_position())
         got = (out / f"frame_{k:05d}.png").read_bytes()
-        import io
-
-        from tpusph.viz.render import save_png
-
         tmp = tmp_path / "ref.png"
         save_png(img, str(tmp))
         assert tmp.read_bytes() == got, f"frame {k} differs"

@@ -132,12 +132,14 @@ class TileColumns(NamedTuple):
     and lets the kernel address any of the nbuf window buffers with one
     scalar (no per-block buffer select).
 
-    When cfg.pallas_desc, desc_base/desc_meta/desc_cnt additionally hold one
-    packed descriptor per scanned block (dense per-tile rows of
+    When cfg.pallas_desc, desc_base/desc_cnt additionally hold one packed
+    descriptor per scanned block (dense per-tile rows of
     pallas_desc_blocks): desc_base = flat 128-lane block offset of the
-    block, desc_meta = its slot id, desc_cnt = the tile's live block count.
-    The kernels' flat block loop then does one SMEM load per iteration
-    instead of a select chain."""
+    block, desc_cnt = the tile's (unroll-padded) block count, or −1 when
+    the tile doesn't fit MB blocks. The FAST branch's flat block loop then
+    does one SMEM load per iteration (no select chain, unrollable via
+    dead-block padding); non-fitting or slow tiles take the select-chain
+    branch, which carries the key masks and needs no descriptors."""
 
     sub_base: jnp.ndarray  # i16[ntiles*slots] window start, flat BLOCK units
     sub_cnt: jnp.ndarray  # i16[ntiles*slots] candidate LANES from sub_base
@@ -149,8 +151,7 @@ class TileColumns(NamedTuple):
     sup_cnt: jnp.ndarray  # i32[nprog*nsup] candidate count (≤ capacity)
     overflow: jnp.ndarray  # int32[] — super-column count beyond capacity
     desc_base: jnp.ndarray | None = None  # i16[ntiles*MB] flat block offset
-    desc_meta: jnp.ndarray | None = None  # i16[ntiles*MB] slot id
-    desc_cnt: jnp.ndarray | None = None  # i16[ntiles] live blocks (≤ MB)
+    desc_cnt: jnp.ndarray | None = None  # i16[ntiles] padded blocks, −1 = no fit
 
 
 def _sub_dtype(cfg: SimConfig):
@@ -271,16 +272,17 @@ def _flat_blocks(base_lanes, buf_idx, cfg: SimConfig):
 def _build_desc(base_blk, cnt, cfg: SimConfig):
     """Dense per-tile block descriptors for the flat descriptor loop: for
     each tile, the concatenation of its windows' scanned blocks in slot
-    order. Returns (desc_base, desc_meta, desc_cnt, excess_lanes):
-    desc_base[t, j] = flat 128-lane block offset of the tile's j-th block,
-    desc_meta[t, j] = its slot id, desc_cnt[t] = live blocks (≤ MB). Blocks
-    beyond pallas_desc_blocks are counted as overflow (driver regrows).
+    order. Returns (desc_base, desc_cnt): desc_base[t, j] = flat 128-lane
+    block offset of the tile's j-th block; desc_cnt[t] = live blocks,
+    padded up to a multiple of pallas_desc_unroll, or −1 when the tile's
+    blocks don't fit pallas_desc_blocks — such tiles take the select-chain
+    SLOW branch instead (always correct: it carries the key masks), so MB
+    is purely a performance knob, never an overflow source.
 
-    Dead slots (and unroll padding — desc_cnt is rounded up to a multiple
-    of pallas_desc_unroll) point at the zeroed PARKING block the kernels
-    append after the DMA windows (flat block nbuf·capacity/128): positions
-    0 are ≥ h·√3 from any valid target, keys KEY_PAD, so a dead block
-    contributes exactly zero through both the fast and slow paths."""
+    Dead slots (and unroll padding) point at the zeroed PARKING block the
+    kernels append after the DMA windows (flat block nbuf·capacity/128):
+    positions 0 are ≥ h·√3 from any valid target, so a dead block
+    contributes exactly zero through the mask-free fast path."""
     ntiles, ns = base_blk.shape
     bl = cfg.pallas_block_lanes
     mb = cfg.pallas_desc_blocks
@@ -294,21 +296,18 @@ def _build_desc(base_blk, cnt, cfg: SimConfig):
     # owner slot of flat block j: the LAST w with cw[w] <= j whose window is
     # non-empty (an empty window shares its cw with the next slot and can
     # never win the chain below)
-    wj = jnp.zeros((ntiles, mb), jnp.int32)
     base_sel = jnp.zeros((ntiles, mb), jnp.int32)
     local = jnp.zeros((ntiles, mb), jnp.int32)
     for w in range(ns):
         is_w = (j >= cw[:, w : w + 1]) & (bw[:, w : w + 1] > 0)
-        wj = jnp.where(is_w, w, wj)
         base_sel = jnp.where(is_w, base_blk[:, w : w + 1], base_sel)
         local = jnp.where(is_w, j - cw[:, w : w + 1], local)
     live = j < total[:, None]
     desc_base = jnp.where(live, base_sel + local * (bl // 128), dead_blk)
-    desc_meta = jnp.where(live, wj, 0)
     padded = -(-total // u) * u  # unroll padding (dead slots cover the tail)
-    excess = jnp.sum(jnp.maximum(padded - mb, 0)) * bl
-    # validate() enforces mb % u == 0, so the clamp preserves divisibility
-    return desc_base, desc_meta, jnp.minimum(padded, mb), excess
+    # validate() enforces mb % u == 0
+    desc_cnt = jnp.where(padded <= mb, padded, -1)
+    return desc_base, desc_cnt
 
 
 def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
@@ -337,12 +336,9 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
 
     ns = sub_base.shape[1]
     base_blk = _flat_blocks(sub_base, jnp.arange(ns, dtype=jnp.int32), cfg)
-    desc_base = desc_meta = desc_cnt = None
+    desc_base = desc_cnt = None
     if cfg.pallas_desc:
-        desc_base, desc_meta, desc_cnt, excess = _build_desc(
-            base_blk, sub_cnt, cfg
-        )
-        overflow = overflow + excess.astype(jnp.int32)
+        desc_base, desc_cnt = _build_desc(base_blk, sub_cnt, cfg)
 
     idt = _sub_dtype(cfg)
     return TileColumns(
@@ -357,7 +353,6 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
         sup_cnt=jnp.minimum(sup_cnt, cap).reshape(-1),
         overflow=overflow,
         desc_base=None if desc_base is None else desc_base.reshape(-1).astype(idt),
-        desc_meta=None if desc_meta is None else desc_meta.reshape(-1).astype(idt),
         desc_cnt=None if desc_cnt is None else desc_cnt.astype(idt),
     )
 
@@ -441,12 +436,9 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
     base_blk = _flat_blocks(
         sub_base, jnp.arange(9, dtype=jnp.int32) // 3, cfg
     )
-    desc_base = desc_meta = desc_cnt = None
+    desc_base = desc_cnt = None
     if cfg.pallas_desc:
-        desc_base, desc_meta, desc_cnt, excess = _build_desc(
-            base_blk, sub_cnt, cfg
-        )
-        overflow = overflow + excess.astype(jnp.int32)
+        desc_base, desc_cnt = _build_desc(base_blk, sub_cnt, cfg)
 
     idt = _sub_dtype(cfg)
     return TileColumns(
@@ -459,7 +451,6 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
         sup_cnt=jnp.minimum(sup_cnt, cap).reshape(-1),
         overflow=overflow,
         desc_base=None if desc_base is None else desc_base.reshape(-1).astype(idt),
-        desc_meta=None if desc_meta is None else desc_meta.reshape(-1).astype(idt),
         desc_cnt=None if desc_cnt is None else desc_cnt.astype(idt),
     )
 
@@ -655,26 +646,10 @@ def _pick_slot(b, starts_blk, rows):
     return sel
 
 
-def _slot_koff(s, kind: str, cfg: SimConfig):
-    """Key offset of slot s as a traced f32 scalar (desc loop: the slot id
-    comes from SMEM, so the offset is computed, not a compile-time
-    constant). Matches _slot_plan's static table exactly."""
-    c = cfg.num_cells_per_dim
-    if kind == "col":
-        dz = s // 3
-        dy = s - 3 * dz
-        off = (dy - 1) * c + (dz - 1) * (c * c)
-    elif kind == "slab":
-        off = (s - 1) * (c * c)
-    else:  # slab_ranged: slot s scans its dz plane s//3's slab window
-        off = (s // 3 - 1) * (c * c)
-    return off.astype(jnp.float32)
-
-
 def _density_kernel(*refs, cfg, geom):
     if cfg.pallas_desc:
         (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
-         desc_base_ref, desc_meta_ref, desc_cnt_ref, sup_start_ref,
+         desc_base_ref, desc_cnt_ref, sup_start_ref,
          sup_cnt_ref, tgt_ref, cols_hbm, rho_ref, cand, sem) = refs
     else:
         (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
@@ -685,7 +660,6 @@ def _density_kernel(*refs, cfg, geom):
     col_cap = cfg.pallas_col_capacity
     h2 = jnp.float32(cfg.h2)
     nbuf = len(_sup_stencil(cfg)[0])
-    ns = _sub_slots(cfg)
     mb = cfg.pallas_desc_blocks
     kind = _slot_plan(cfg)[0][3]  # uniform mask kind across slots
     wait, slot = _super_dma_pipeline(
@@ -703,24 +677,25 @@ def _density_kernel(*refs, cfg, geom):
         ty = tgt_ref[t0 : t0 + pt, 1:2]
         tz = tgt_ref[t0 : t0 + pt, 2:3]
         tkey = tgt_ref[t0 : t0 + pt, 3:4]
-        if cfg.pallas_desc:
-            starts_blk = rows = None
-            total = desc_cnt_ref[tile].astype(jnp.int32)
-        else:
-            starts_blk, rows, total = _slot_scalars(
-                tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg
-            )
+        chain = _slot_scalars(
+            tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg
+        )
 
         def sub_acc(fast, tx=tx, ty=ty, tz=tz, tkey=tkey, tile=tile,
-                    starts_blk=starts_blk, rows=rows, total=total):
+                    chain=chain):
             bl = cfg.pallas_block_lanes
+            # fast + desc → flat descriptor loop (one SMEM load per block,
+            # unrolled over dead-block padding); otherwise the select-chain
+            # loop (always correct; carries the key masks when not fast)
+            use_desc = fast and cfg.pallas_desc
+            if use_desc:
+                total = desc_cnt_ref[tile].astype(jnp.int32)
+            else:
+                starts_blk, rows, total = chain
 
             def blk(b, acc):
-                if cfg.pallas_desc:
-                    # flat descriptor loop: one SMEM load resolves the
-                    # block's flat lane offset (select chain eliminated)
-                    didx = tile * mb + b
-                    base = desc_base_ref[didx].astype(jnp.int32) * 128
+                if use_desc:
+                    base = desc_base_ref[tile * mb + b].astype(jnp.int32) * 128
                     sl = pl.ds(pl.multiple_of(base, 128), bl)
                 else:
                     base, lead, cnt, cb, off = _pick_slot(
@@ -752,36 +727,34 @@ def _density_kernel(*refs, cfg, geom):
                 # lanes carry keys below the accepted set, beyond-window
                 # lanes carry keys above it or KEY_PAD — the key mask
                 # rejects all.
-                if cfg.pallas_desc:
-                    s = desc_meta_ref[didx].astype(jnp.int32)
-                    off = _slot_koff(s, kind, cfg)
                 ck = cblk[3:4, :]
                 keyhit = _key_mask(ck, tkey + off, kind, cfg)
                 if kind == "slab_ranged":
                     # hybrid: the plane-wide slab mask cannot separate a
                     # col window from its neighbors' lead-in/tail lanes —
                     # bound lanes to the true range [lead, cnt) instead.
-                    if cfg.pallas_desc:
-                        widx = tile * ns + s
-                        wbase = sub_base_ref[widx].astype(jnp.int32) * 128
-                        lead = sub_lead_ref[widx].astype(jnp.int32)
-                        cnt = sub_cnt_ref[widx].astype(jnp.int32)
-                        lo = base - wbase
-                    else:
-                        lo = local * bl
-                    li = lo + jax.lax.broadcasted_iota(
+                    li = local * bl + jax.lax.broadcasted_iota(
                         jnp.int32, (1, bl), 1
                     )
                     keyhit = keyhit & (li >= lead) & (li < cnt)
                 return acc + jnp.where(keyhit, w, 0.0)
 
+            init = jnp.zeros((pt, bl), jnp.float32)
             # dynamic trip count: dead capacity costs nothing
-            return _unrolled_fori(
-                total, blk, jnp.zeros((pt, bl), jnp.float32), cfg
-            )
+            if use_desc:
+                return _unrolled_fori(total, blk, init, cfg)
+            return jax.lax.fori_loop(0, total, blk, init)
 
+        if cfg.pallas_desc:
+            # non-fitting tiles (desc_cnt < 0) fall back to the masked
+            # select-chain branch — MB is a performance knob, not a capacity
+            pred = (sub_fast_ref[tile] > 0) & (
+                desc_cnt_ref[tile].astype(jnp.int32) >= 0
+            )
+        else:
+            pred = sub_fast_ref[tile] > 0
         acc0 = jax.lax.cond(
-            sub_fast_ref[tile] > 0,
+            pred,
             lambda: sub_acc(True),
             lambda: sub_acc(False),
         )
@@ -849,7 +822,7 @@ def _prefetch_args(cols_info: TileColumns, cfg: SimConfig):
         cols_info.sub_fast,
     ]
     if cfg.pallas_desc:
-        args += [cols_info.desc_base, cols_info.desc_meta, cols_info.desc_cnt]
+        args += [cols_info.desc_base, cols_info.desc_cnt]
     args += [cols_info.sup_start, cols_info.sup_cnt]
     return args
 
@@ -863,7 +836,7 @@ _FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FKEY = range(9)
 def _force_kernel(*refs, cfg, geom):
     if cfg.pallas_desc:
         (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
-         desc_base_ref, desc_meta_ref, desc_cnt_ref, sup_start_ref,
+         desc_base_ref, desc_cnt_ref, sup_start_ref,
          sup_cnt_ref, tgt_ref, cols_hbm, f_ref, cand, sem) = refs
     else:
         (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
@@ -878,7 +851,6 @@ def _force_kernel(*refs, cfg, geom):
     vk = jnp.float32(cfg.v_kernel_coeff)
     mu = jnp.float32(cfg.viscosity)
     nbuf = len(_sup_stencil(cfg)[0])
-    ns = _sub_slots(cfg)
     mb = cfg.pallas_desc_blocks
     kind = _slot_plan(cfg)[0][3]  # uniform mask kind across slots
     wait, slot = _super_dma_pipeline(
@@ -900,25 +872,24 @@ def _force_kernel(*refs, cfg, geom):
         tvz = tgt_ref[t0 : t0 + pt, 5:6]
         tp = tgt_ref[t0 : t0 + pt, 6:7]
         tkey = tgt_ref[t0 : t0 + pt, 7:8]
-        if cfg.pallas_desc:
-            starts_blk = rows = None
-            total = desc_cnt_ref[tile].astype(jnp.int32)
-        else:
-            starts_blk, rows, total = _slot_scalars(
-                tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg
-            )
+        chain = _slot_scalars(
+            tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg
+        )
 
         def sub_force(fast, tx=tx, ty=ty, tz=tz, tvx=tvx, tvy=tvy, tvz=tvz,
-                      tp=tp, tkey=tkey, tile=tile, starts_blk=starts_blk,
-                      rows=rows, total=total):
+                      tp=tp, tkey=tkey, tile=tile, chain=chain):
             bl = cfg.pallas_block_lanes
             zero = jnp.zeros((pt, bl), jnp.float32)
+            use_desc = fast and cfg.pallas_desc
+            if use_desc:
+                total = desc_cnt_ref[tile].astype(jnp.int32)
+            else:
+                starts_blk, rows, total = chain
 
             def blk(b, carry):
                 fx, fy, fz = carry
-                if cfg.pallas_desc:
-                    didx = tile * mb + b
-                    base = desc_base_ref[didx].astype(jnp.int32) * 128
+                if use_desc:
+                    base = desc_base_ref[tile * mb + b].astype(jnp.int32) * 128
                     sl = pl.ds(pl.multiple_of(base, 128), bl)
                 else:
                     base, lead, cnt, cb, off = _pick_slot(
@@ -950,24 +921,11 @@ def _force_kernel(*refs, cfg, geom):
                 if fast:
                     live = r >= eps
                 else:
-                    if cfg.pallas_desc:
-                        s = desc_meta_ref[didx].astype(jnp.int32)
-                        off = _slot_koff(s, kind, cfg)
                     keyhit = _key_mask(row(_FKEY), tkey + off, kind, cfg)
                     if kind == "slab_ranged":
                         # hybrid: bound lanes to the true range — see
                         # the density kernel note
-                        if cfg.pallas_desc:
-                            widx = tile * ns + s
-                            wbase = (
-                                sub_base_ref[widx].astype(jnp.int32) * 128
-                            )
-                            lead = sub_lead_ref[widx].astype(jnp.int32)
-                            cnt = sub_cnt_ref[widx].astype(jnp.int32)
-                            lo = base - wbase
-                        else:
-                            lo = local * bl
-                        li = lo + jax.lax.broadcasted_iota(
+                        li = local * bl + jax.lax.broadcasted_iota(
                             jnp.int32, (1, bl), 1
                         )
                         keyhit = keyhit & (li >= lead) & (li < cnt)
@@ -990,10 +948,18 @@ def _force_kernel(*refs, cfg, geom):
                 fz = fz + s_v * (row(_FVZ) - tvz)
                 return fx, fy, fz
 
-            return _unrolled_fori(total, blk, (zero, zero, zero), cfg)
+            if use_desc:
+                return _unrolled_fori(total, blk, (zero, zero, zero), cfg)
+            return jax.lax.fori_loop(0, total, blk, (zero, zero, zero))
 
+        if cfg.pallas_desc:
+            pred = (sub_fast_ref[tile] > 0) & (
+                desc_cnt_ref[tile].astype(jnp.int32) >= 0
+            )
+        else:
+            pred = sub_fast_ref[tile] > 0
         fx, fy, fz = jax.lax.cond(
-            sub_fast_ref[tile] > 0,
+            pred,
             lambda: sub_force(True),
             lambda: sub_force(False),
         )

@@ -1,10 +1,17 @@
 """Pallas rank kernel for the cell-list starts table.
 
-Replaces the XLA bincount scatter-add (neighbors/cell_list.starts_table —
-the entire build-phase cost once the payload sort is 0.05 ms): the
-scatter costs ~7 ns/particle-index on this stack (≈7 ms at 1M particles,
-measured scripts/build_bench.py) and every XLA alternative measured worse.
-This kernel computes the same table with NO scatter, exploiting that the
+**Status: built, exact, and a MEASURED NEGATIVE on this stack — kept as the
+documented alternative (cfg.pallas_starts), default off.** The premise was
+the ~7 ns/particle-index scatter cost of the XLA bincount histogram
+measured on UNSORTED (grid-order) keys (≈7 ms at 1M). But the production
+chained loop keeps state cell-sorted across steps, so the scatter indices
+arrive nearly sorted and the histogram is data-dependently fast: measured
+(scripts/starts_bench.py, trajectory step 60) 0.13 ms at 262k and 0.21 ms
+at 1M. This kernel measures 2.4–3.1 ms at 262k and 3.3–6.8 ms at 1M —
+per-chunk grid-program overhead (~2.4 µs × 500–1000 programs) dominates
+its ~1 ms of compare work. The scatter stays.
+
+The kernel computes the same table with NO scatter, exploiting that the
 keys are already sorted:
 
   starts[k] = #{i : key_sorted[i] < k}   (= rank of k in the sorted keys)
