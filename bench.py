@@ -324,7 +324,12 @@ def main() -> None:
 
         return run
 
-    state0 = init_state(cfg)
+    # TPUSPH_BENCH_INIT=random for N past the grid-init ceiling (the 0.9h
+    # lattice caps at 1.29M particles in the 10^3 box — reference
+    # simulator.cu:438-453 semantics)
+    state0 = init_state(
+        cfg, random_init=os.environ.get("TPUSPH_BENCH_INIT") == "random"
+    )
 
     parity = "skipped"
     if os.environ.get("TPUSPH_BENCH_VERIFY", "1") != "0":

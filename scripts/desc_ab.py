@@ -38,18 +38,18 @@ def main():
         kw["pallas_stencil"] = os.environ["TPUSPH_AB_STENCIL"]
     cfg0 = default_config(n, **kw)
     mb = int(os.environ.get("TPUSPH_AB_MB", "32"))
+    desc_kw = dict(pallas_desc=True, pallas_desc_blocks=mb)
     variants = {
-        "chain": cfg0,
-        "desc": dataclasses.replace(
-            cfg0, pallas_desc=True, pallas_desc_blocks=mb
+        "u2": dataclasses.replace(cfg0, pallas_desc_unroll=2, **desc_kw),
+        "u2_fold": dataclasses.replace(
+            cfg0, pallas_desc_unroll=2, pallas_force_fold=True, **desc_kw
         ),
-        "desc_u2": dataclasses.replace(
-            cfg0, pallas_desc=True, pallas_desc_blocks=mb,
-            pallas_desc_unroll=2,
+        "u4d_u2f": dataclasses.replace(
+            cfg0, pallas_desc_unroll=4, pallas_desc_unroll_force=2, **desc_kw
         ),
-        "desc_u4": dataclasses.replace(
-            cfg0, pallas_desc=True, pallas_desc_blocks=mb,
-            pallas_desc_unroll=4,
+        "u4d_u2f_fold": dataclasses.replace(
+            cfg0, pallas_desc_unroll=4, pallas_desc_unroll_force=2,
+            pallas_force_fold=True, **desc_kw
         ),
     }
 
@@ -72,6 +72,7 @@ def main():
         )(state, cl)
         import jax.numpy as jnp
 
+        base_rho = None
         for name, cfg in variants.items():
             cols = jax.jit(
                 lambda cl: supertile_columns(
@@ -118,15 +119,14 @@ def main():
             parts = "  ".join(f"{k}={v*1e3:6.2f}" for k, v in t.items())
             print(f"step {target} {name:5s}: {parts} ms  overflow={ovf}",
                   flush=True)
-            # parity between the two variants at this step
-            if name == "chain":
+            # parity across variants at this step
+            if base_rho is None:
                 base_rho = np.asarray(jax.device_get(raw))
             else:
                 np.testing.assert_allclose(
                     np.asarray(jax.device_get(raw)), base_rho, rtol=1e-6
                 )
-                print(f"step {target}: desc vs chain density parity OK",
-                      flush=True)
+                print(f"step {target}: {name} density parity OK", flush=True)
 
 
 if __name__ == "__main__":

@@ -140,6 +140,25 @@ def test_pallas_desc_unroll_matches_plain():
         np.testing.assert_array_equal(outs[u][1], outs[1][1])
 
 
+def test_force_fold_matches_plain():
+    """The folded force carry changes lane summation order only: results
+    match the unfolded kernel to float roundoff."""
+    import dataclasses
+
+    base = default_config(
+        512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
+        pallas_stencil="slab3", pallas_block_lanes=256,
+    )
+    st = init_state(base, random_init=True, seed=7)
+    a, _ = jax.jit(lambda s: step_pallas(s, base, interpret=True))(st)
+    fold = dataclasses.replace(base, pallas_force_fold=True)
+    b, _ = jax.jit(lambda s: step_pallas(s, fold, interpret=True))(st)
+    np.testing.assert_array_equal(np.asarray(a.density), np.asarray(b.density))
+    np.testing.assert_allclose(
+        np.asarray(a.force), np.asarray(b.force), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_pallas_desc_blocks_fallback_correct():
     """Tiles whose block total exceeds pallas_desc_blocks must fall back to
     the select-chain branch with IDENTICAL physics (MB is a performance

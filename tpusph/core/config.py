@@ -138,6 +138,11 @@ class SimConfig:
     # candidate buffer (zero contribution by the same ≥0.17-distance
     # argument as parked padding particles).
     pallas_desc_unroll: int = 1
+    # Force-kernel unroll override (0 = same as pallas_desc_unroll): the
+    # force kernel is VREG-pressure-bound (u4 measured WORSE there while
+    # helping density), so the two kernels may want different factors.
+    # Descriptor padding uses the max of the two.
+    pallas_desc_unroll_force: int = 0
     # Starts-table rank kernel (pallas/starts.py): replaces the bincount
     # scatter-add (≈7 ns/particle on this stack — the whole build-phase
     # cost at 1M) with a no-scatter Pallas outer-compare over the sorted
@@ -147,6 +152,12 @@ class SimConfig:
     pallas_starts: bool = False
     pallas_starts_chunk: int = 2048
     pallas_starts_kcap: int = 16384
+    # Force-kernel carry fold: each block's (pt, bl) force contribution is
+    # folded to (pt, bl/2) (adjacent lane halves added) before accumulating,
+    # halving the loop-carried VREG footprint of the 3 accumulators (force
+    # is the VREG-pressure-bound kernel — u4 unroll measured WORSE there).
+    # Changes lane summation order only (parity budget 1e-4 unaffected).
+    pallas_force_fold: bool = False
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192
@@ -154,6 +165,17 @@ class SimConfig:
     @property
     def h2(self) -> float:
         return _f32(self.h) * _f32(self.h)
+
+    @property
+    def force_unroll(self) -> int:
+        """Force-kernel unroll (falls back to the shared factor)."""
+        return self.pallas_desc_unroll_force or self.pallas_desc_unroll
+
+    @property
+    def max_desc_unroll(self) -> int:
+        """Descriptor-padding granularity: a padded count divisible by the
+        larger factor is divisible by the smaller (both are powers of 2)."""
+        return max(self.pallas_desc_unroll, self.force_unroll)
 
     @property
     def v_kernel_coeff(self) -> float:
@@ -210,11 +232,13 @@ class SimConfig:
             raise ValueError("pallas_block_lanes must be 128 or 256")
         if self.pallas_desc_unroll not in (1, 2, 4):
             raise ValueError("pallas_desc_unroll must be 1, 2 or 4")
+        if self.pallas_desc_unroll_force not in (0, 1, 2, 4):
+            raise ValueError("pallas_desc_unroll_force must be 0, 1, 2 or 4")
         if self.pallas_desc_unroll > 1 and not self.pallas_desc:
             raise ValueError("pallas_desc_unroll needs pallas_desc=True")
-        if self.pallas_desc_blocks % self.pallas_desc_unroll:
+        if self.pallas_desc_blocks % self.max_desc_unroll:
             raise ValueError(
-                "pallas_desc_blocks must be a multiple of pallas_desc_unroll"
+                "pallas_desc_blocks must be a multiple of the unroll factors"
             )
         if self.pallas_starts_chunk % 64 or self.pallas_starts_chunk <= 0:
             raise ValueError(

@@ -286,7 +286,7 @@ def _build_desc(base_blk, cnt, cfg: SimConfig):
     ntiles, ns = base_blk.shape
     bl = cfg.pallas_block_lanes
     mb = cfg.pallas_desc_blocks
-    u = cfg.pallas_desc_unroll
+    u = cfg.max_desc_unroll  # divisible by both kernels' unroll factors
     nbuf = len(_sup_stencil(cfg)[0])
     dead_blk = nbuf * cfg.pallas_col_capacity // 128
     bw = -(-cnt // bl)  # (ntiles, ns) blocks per window
@@ -541,10 +541,9 @@ def _init_parking(i, cand, nbuf, col_cap, rows, key_row, cfg):
             )
 
 
-def _unrolled_fori(total, blk, init, cfg: SimConfig):
-    """fori over blocks, processing pallas_desc_unroll blocks per iteration
-    (prep pads total to a multiple of the unroll with dead blocks)."""
-    u = cfg.pallas_desc_unroll if cfg.pallas_desc else 1
+def _unrolled_fori(total, blk, init, u: int):
+    """fori over blocks, processing `u` blocks per iteration (prep pads
+    total to a multiple of max_desc_unroll, which both factors divide)."""
     if u == 1:
         return jax.lax.fori_loop(0, total, blk, init)
 
@@ -742,7 +741,7 @@ def _density_kernel(*refs, cfg, geom):
             init = jnp.zeros((pt, bl), jnp.float32)
             # dynamic trip count: dead capacity costs nothing
             if use_desc:
-                return _unrolled_fori(total, blk, init, cfg)
+                return _unrolled_fori(total, blk, init, cfg.pallas_desc_unroll)
             return jax.lax.fori_loop(0, total, blk, init)
 
         if cfg.pallas_desc:
@@ -879,7 +878,10 @@ def _force_kernel(*refs, cfg, geom):
         def sub_force(fast, tx=tx, ty=ty, tz=tz, tvx=tvx, tvy=tvy, tvz=tvz,
                       tp=tp, tkey=tkey, tile=tile, chain=chain):
             bl = cfg.pallas_block_lanes
-            zero = jnp.zeros((pt, bl), jnp.float32)
+            # carry fold: halve the loop-carried accumulator lanes (force is
+            # VREG-pressure-bound; summation order change only)
+            bl2 = bl // 2 if cfg.pallas_force_fold else bl
+            zero = jnp.zeros((pt, bl2), jnp.float32)
             use_desc = fast and cfg.pallas_desc
             if use_desc:
                 total = desc_cnt_ref[tile].astype(jnp.int32)
@@ -937,19 +939,22 @@ def _force_kernel(*refs, cfg, geom):
                 # ·(h−r)²/r, applied along disp.
                 term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
                 s_p = jnp.where(live, (m * vk) * term * hr * hr * inv_r, 0.0)
-                fx = fx + s_p * dx
-                fy = fy + s_p * dy
-                fz = fz + s_p * dz
                 # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
                 # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
                 s_v = jnp.where(live, (2.0 * mu * m * vk) * hr * row(_FI2R), 0.0)
-                fx = fx + s_v * (row(_FVX) - tvx)
-                fy = fy + s_v * (row(_FVY) - tvy)
-                fz = fz + s_v * (row(_FVZ) - tvz)
-                return fx, fy, fz
+                cx = s_p * dx + s_v * (row(_FVX) - tvx)
+                cy = s_p * dy + s_v * (row(_FVY) - tvy)
+                cz = s_p * dz + s_v * (row(_FVZ) - tvz)
+                if cfg.pallas_force_fold:
+                    cx = cx[:, :bl2] + cx[:, bl2:]
+                    cy = cy[:, :bl2] + cy[:, bl2:]
+                    cz = cz[:, :bl2] + cz[:, bl2:]
+                return fx + cx, fy + cy, fz + cz
 
             if use_desc:
-                return _unrolled_fori(total, blk, (zero, zero, zero), cfg)
+                return _unrolled_fori(
+                    total, blk, (zero, zero, zero), cfg.force_unroll
+                )
             return jax.lax.fori_loop(0, total, blk, (zero, zero, zero))
 
         if cfg.pallas_desc:
