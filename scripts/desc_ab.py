@@ -33,7 +33,15 @@ from tpusph.physics.kernels import pressure_from_density
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
     probe_steps = [int(s) for s in sys.argv[2:]] or [30, 60]
-    kw = {}
+    from bench import config_overrides
+
+    # per-N base presets (stencil/geometry/capacities) minus the desc knobs
+    # the variants sweep themselves
+    kw = {
+        k: v
+        for k, v in config_overrides(n, os.environ).items()
+        if not k.startswith("pallas_desc") and k != "pallas_force_fold"
+    }
     if os.environ.get("TPUSPH_AB_STENCIL"):
         kw["pallas_stencil"] = os.environ["TPUSPH_AB_STENCIL"]
     cfg0 = default_config(n, **kw)

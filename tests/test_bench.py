@@ -77,6 +77,7 @@ def test_config_overrides_presets():
     assert kw == {
         "pallas_stencil": "hybrid", "pallas_tile": 128, "pallas_group": 8,
         "pallas_col_capacity": 16384, "pallas_sub_blocks": 80,
+        "pallas_desc": True, "pallas_desc_unroll": 2,
     }
     # desc can be forced off (and the unroll preset goes with it)
     kw = config_overrides(262_144, {"TPUSPH_BENCH_DESC": "0"})

@@ -282,12 +282,17 @@ def tuned_overrides(num_particles: int) -> dict:
     Used by bench.py (plus TPUSPH_BENCH_* env on top) and the CLI (flags
     win), so `sph -n 1048576 -m time` gets the known-good config."""
     if num_particles >= 1_000_000:
+        # desc blocks stay at the small default — the dense per-tile SMEM
+        # rows are the constraint at 8192 tiles; pile-up tiles fall back to
+        # the select-chain branch (v5e 1M: 15.26 vs 14.47 steps/s)
         return {
             "pallas_stencil": "hybrid",
             "pallas_tile": 128,
             "pallas_group": 8,
             "pallas_col_capacity": 16384,
             "pallas_sub_blocks": 80,
+            "pallas_desc": True,
+            "pallas_desc_unroll": 2,
         }
     return {
         "pallas_desc": True,

@@ -163,13 +163,12 @@ def run_free_mode(sim, frames: int = 0, out_dir: str = "frames", clicks=None) ->
         # post-step-k positions, exactly like the reference's display()
         # (display.cpp:35-57, paying its stall at simulator.cu:479-480).
         pending = None  # (frame index, in-flight fetch)
+        use_async = hasattr(sim, "get_position_async") and not os.environ.get(
+            "TPUSPH_VIZ_SYNC"
+        )  # TPUSPH_VIZ_SYNC=1: sequential fetch (A/B measurement aid)
         for k in range(frames):
             sim.simulate(click=clicks.get(k))
-            fetch = (
-                sim.get_position_async()
-                if hasattr(sim, "get_position_async")
-                else None
-            )
+            fetch = sim.get_position_async() if use_async else None
             if pending is not None:
                 _render_to(pending[1].wait(), pending[0], out_dir)
             if fetch is None:  # DistSimulator: synchronous collect
