@@ -125,6 +125,23 @@ def test_dist_checkpoint_roundtrip(eight_devices):
     )
 
 
+def test_dist_run_mesh3d_matches_stepwise(eight_devices):
+    """run() on the 3-D brick mesh equals its per-step dispatch path."""
+    cfg = default_config(512, chunk_size=512)
+    a = DistSimulator(cfg, devices=eight_devices, random_init=True, seed=21,
+                      mesh_shape=(2, 2, 2))
+    a.setup()
+    b = DistSimulator(cfg, devices=eight_devices, random_init=True, seed=21,
+                      mesh_shape=(2, 2, 2))
+    b.setup()
+    a.run(3)
+    for _ in range(3):
+        b.simulate()
+    np.testing.assert_allclose(
+        a.get_position(), b.get_position(), rtol=0, atol=1e-6
+    )
+
+
 def test_dist_simulator_mesh3d(eight_devices):
     """DistSimulator with a 3-D brick mesh matches the single-chip engine."""
     cfg = default_config(512, chunk_size=512)

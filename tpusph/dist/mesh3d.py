@@ -296,6 +296,56 @@ def make_mesh3d_step(
     return step
 
 
+def make_mesh3d_run(
+    cfg: SimConfig, mcfg: Mesh3DConfig, mesh: Mesh, steps: int,
+    use_pallas: bool = False, interpret: bool = False,
+):
+    """Scan-chained brick-mesh production loop (the 3-D analog of
+    sharded.make_sharded_run): one jitted dispatch runs `steps` timesteps,
+    aux accumulated in-graph (overflow/misrouting summed, census from the
+    final step)."""
+    mcfg.validate()
+    spec = P(AXES)
+    zero_cell = jnp.zeros((2,), jnp.int32)
+    inactive = jnp.zeros((), bool)
+
+    def device_run(pos, vel, valid, pid):
+        def body(carry, _):
+            pos, vel, valid, pid = carry
+            x, v, valid2, pid2, aux = _device_step3d(
+                pos, vel, valid, pid, zero_cell, inactive, cfg, mcfg,
+                use_pallas=use_pallas, interpret=interpret,
+            )
+            return (x, v, valid2, pid2), aux
+        carry, auxs = lax.scan(body, (pos, vel, valid, pid), None, length=steps)
+        aux = DistAux(
+            halo_overflow=jnp.sum(auxs.halo_overflow),
+            migration_overflow=jnp.sum(auxs.migration_overflow),
+            window_overflow=jnp.sum(auxs.window_overflow),
+            oob_count=jnp.sum(auxs.oob_count),
+            misrouted=jnp.sum(auxs.misrouted),
+            num_particles=auxs.num_particles[-1],
+        )
+        return carry[0], carry[1], carry[2], carry[3], aux
+
+    sharded = shard_map(
+        device_run,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(state: DistState):
+        x, v, valid, pid, aux = sharded(
+            state.position, state.velocity, state.valid, state.pid
+        )
+        return DistState(x, v, valid, pid), aux
+
+    return run
+
+
 def make_mesh(devices, mesh_shape: tuple[int, int, int]) -> Mesh:
     mz, my, mx = mesh_shape
     return Mesh(np.asarray(devices).reshape(mz, my, mx), AXES)

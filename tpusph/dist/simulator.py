@@ -208,11 +208,13 @@ class DistSimulator:
         single-chip lax.scan chain; replaces simulate()'s per-step
         device_get sync). On capacity overflow the chunk is re-run from its
         initial state with doubled capacities, so the physics that lands in
-        self.state is never degraded. 1-D slab mesh only (the 3-D brick
-        mesh keeps the per-step driver)."""
+        self.state is never degraded. Works on both the 1-D slab mesh
+        and the 3-D brick mesh."""
         assert self.state is not None, "call setup() first"
-        assert self.mesh_shape is None, "run() supports the 1-D slab mesh"
-        from tpusph.dist.sharded import make_sharded_run
+        if self.mesh_shape is None:
+            from tpusph.dist.sharded import make_sharded_run as make_run
+        else:
+            from tpusph.dist.mesh3d import make_mesh3d_run as make_run
 
         chunk = steps if chunk is None else max(1, chunk)
         done = 0
@@ -221,7 +223,7 @@ class DistSimulator:
             k = min(chunk, steps - done)
             for _ in range(8):
                 if k not in runners:
-                    runners[k] = make_sharded_run(
+                    runners[k] = make_run(
                         self.cfg, self.dcfg, self.mesh,
                         steps=k, use_pallas=self.use_pallas,
                     )

@@ -152,6 +152,7 @@ class TileColumns(NamedTuple):
     overflow: jnp.ndarray  # int32[] — super-column count beyond capacity
     desc_base: jnp.ndarray | None = None  # i16[ntiles*MB] flat block offset
     desc_cnt: jnp.ndarray | None = None  # i16[ntiles] padded blocks, −1 = no fit
+    desc_cnt_f: jnp.ndarray | None = None  # same, padded for force_unroll
 
 
 def _sub_dtype(cfg: SimConfig):
@@ -286,7 +287,6 @@ def _build_desc(base_blk, cnt, cfg: SimConfig):
     ntiles, ns = base_blk.shape
     bl = cfg.pallas_block_lanes
     mb = cfg.pallas_desc_blocks
-    u = cfg.max_desc_unroll  # divisible by both kernels' unroll factors
     nbuf = len(_sup_stencil(cfg)[0])
     dead_blk = nbuf * cfg.pallas_col_capacity // 128
     bw = -(-cnt // bl)  # (ntiles, ns) blocks per window
@@ -304,10 +304,19 @@ def _build_desc(base_blk, cnt, cfg: SimConfig):
         local = jnp.where(is_w, j - cw[:, w : w + 1], local)
     live = j < total[:, None]
     desc_base = jnp.where(live, base_sel + local * (bl // 128), dead_blk)
-    padded = -(-total // u) * u  # unroll padding (dead slots cover the tail)
-    # validate() enforces mb % u == 0
-    desc_cnt = jnp.where(padded <= mb, padded, -1)
-    return desc_base, desc_cnt
+
+    def padded_cnt(u):
+        # per-kernel unroll padding: dead slots cover the tail; a count
+        # padded for one factor must NOT be reused by a kernel with a
+        # different factor (the extra dead blocks are pure waste there —
+        # measured +0.6 ms on the force kernel at 262k). validate()
+        # enforces mb % u == 0.
+        p = -(-total // u) * u
+        return jnp.where(p <= mb, p, -1)
+
+    return desc_base, padded_cnt(cfg.pallas_desc_unroll), padded_cnt(
+        cfg.force_unroll
+    )
 
 
 def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
@@ -336,9 +345,9 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
 
     ns = sub_base.shape[1]
     base_blk = _flat_blocks(sub_base, jnp.arange(ns, dtype=jnp.int32), cfg)
-    desc_base = desc_cnt = None
+    desc_base = desc_cnt = desc_cnt_f = None
     if cfg.pallas_desc:
-        desc_base, desc_cnt = _build_desc(base_blk, sub_cnt, cfg)
+        desc_base, desc_cnt, desc_cnt_f = _build_desc(base_blk, sub_cnt, cfg)
 
     idt = _sub_dtype(cfg)
     return TileColumns(
@@ -354,6 +363,7 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
         overflow=overflow,
         desc_base=None if desc_base is None else desc_base.reshape(-1).astype(idt),
         desc_cnt=None if desc_cnt is None else desc_cnt.astype(idt),
+        desc_cnt_f=None if desc_cnt_f is None else desc_cnt_f.astype(idt),
     )
 
 
@@ -436,9 +446,9 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
     base_blk = _flat_blocks(
         sub_base, jnp.arange(9, dtype=jnp.int32) // 3, cfg
     )
-    desc_base = desc_cnt = None
+    desc_base = desc_cnt = desc_cnt_f = None
     if cfg.pallas_desc:
-        desc_base, desc_cnt = _build_desc(base_blk, sub_cnt, cfg)
+        desc_base, desc_cnt, desc_cnt_f = _build_desc(base_blk, sub_cnt, cfg)
 
     idt = _sub_dtype(cfg)
     return TileColumns(
@@ -452,6 +462,7 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
         overflow=overflow,
         desc_base=None if desc_base is None else desc_base.reshape(-1).astype(idt),
         desc_cnt=None if desc_cnt is None else desc_cnt.astype(idt),
+        desc_cnt_f=None if desc_cnt_f is None else desc_cnt_f.astype(idt),
     )
 
 
@@ -648,7 +659,7 @@ def _pick_slot(b, starts_blk, rows):
 def _density_kernel(*refs, cfg, geom):
     if cfg.pallas_desc:
         (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
-         desc_base_ref, desc_cnt_ref, sup_start_ref,
+         desc_base_ref, desc_cnt_ref, _desc_cnt_f_ref, sup_start_ref,
          sup_cnt_ref, tgt_ref, cols_hbm, rho_ref, cand, sem) = refs
     else:
         (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
@@ -821,7 +832,9 @@ def _prefetch_args(cols_info: TileColumns, cfg: SimConfig):
         cols_info.sub_fast,
     ]
     if cfg.pallas_desc:
-        args += [cols_info.desc_base, cols_info.desc_cnt]
+        args += [
+            cols_info.desc_base, cols_info.desc_cnt, cols_info.desc_cnt_f
+        ]
     args += [cols_info.sup_start, cols_info.sup_cnt]
     return args
 
@@ -835,7 +848,7 @@ _FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FKEY = range(9)
 def _force_kernel(*refs, cfg, geom):
     if cfg.pallas_desc:
         (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
-         desc_base_ref, desc_cnt_ref, sup_start_ref,
+         desc_base_ref, _desc_cnt_d_ref, desc_cnt_ref, sup_start_ref,
          sup_cnt_ref, tgt_ref, cols_hbm, f_ref, cand, sem) = refs
     else:
         (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
