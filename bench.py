@@ -214,6 +214,7 @@ def config_overrides(n: int, env) -> dict:
         kw["pallas_desc"] = env["TPUSPH_BENCH_DESC"] == "1"
         if not kw["pallas_desc"]:
             kw.pop("pallas_desc_unroll", None)
+            kw.pop("pallas_desc_unroll_force", None)
     if env.get("TPUSPH_BENCH_DESC_UNROLL"):
         kw["pallas_desc_unroll"] = int(env["TPUSPH_BENCH_DESC_UNROLL"])
         kw["pallas_desc"] = True

@@ -292,12 +292,16 @@ def tuned_overrides(num_particles: int) -> dict:
             "pallas_col_capacity": 16384,
             "pallas_sub_blocks": 80,
             "pallas_desc": True,
-            "pallas_desc_unroll": 2,
+            "pallas_desc_unroll": 4,
+            "pallas_desc_unroll_force": 2,
+            "pallas_force_fold": True,
         }
     return {
         "pallas_desc": True,
         "pallas_desc_blocks": 24,
-        "pallas_desc_unroll": 2,
+        "pallas_desc_unroll": 4,
+        "pallas_desc_unroll_force": 2,
+        "pallas_force_fold": True,
     }
 
 
