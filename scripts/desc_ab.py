@@ -59,6 +59,10 @@ def main():
             cfg0, pallas_desc_unroll=4, pallas_desc_unroll_force=2,
             pallas_force_fold=True, **desc_kw
         ),
+        "u4both_fold": dataclasses.replace(
+            cfg0, pallas_desc_unroll=4, pallas_desc_unroll_force=4,
+            pallas_force_fold=True, **desc_kw
+        ),
     }
 
     state = init_state(cfg0)

@@ -9,7 +9,7 @@ impulses — redesigned TPU-first (sort-based neighbor structure, fixed static
 shapes, fused jitted step, spatial domain sharding over a device mesh).
 """
 
-from tpusph.core.config import SimConfig, default_config
+from tpusph.core.config import SimConfig, default_config, tuned_config
 from tpusph.core.init import init_state
 from tpusph.core.state import FluidState, make_state
 from tpusph.engine.step import make_step, step_allpairs, step_cell_list
@@ -17,6 +17,7 @@ from tpusph.engine.step import make_step, step_allpairs, step_cell_list
 __all__ = [
     "SimConfig",
     "default_config",
+    "tuned_config",
     "FluidState",
     "make_state",
     "init_state",
