@@ -352,7 +352,6 @@ def main() -> None:
             cfg,
             pallas_col_capacity=cfg.pallas_col_capacity * 2,
             pallas_sub_blocks=cfg.pallas_sub_blocks * 2,
-            pallas_desc_blocks=cfg.pallas_desc_blocks * 2,
             pallas_starts_kcap=cfg.pallas_starts_kcap * 2,
             tile_cand_capacity=cfg.tile_cand_capacity * 2,
         )

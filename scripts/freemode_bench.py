@@ -1,0 +1,54 @@
+"""Measure free-mode frame throughput on the real TPU: double-buffered
+(async) readback vs the sequential fetch loop (TPUSPH_VIZ_SYNC=1).
+
+The async loop dispatches step k+1 before waiting on step k's position
+transfer, so frame time ≈ max(step, fetch + render) instead of their sum
+(the reference stalls on its D2H copy every frame, simulator.cu:479-480).
+
+Usage: python scripts/freemode_bench.py [N] [frames]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+from tpusph.core.config import tuned_config
+from tpusph.engine.simulator import Simulator
+from tpusph.viz.render import run_free_mode
+
+
+def run(n, frames, sync: bool):
+    if sync:
+        os.environ["TPUSPH_VIZ_SYNC"] = "1"
+    else:
+        os.environ.pop("TPUSPH_VIZ_SYNC", None)
+    sim = Simulator(tuned_config(n))
+    sim.setup()
+    with tempfile.TemporaryDirectory() as d:
+        run_free_mode(sim, frames=4, out_dir=d)  # compile + warm
+        t0 = time.perf_counter()
+        run_free_mode(sim, frames=frames, out_dir=d)
+        dt = time.perf_counter() - t0
+    return dt / frames
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    for sync in (True, False):
+        per = run(n, frames, sync)
+        mode = "sync " if sync else "async"
+        print(f"{mode} frame time: {per * 1e3:7.2f} ms "
+              f"({1 / per:6.1f} fps) at N={n}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -281,6 +281,23 @@ def tuned_overrides(num_particles: int) -> dict:
 
     Used by bench.py (plus TPUSPH_BENCH_* env on top) and the CLI (flags
     win), so `sph -n 1048576 -m time` gets the known-good config."""
+    if num_particles >= 2_000_000:
+        # 2M-class single chip: the hybrid stencil's 9-slot SMEM tables no
+        # longer fit the 1.00 MB SMEM budget at 16384+ tiles (measured:
+        # 1.80 MB requested) — slab3's 3-slot tables + the meta-free desc
+        # rows do. Dam-break pile-ups at this N need the doubled window
+        # capacities up front.
+        return {
+            "pallas_stencil": "slab3",
+            "pallas_tile": 128,
+            "pallas_group": 8,
+            "pallas_col_capacity": 32768,
+            "pallas_sub_blocks": 160,
+            "pallas_desc": True,
+            "pallas_desc_unroll": 4,
+            "pallas_desc_unroll_force": 2,
+            "pallas_force_fold": True,
+        }
     if num_particles >= 1_000_000:
         # desc blocks stay at the small default — the dense per-tile SMEM
         # rows are the constraint at 8192 tiles; pile-up tiles fall back to

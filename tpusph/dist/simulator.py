@@ -186,8 +186,7 @@ class DistSimulator:
                 tile_cand_capacity=self.cfg.tile_cand_capacity * 2,
                 pallas_col_capacity=self.cfg.pallas_col_capacity * 2,
                 pallas_sub_blocks=self.cfg.pallas_sub_blocks * 2,
-                pallas_desc_blocks=self.cfg.pallas_desc_blocks * 2,
-            pallas_starts_kcap=self.cfg.pallas_starts_kcap * 2,
+                pallas_starts_kcap=self.cfg.pallas_starts_kcap * 2,
             )
         self.dcfg = d
         if self.mesh_shape is None:
