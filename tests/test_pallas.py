@@ -291,8 +291,9 @@ def test_hybrid_modes_agree_and_match_slab3():
 
 def test_sub_descriptor_dtype_widens_past_int16():
     """Capacity auto-grow past the int16 range must widen the SMEM sub-window
-    descriptors instead of silently wrapping (sub_base is relative to the
-    super buffer and bounded by pallas_col_capacity)."""
+    descriptors instead of silently wrapping. Non-hybrid stencils store cnt
+    in BLOCK units and stay int16 at 2M-class capacities (the SMEM-budget
+    enabler); hybrid stores lanes (its ranged bound needs them) and widens."""
     import jax.numpy as jnp
 
     from tpusph.neighbors.cell_list import build_sorted_fields
@@ -302,12 +303,21 @@ def test_sub_descriptor_dtype_widens_past_int16():
         512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
         pallas_block_lanes=128,
     )
-    big = default_config(
+    big_slab = default_config(
         512, chunk_size=512, pallas_col_capacity=65536,
         pallas_sub_blocks=512, pallas_block_lanes=128,
     )
+    big_hybrid = default_config(
+        512, chunk_size=512, pallas_col_capacity=65536,
+        pallas_sub_blocks=512, pallas_block_lanes=128,
+        pallas_stencil="hybrid",
+    )
     st = init_state(small, random_init=True, seed=7)
-    for cfg, want in ((small, jnp.int16), (big, jnp.int32)):
+    for cfg, want in (
+        (small, jnp.int16),
+        (big_slab, jnp.int16),  # block-unit cnt keeps int16 viable
+        (big_hybrid, jnp.int32),  # lane-unit cnt must widen
+    ):
         sf = jax.jit(
             lambda s: build_sorted_fields(s.position, s.velocity, s.valid, cfg)
         )(st)

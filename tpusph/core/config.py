@@ -284,18 +284,16 @@ def tuned_overrides(num_particles: int) -> dict:
     if num_particles >= 2_000_000:
         # 2M-class single chip: the hybrid stencil's 9-slot SMEM tables no
         # longer fit the 1.00 MB SMEM budget at 16384+ tiles (measured:
-        # 1.80 MB requested) — slab3's 3-slot tables + the meta-free desc
-        # rows do. Dam-break pile-ups at this N need the doubled window
-        # capacities up front.
+        # 1.80 MB requested) — slab3's 3-slot tables with BLOCK-unit counts
+        # stay int16 even at the col=65536 the dam-break pile-ups need
+        # (lane counts would overflow int16 and double the tables).
+        # Descriptor rows off: their dense per-tile SMEM doesn't fit here.
         return {
             "pallas_stencil": "slab3",
             "pallas_tile": 128,
             "pallas_group": 8,
-            "pallas_col_capacity": 32768,
-            "pallas_sub_blocks": 160,
-            "pallas_desc": True,
-            "pallas_desc_unroll": 4,
-            "pallas_desc_unroll_force": 2,
+            "pallas_col_capacity": 65536,
+            "pallas_sub_blocks": 320,
             "pallas_force_fold": True,
         }
     if num_particles >= 1_000_000:

@@ -155,15 +155,28 @@ class TileColumns(NamedTuple):
     desc_cnt_f: jnp.ndarray | None = None  # same, padded for force_unroll
 
 
+def _cnt_in_lanes(cfg: SimConfig) -> bool:
+    """Whether sub_cnt is stored in LANES (hybrid: the slab_ranged slow
+    path bounds lanes to [lead, cnt) and needs lane precision) or in
+    BLOCKS (col9/slab3: the key mask subsumes the tail, so only the block
+    trip count matters — and block units keep int16 viable to 2M-class
+    window capacities, where lane counts overflow int16 and the int32
+    tables blow the 1.00 MB SMEM budget)."""
+    return cfg.pallas_stencil == "hybrid"
+
+
 def _sub_dtype(cfg: SimConfig):
     """int16 while every per-sub scalar (base in flat block units ≤
-    nbuf·capacity/128, cnt ≤ the block scan limit in lanes, lead < block
-    width) fits; int32 after capacity regrow pushes past the int16 range
-    (2× SMEM prefetch footprint, still small)."""
+    nbuf·capacity/128, cnt — lanes for hybrid, blocks otherwise — and
+    lead < block width) fits; int32 after capacity regrow pushes past the
+    int16 range (2× SMEM prefetch footprint, still small)."""
     nbuf = len(_sup_stencil(cfg)[0])
-    limit = max(
-        nbuf * cfg.pallas_col_capacity // 128, cfg.pallas_sub_blocks * 128
+    cnt_max = (
+        cfg.pallas_sub_blocks * 128
+        if _cnt_in_lanes(cfg)
+        else -(-cfg.pallas_sub_blocks * 128 // cfg.pallas_block_lanes)
     )
+    limit = max(nbuf * cfg.pallas_col_capacity // 128, cnt_max)
     return jnp.int16 if limit <= 32767 else jnp.int32
 
 
@@ -270,7 +283,7 @@ def _flat_blocks(base_lanes, buf_idx, cfg: SimConfig):
     return (buf_idx[None, :] * cap + base_lanes) // 128
 
 
-def _build_desc(base_blk, cnt, cfg: SimConfig):
+def _build_desc(base_blk, bw, cfg: SimConfig):
     """Dense per-tile block descriptors for the flat descriptor loop: for
     each tile, the concatenation of its windows' scanned blocks in slot
     order. Returns (desc_base, desc_cnt): desc_base[t, j] = flat 128-lane
@@ -289,7 +302,7 @@ def _build_desc(base_blk, cnt, cfg: SimConfig):
     mb = cfg.pallas_desc_blocks
     nbuf = len(_sup_stencil(cfg)[0])
     dead_blk = nbuf * cfg.pallas_col_capacity // 128
-    bw = -(-cnt // bl)  # (ntiles, ns) blocks per window
+    # bw: (ntiles, ns) blocks per window (callers pass block counts)
     cw = jnp.cumsum(bw, axis=1) - bw  # exclusive
     total = cw[:, -1] + bw[:, -1]
     j = jnp.arange(mb, dtype=jnp.int32)[None, :]  # (1, MB)
@@ -345,14 +358,17 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
 
     ns = sub_base.shape[1]
     base_blk = _flat_blocks(sub_base, jnp.arange(ns, dtype=jnp.int32), cfg)
+    # non-hybrid: store cnt in BLOCK units (int16-safe at 2M-class window
+    # capacities; the key mask subsumes the tail so lanes aren't needed)
+    cnt_blocks = -(-sub_cnt // cfg.pallas_block_lanes)
     desc_base = desc_cnt = desc_cnt_f = None
     if cfg.pallas_desc:
-        desc_base, desc_cnt, desc_cnt_f = _build_desc(base_blk, sub_cnt, cfg)
+        desc_base, desc_cnt, desc_cnt_f = _build_desc(base_blk, cnt_blocks, cfg)
 
     idt = _sub_dtype(cfg)
     return TileColumns(
         sub_base=base_blk.reshape(-1).astype(idt),
-        sub_cnt=sub_cnt.reshape(-1).astype(idt),
+        sub_cnt=cnt_blocks.reshape(-1).astype(idt),
         sub_lead=jnp.zeros_like(sub_cnt).reshape(-1).astype(idt),
         sub_fast=sub_fast.astype(jnp.int32),
         sub_mode=jnp.full(
@@ -448,7 +464,9 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
     )
     desc_base = desc_cnt = desc_cnt_f = None
     if cfg.pallas_desc:
-        desc_base, desc_cnt, desc_cnt_f = _build_desc(base_blk, sub_cnt, cfg)
+        desc_base, desc_cnt, desc_cnt_f = _build_desc(
+            base_blk, -(-sub_cnt // cfg.pallas_block_lanes), cfg
+        )
 
     idt = _sub_dtype(cfg)
     return TileColumns(
@@ -627,7 +645,10 @@ def _slot_scalars(tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg):
     starts_blk, rows = [], []
     cb = jnp.int32(0)
     for s, _buf, off, _ in plan:
+        # sub_cnt unit: LANES for hybrid (the ranged bound needs them),
+        # BLOCKS otherwise (int16-safe at huge window capacities)
         cnt = sub_cnt_ref[tile * nslots + s].astype(jnp.int32)
+        blocks = pl.cdiv(cnt, bl) if ranged else cnt
         # sub_base is stored in flat 128-lane block units (buffer offset
         # folded in) — ×128 recovers the flat lane offset
         base = sub_base_ref[tile * nslots + s].astype(jnp.int32) * 128
@@ -638,7 +659,7 @@ def _slot_scalars(tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg):
         )
         starts_blk.append(cb)
         rows.append((base, lead, cnt, cb, jnp.float32(off)))
-        cb = cb + pl.cdiv(cnt, bl)
+        cb = cb + blocks
     return starts_blk, rows, cb
 
 
