@@ -140,6 +140,32 @@ def test_pallas_desc_unroll_matches_plain():
         np.testing.assert_array_equal(outs[u][1], outs[1][1])
 
 
+def test_single_slot_buffer_matches_double():
+    """2M-class window capacities trip the scoped-VMEM budget and drop the
+    candidate buffer to ONE slot (each program pays its own DMA): results
+    must be identical to the double-buffered path."""
+    import dataclasses
+
+    from tpusph.pallas.fused import _cand_slots
+
+    base = default_config(
+        512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
+        pallas_stencil="slab3", pallas_block_lanes=128,
+    )
+    big = dataclasses.replace(
+        base, pallas_col_capacity=49152, pallas_sub_blocks=400
+    )
+    assert _cand_slots(base, 16) == 2 and _cand_slots(big, 16) == 1
+    st = init_state(base, random_init=True, seed=7)
+    a, _ = jax.jit(lambda s: step_pallas(s, base, interpret=True))(st)
+    b, aux = jax.jit(lambda s: step_pallas(s, big, interpret=True))(st)
+    assert int(aux.window_overflow) == 0
+    np.testing.assert_array_equal(np.asarray(a.density), np.asarray(b.density))
+    np.testing.assert_allclose(
+        np.asarray(a.force), np.asarray(b.force), rtol=1e-6, atol=1e-7
+    )
+
+
 def test_force_fold_matches_plain():
     """The folded force carry changes lane summation order only: results
     match the unfolded kernel to float roundoff."""

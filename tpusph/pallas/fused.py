@@ -497,18 +497,34 @@ def _stack_cols(rows: list[jnp.ndarray], total_rows: int, col_cap: int, key_row:
     return jnp.concatenate([mat, pad], axis=1)
 
 
+def _cand_slots(cfg: SimConfig, rows: int) -> int:
+    """Candidate-buffer slots: 2 (double-buffered across programs — the
+    next super-tile streams in while this one computes) unless that would
+    exceed the 16 MB scoped-VMEM budget (measured compile limit on v5e;
+    2M-class window capacities hit it) — then 1, with each program paying
+    its own DMA latency (compute-dominated at those sizes)."""
+    nbuf = len(_sup_stencil(cfg)[0])
+    lanes = nbuf * cfg.pallas_col_capacity + (
+        cfg.pallas_block_lanes if cfg.pallas_desc else 0
+    )
+    return 1 if 2 * rows * lanes * 4 > 15 * 2**20 else 2
+
+
 def _super_dma_pipeline(
-    i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, ncols
+    i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, ncols,
+    nslots,
 ):
     """Start this/next super-tile's stencil-window DMAs (double-buffered
-    across the sequential grid) and return (wait_fn, slot). Each window
-    transfers in two halves; the second half only moves when the window's
-    candidate count actually reaches into it — the static capacity covers
-    rare pile-up transients without paying its bandwidth on every tile.
+    across the sequential grid when nslots == 2; with nslots == 1 each
+    program issues its own DMAs up front — the sequential grid makes that
+    race-free) and return (wait_fn, slot). Each window transfers in two
+    halves; the second half only moves when the window's candidate count
+    actually reaches into it — the static capacity covers rare pile-up
+    transients without paying its bandwidth on every tile.
 
     The VMEM destination is LANE-FLATTENED — window c occupies lanes
-    [c·col_cap, (c+1)·col_cap) of a (2, rows, ncols·col_cap) scratch — so
-    the kernels address any window with a single flat lane offset."""
+    [c·col_cap, (c+1)·col_cap) of a (nslots, rows, ncols·col_cap) scratch —
+    so the kernels address any window with a single flat lane offset."""
     nprog = pl.num_programs(0)
     half = col_cap // 2
 
@@ -522,8 +538,8 @@ def _super_dma_pipeline(
                     half,
                 ),
             ],
-            cand.at[prog % 2, :, pl.ds(c * col_cap + lo, half)],
-            sem.at[prog % 2, c, part],
+            cand.at[prog % nslots, :, pl.ds(c * col_cap + lo, half)],
+            sem.at[prog % nslots, c, part],
         )
 
     def start_all(prog):
@@ -534,13 +550,16 @@ def _super_dma_pipeline(
             def _():
                 get_dma(prog, c, 1).start()
 
-    @pl.when(i == 0)
-    def _():
-        start_all(0)
+    if nslots == 1:
+        start_all(i)
+    else:
+        @pl.when(i == 0)
+        def _():
+            start_all(0)
 
-    @pl.when(i + 1 < nprog)
-    def _():
-        start_all(i + 1)
+        @pl.when(i + 1 < nprog)
+        def _():
+            start_all(i + 1)
 
     def wait(c):
         get_dma(i, c, 0).wait()
@@ -549,19 +568,19 @@ def _super_dma_pipeline(
         def _():
             get_dma(i, c, 1).wait()
 
-    return wait, i % 2
+    return wait, i % nslots
 
 
-def _init_parking(i, cand, nbuf, col_cap, rows, key_row, cfg):
+def _init_parking(i, cand, nbuf, col_cap, rows, key_row, cfg, nslots):
     """Zero the PARKING block (the bl lanes after the DMA windows) once, in
-    both double-buffer slots: dead/unroll-padding descriptors point here.
+    every buffer slot: dead/unroll-padding descriptors point here.
     Position rows 0 → ≥ h·√3 from any valid target (w = 0, hr = 0); key row
     KEY_PAD → slow-path masks reject."""
     park = pl.ds(nbuf * col_cap, cfg.pallas_block_lanes)
 
     @pl.when(i == 0)
     def _():
-        for s in range(2):
+        for s in range(nslots):
             cand[s, :, park] = jnp.zeros(
                 (rows, cfg.pallas_block_lanes), jnp.float32
             )
@@ -693,11 +712,13 @@ def _density_kernel(*refs, cfg, geom):
     nbuf = len(_sup_stencil(cfg)[0])
     mb = cfg.pallas_desc_blocks
     kind = _slot_plan(cfg)[0][3]  # uniform mask kind across slots
+    nslots = _cand_slots(cfg, 8)
     wait, slot = _super_dma_pipeline(
-        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf
+        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf,
+        nslots,
     )
     if cfg.pallas_desc:
-        _init_parking(i, cand, nbuf, col_cap, 8, 3, cfg)
+        _init_parking(i, cand, nbuf, col_cap, 8, 3, cfg, nslots)
 
     for c in range(nbuf):  # fully unrolled: offsets are compile-time constants
         wait(c)
@@ -827,11 +848,11 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
             # +1 parking block after the DMA windows when the descriptor
             # loop is on (dead/unroll-padding blocks scan it)
             pltpu.VMEM(
-                (2, 8, nbuf * col_cap
+                (_cand_slots(cfg, 8), 8, nbuf * col_cap
                  + (cfg.pallas_block_lanes if cfg.pallas_desc else 0)),
                 jnp.float32,
             ),
-            pltpu.SemaphoreType.DMA((2, nbuf, 2)),
+            pltpu.SemaphoreType.DMA((_cand_slots(cfg, 8), nbuf, 2)),
         ],
     )
     rho = pl.pallas_call(
@@ -886,11 +907,13 @@ def _force_kernel(*refs, cfg, geom):
     nbuf = len(_sup_stencil(cfg)[0])
     mb = cfg.pallas_desc_blocks
     kind = _slot_plan(cfg)[0][3]  # uniform mask kind across slots
+    nslots = _cand_slots(cfg, 16)
     wait, slot = _super_dma_pipeline(
-        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf
+        i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf,
+        nslots,
     )
     if cfg.pallas_desc:
-        _init_parking(i, cand, nbuf, col_cap, 16, _FKEY, cfg)
+        _init_parking(i, cand, nbuf, col_cap, 16, _FKEY, cfg, nslots)
 
     for c in range(nbuf):
         wait(c)
@@ -1046,11 +1069,11 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
         out_specs=pl.BlockSpec((3, 1, g, pt), lambda i, *_: (0, i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, 16, nbuf * col_cap
+                (_cand_slots(cfg, 16), 16, nbuf * col_cap
                  + (cfg.pallas_block_lanes if cfg.pallas_desc else 0)),
                 jnp.float32,
             ),
-            pltpu.SemaphoreType.DMA((2, nbuf, 2)),
+            pltpu.SemaphoreType.DMA((_cand_slots(cfg, 16), nbuf, 2)),
         ],
     )
     f = pl.pallas_call(
