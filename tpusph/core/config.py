@@ -120,13 +120,13 @@ class SimConfig:
     # stay inside the capacity buffer. v5e 262k sweep: 256 → 68.7 steps/s
     # vs 128 → 67.6 (at the default pt=128 g=8; pt=256/512 measured worse).
     pallas_block_lanes: int = 256
-    # Flat DESCRIPTOR loop: prep precomputes one packed SMEM descriptor per
-    # scanned block (flat 128-lane VMEM offset + slot id), so the kernels'
-    # block loop does ONE scalar SMEM load per iteration instead of the
-    # ~6-scalar-per-slot select chain resolving block → window. Costs
-    # ntiles × pallas_desc_blocks SMEM entries (2 i16 arrays); per-tile
-    # block totals beyond pallas_desc_blocks are detected as overflow and
-    # the driver regrows.
+    # Flat DESCRIPTOR loop: prep precomputes one flat-block-offset SMEM
+    # descriptor per scanned block, so the FAST branch's block loop does
+    # ONE scalar SMEM load per iteration (no select chain) and can be
+    # UNROLLED over dead-block padding (pallas_desc_unroll). Costs
+    # ntiles × pallas_desc_blocks i16 SMEM entries (+2 count arrays);
+    # tiles whose block total exceeds pallas_desc_blocks fall back to the
+    # select-chain branch — MB is a performance knob, never a capacity.
     pallas_desc: bool = False
     pallas_desc_blocks: int = 16
     # Block-loop unroll factor (descriptor loop only): each fori iteration

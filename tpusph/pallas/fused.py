@@ -142,7 +142,7 @@ class TileColumns(NamedTuple):
     branch, which carries the key masks and needs no descriptors."""
 
     sub_base: jnp.ndarray  # i16[ntiles*slots] window start, flat BLOCK units
-    sub_cnt: jnp.ndarray  # i16[ntiles*slots] candidate LANES from sub_base
+    sub_cnt: jnp.ndarray  # i16[ntiles*slots] — LANES (hybrid) / BLOCKS (else)
     sub_lead: jnp.ndarray  # i16[ntiles*slots] alignment lead-in (< block)
     sub_fast: jnp.ndarray  # i32[ntiles] — 1: key mask provably redundant
     #   (i32: this terminal's Mosaic cannot legalize scalar i16 compares)
