@@ -169,15 +169,19 @@ def main():
         parts = "  ".join(f"{k_}={v*1e3:7.2f}" for k_, v in t.items())
         named_sum = sum(v for k_, v in t.items() if k_ != "FULL")
         print(f"{parts}  | sum={named_sum*1e3:7.2f} ms", flush=True)
-        from tpusph.pallas.fused import _sub_slots, _sup_stencil
+        from tpusph.pallas.fused import _cnt_in_lanes, _sub_slots, _sup_stencil
 
         nsup = len(_sup_stencil(cfg)[0])
         occ = np.asarray(jax.device_get(cols.sup_cnt)).reshape(-1, nsup)
         sub = np.asarray(jax.device_get(cols.sub_cnt)).reshape(-1, _sub_slots(cfg))
+        # sub_cnt unit: lanes (hybrid) vs blocks (col9/slab3)
+        blocks = (
+            np.ceil(sub / cfg.pallas_block_lanes) if _cnt_in_lanes(cfg) else sub
+        )
         print(f"sup_cnt: mean={occ.mean():7.1f} p50={np.percentile(occ,50):7.1f} "
               f"p99={np.percentile(occ,99):7.1f} max={occ.max()}  "
-              f"sub_cnt: mean={sub.mean():6.1f} max={sub.max()}  "
-              f"blocks/sub: mean={np.ceil(sub/128).mean():4.2f}", flush=True)
+              f"blocks/sub: mean={blocks.sum(axis=1).mean():5.2f} "
+              f"max={blocks.sum(axis=1).max():.0f}", flush=True)
 
 
 if __name__ == "__main__":
