@@ -20,6 +20,8 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tpusph.core.config import tuned_config
 from tpusph.engine.simulator import Simulator
 from tpusph.viz.render import run_free_mode
