@@ -12,9 +12,12 @@ Usage: python scripts/profile_step.py [N] [steps...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
