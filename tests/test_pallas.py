@@ -140,6 +140,33 @@ def test_pallas_desc_unroll_matches_plain():
         np.testing.assert_array_equal(outs[u][1], outs[1][1])
 
 
+def test_streamed_records_match_prefetch():
+    """pallas_stream_desc (per-program HBM→SMEM record DMA instead of the
+    O(ntiles) scalar prefetch — the no-SMEM-ceiling mode for 2M+) must be
+    bit-identical to the prefetch path, with and without the desc loop and
+    on the hybrid stencil."""
+    import dataclasses
+
+    for stencil, desc in (("slab3", True), ("slab3", False), ("hybrid", True)):
+        base = default_config(
+            512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
+            pallas_stencil=stencil, pallas_block_lanes=128,
+            pallas_desc=desc, pallas_desc_blocks=48,
+            pallas_desc_unroll=2 if desc else 1, pallas_force_fold=True,
+        )
+        st = init_state(base, random_init=True, seed=7)
+        stream = dataclasses.replace(base, pallas_stream_desc=True)
+        a, _ = jax.jit(lambda s: step_pallas(s, base, interpret=True))(st)
+        b, aux = jax.jit(lambda s: step_pallas(s, stream, interpret=True))(st)
+        assert int(aux.window_overflow) == 0
+        np.testing.assert_array_equal(
+            np.asarray(a.density), np.asarray(b.density), err_msg=stencil
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.force), np.asarray(b.force), err_msg=stencil
+        )
+
+
 def test_single_slot_buffer_matches_double():
     """2M-class window capacities trip the scoped-VMEM budget and drop the
     candidate buffer to ONE slot (each program pays its own DMA): results

@@ -152,6 +152,14 @@ class SimConfig:
     pallas_starts: bool = False
     pallas_starts_chunk: int = 2048
     pallas_starts_kcap: int = 16384
+    # STREAMED descriptor records: instead of scalar-prefetching the whole
+    # per-tile table set into SMEM (O(ntiles) entries — hybrid at 16384+
+    # tiles needs 1.8 MB vs the 1.00 MB budget), pack each PROGRAM's slice
+    # of every table into one 1024-aligned i32 record in HBM and DMA it
+    # into a tiny double-buffered SMEM scratch at program start (~4 KB
+    # resident; HBM→SMEM DMA validated on this stack — 1-D slices must be
+    # 1024-element aligned). Removes the SMEM ceiling on N entirely.
+    pallas_stream_desc: bool = False
     # Force-kernel carry fold: each block's (pt, bl) force contribution is
     # folded to (pt, bl/2) (adjacent lane halves added) before accumulating,
     # halving the loop-carried VREG footprint of the 3 accumulators (force

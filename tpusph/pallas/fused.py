@@ -153,6 +153,8 @@ class TileColumns(NamedTuple):
     desc_base: jnp.ndarray | None = None  # i16[ntiles*MB] flat block offset
     desc_cnt: jnp.ndarray | None = None  # i16[ntiles] padded blocks, −1 = no fit
     desc_cnt_f: jnp.ndarray | None = None  # same, padded for force_unroll
+    records: jnp.ndarray | None = None  # i32[nprog·rec] streamed per-program
+    #   table records (pallas_stream_desc) — replaces the SMEM prefetch
 
 
 def _cnt_in_lanes(cfg: SimConfig) -> bool:
@@ -332,6 +334,119 @@ def _build_desc(base_blk, bw, cfg: SimConfig):
     )
 
 
+def _record_layout(cfg: SimConfig, g: int):
+    """Static offsets of each table inside a program's streamed record
+    (pallas_stream_desc): one i32 record per grid program holds that
+    program's slice of every per-tile table, padded to a 1024-entry
+    multiple (the measured HBM→SMEM 1-D DMA alignment on this stack)."""
+    ns = _sub_slots(cfg)
+    mb = cfg.pallas_desc_blocks
+    off = {"base": 0, "cnt": g * ns, "lead": 2 * g * ns, "fast": 3 * g * ns}
+    n = 3 * g * ns + g
+    if cfg.pallas_desc:
+        off["dbase"] = n
+        n += g * mb
+        off["dcnt"] = n
+        n += g
+        off["dcntf"] = n
+        n += g
+    return off, -(-n // 1024) * 1024
+
+
+def _pack_records(cols: "TileColumns", cfg: SimConfig, g: int):
+    """i32[nprog·rec] streamed records from the per-tile tables (the SMEM
+    footprint becomes O(1) per program instead of O(ntiles))."""
+    ntiles = cols.sub_fast.shape[0]
+    nprog = ntiles // g
+    off, rec = _record_layout(cfg, g)
+    parts = [
+        cols.sub_base.reshape(nprog, -1),
+        cols.sub_cnt.reshape(nprog, -1),
+        cols.sub_lead.reshape(nprog, -1),
+        cols.sub_fast.reshape(nprog, g),
+    ]
+    if cfg.pallas_desc:
+        parts += [
+            cols.desc_base.reshape(nprog, -1),
+            cols.desc_cnt.reshape(nprog, g),
+            cols.desc_cnt_f.reshape(nprog, g),
+        ]
+    mat = jnp.concatenate([p.astype(jnp.int32) for p in parts], axis=1)
+    pad = rec - mat.shape[1]
+    if pad:
+        mat = jnp.concatenate(
+            [mat, jnp.zeros((nprog, pad), jnp.int32)], axis=1
+        )
+    return mat.reshape(-1)
+
+
+def _record_dma(i, rec_hbm, rec_smem, rec_sem, rec: int):
+    """Stream program i's record HBM→SMEM, double-buffered across the
+    sequential grid (program i+1's record loads during i's compute).
+    Returns the resident record's base offset inside rec_smem."""
+    nprog = pl.num_programs(0)
+
+    def dma(prog):
+        return pltpu.make_async_copy(
+            rec_hbm.at[pl.ds(pl.multiple_of(prog * rec, 1024), rec)],
+            rec_smem.at[
+                pl.ds(pl.multiple_of((prog % 2) * rec, 1024), rec)
+            ],
+            rec_sem.at[prog % 2],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0).start()
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        dma(i + 1).start()
+
+    dma(i).wait()
+    return (i % 2) * rec
+
+
+def _make_tables(cfg: SimConfig, g: int, i, refs=None, rec_smem=None,
+                 rec_base=None):
+    """Uniform scalar accessors over the per-tile tables, backed either by
+    the scalar-prefetch refs (refs=(sub_base, sub_cnt, sub_lead, sub_fast,
+    desc_base, desc_cnt, desc_cnt_f)) or by the program's streamed record.
+    All accessors take the PROGRAM-LOCAL sub index."""
+    ns = _sub_slots(cfg)
+    mb = cfg.pallas_desc_blocks
+    if rec_smem is None:
+        (b_ref, c_ref, l_ref, f_ref, db_ref, dc_ref, dcf_ref) = refs
+        t = lambda sub: i * g + sub
+        as32 = lambda v: v.astype(jnp.int32)
+        return {
+            "base": lambda sub, s: as32(b_ref[t(sub) * ns + s]),
+            "cnt": lambda sub, s: as32(c_ref[t(sub) * ns + s]),
+            "lead": lambda sub, s: as32(l_ref[t(sub) * ns + s]),
+            "fast": lambda sub: f_ref[t(sub)] > 0,
+            "dbase": (lambda sub, b: as32(db_ref[t(sub) * mb + b]))
+            if db_ref is not None else None,
+            "dcnt": (lambda sub: as32(dc_ref[t(sub)]))
+            if dc_ref is not None else None,
+            "dcntf": (lambda sub: as32(dcf_ref[t(sub)]))
+            if dcf_ref is not None else None,
+        }
+    off, _rec = _record_layout(cfg, g)
+    rd = lambda k: rec_smem[rec_base + k]
+    return {
+        "base": lambda sub, s: rd(off["base"] + sub * ns + s),
+        "cnt": lambda sub, s: rd(off["cnt"] + sub * ns + s),
+        "lead": lambda sub, s: rd(off["lead"] + sub * ns + s),
+        "fast": lambda sub: rd(off["fast"] + sub) > 0,
+        "dbase": (lambda sub, b: rd(off["dbase"] + sub * mb + b))
+        if cfg.pallas_desc else None,
+        "dcnt": (lambda sub: rd(off["dcnt"] + sub))
+        if cfg.pallas_desc else None,
+        "dcntf": (lambda sub: rd(off["dcntf"] + sub))
+        if cfg.pallas_desc else None,
+    }
+
+
 def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
     if cfg.pallas_stencil == "hybrid":
         return _supertile_columns_hybrid(key_s, valid_s, starts, cfg)
@@ -366,7 +481,7 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
         desc_base, desc_cnt, desc_cnt_f = _build_desc(base_blk, cnt_blocks, cfg)
 
     idt = _sub_dtype(cfg)
-    return TileColumns(
+    cols = TileColumns(
         sub_base=base_blk.reshape(-1).astype(idt),
         sub_cnt=cnt_blocks.reshape(-1).astype(idt),
         sub_lead=jnp.zeros_like(sub_cnt).reshape(-1).astype(idt),
@@ -381,6 +496,9 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
         desc_cnt=None if desc_cnt is None else desc_cnt.astype(idt),
         desc_cnt_f=None if desc_cnt_f is None else desc_cnt_f.astype(idt),
     )
+    if cfg.pallas_stream_desc:
+        cols = cols._replace(records=_pack_records(cols, cfg, g))
+    return cols
 
 
 def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
@@ -469,7 +587,7 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
         )
 
     idt = _sub_dtype(cfg)
-    return TileColumns(
+    cols = TileColumns(
         sub_base=base_blk.reshape(-1).astype(idt),
         sub_cnt=sub_cnt.reshape(-1).astype(idt),
         sub_lead=sub_lead.reshape(-1).astype(idt),
@@ -482,6 +600,9 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
         desc_cnt=None if desc_cnt is None else desc_cnt.astype(idt),
         desc_cnt_f=None if desc_cnt_f is None else desc_cnt_f.astype(idt),
     )
+    if cfg.pallas_stream_desc:
+        cols = cols._replace(records=_pack_records(cols, cfg, g))
+    return cols
 
 
 def _stack_cols(rows: list[jnp.ndarray], total_rows: int, col_cap: int, key_row: int):
@@ -646,7 +767,7 @@ def _slot_plan(cfg: SimConfig):
 
 # ---------------------------------------------------------------- density
 
-def _slot_scalars(tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg):
+def _slot_scalars(sub, tb, cfg):
     """Per-sub scalar descriptors for the FLAT block loop: each kernel runs
     ONE fori_loop over the concatenation of every slot's blocks instead of
     one fori_loop per slot. Threading a large accumulator carry through
@@ -658,7 +779,6 @@ def _slot_scalars(tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg):
     slot s, rows[s] = that slot's scalars (base, lead, cnt, starts_blk,
     buffer index, key offset)."""
     plan = _slot_plan(cfg)
-    nslots = _sub_slots(cfg)
     bl = cfg.pallas_block_lanes
     ranged = plan[0][3] == "slab_ranged"
     starts_blk, rows = [], []
@@ -666,16 +786,12 @@ def _slot_scalars(tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg):
     for s, _buf, off, _ in plan:
         # sub_cnt unit: LANES for hybrid (the ranged bound needs them),
         # BLOCKS otherwise (int16-safe at huge window capacities)
-        cnt = sub_cnt_ref[tile * nslots + s].astype(jnp.int32)
+        cnt = tb["cnt"](sub, s)
         blocks = pl.cdiv(cnt, bl) if ranged else cnt
         # sub_base is stored in flat 128-lane block units (buffer offset
         # folded in) — ×128 recovers the flat lane offset
-        base = sub_base_ref[tile * nslots + s].astype(jnp.int32) * 128
-        lead = (
-            sub_lead_ref[tile * nslots + s].astype(jnp.int32)
-            if ranged
-            else jnp.int32(0)
-        )
+        base = tb["base"](sub, s) * 128
+        lead = tb["lead"](sub, s) if ranged else jnp.int32(0)
         starts_blk.append(cb)
         rows.append((base, lead, cnt, cb, jnp.float32(off)))
         cb = cb + blocks
@@ -696,21 +812,49 @@ def _pick_slot(b, starts_blk, rows):
     return sel
 
 
-def _density_kernel(*refs, cfg, geom):
-    if cfg.pallas_desc:
+def _unpack_refs(refs, cfg, geom, rows):
+    """(tables, sup_start_ref, sup_cnt_ref, tgt_ref, cols_hbm, out_ref,
+    cand, sem) from the mode-dependent pallas ref list. In streamed mode
+    the per-tile tables arrive as an HBM record per program, DMA'd into a
+    small SMEM scratch here; otherwise they are scalar-prefetch refs."""
+    i = pl.program_id(0)
+    g = geom[1]
+    if cfg.pallas_stream_desc:
+        (sup_start_ref, sup_cnt_ref, tgt_ref, cols_hbm, rec_hbm, out_ref,
+         cand, sem, rec_smem, rec_sem) = refs
+        _off, rec = _record_layout(cfg, g)
+        rec_base = _record_dma(i, rec_hbm, rec_smem, rec_sem, rec)
+        tb = _make_tables(cfg, g, i, rec_smem=rec_smem, rec_base=rec_base)
+    elif cfg.pallas_desc:
         (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
-         desc_base_ref, desc_cnt_ref, _desc_cnt_f_ref, sup_start_ref,
-         sup_cnt_ref, tgt_ref, cols_hbm, rho_ref, cand, sem) = refs
+         desc_base_ref, desc_cnt_ref, desc_cnt_f_ref, sup_start_ref,
+         sup_cnt_ref, tgt_ref, cols_hbm, out_ref, cand, sem) = refs
+        tb = _make_tables(
+            cfg, g, i,
+            refs=(sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
+                  desc_base_ref, desc_cnt_ref, desc_cnt_f_ref),
+        )
     else:
         (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
-         sup_start_ref, sup_cnt_ref, tgt_ref, cols_hbm, rho_ref, cand,
+         sup_start_ref, sup_cnt_ref, tgt_ref, cols_hbm, out_ref, cand,
          sem) = refs
+        tb = _make_tables(
+            cfg, g, i,
+            refs=(sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
+                  None, None, None),
+        )
+    return tb, sup_start_ref, sup_cnt_ref, tgt_ref, cols_hbm, out_ref, cand, sem
+
+
+def _density_kernel(*refs, cfg, geom):
     i = pl.program_id(0)
     pt, g = geom
+    tb, sup_start_ref, sup_cnt_ref, tgt_ref, cols_hbm, rho_ref, cand, sem = (
+        _unpack_refs(refs, cfg, geom, 8)
+    )
     col_cap = cfg.pallas_col_capacity
     h2 = jnp.float32(cfg.h2)
     nbuf = len(_sup_stencil(cfg)[0])
-    mb = cfg.pallas_desc_blocks
     kind = _slot_plan(cfg)[0][3]  # uniform mask kind across slots
     nslots = _cand_slots(cfg, 8)
     wait, slot = _super_dma_pipeline(
@@ -724,16 +868,13 @@ def _density_kernel(*refs, cfg, geom):
         wait(c)
     for sub in range(g):
         t0 = sub * pt
-        tile = i * g + sub
         tx = tgt_ref[t0 : t0 + pt, 0:1]
         ty = tgt_ref[t0 : t0 + pt, 1:2]
         tz = tgt_ref[t0 : t0 + pt, 2:3]
         tkey = tgt_ref[t0 : t0 + pt, 3:4]
-        chain = _slot_scalars(
-            tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg
-        )
+        chain = _slot_scalars(sub, tb, cfg)
 
-        def sub_acc(fast, tx=tx, ty=ty, tz=tz, tkey=tkey, tile=tile,
+        def sub_acc(fast, tx=tx, ty=ty, tz=tz, tkey=tkey, sub=sub,
                     chain=chain):
             bl = cfg.pallas_block_lanes
             # fast + desc → flat descriptor loop (one SMEM load per block,
@@ -741,13 +882,13 @@ def _density_kernel(*refs, cfg, geom):
             # loop (always correct; carries the key masks when not fast)
             use_desc = fast and cfg.pallas_desc
             if use_desc:
-                total = desc_cnt_ref[tile].astype(jnp.int32)
+                total = tb["dcnt"](sub)
             else:
                 starts_blk, rows, total = chain
 
             def blk(b, acc):
                 if use_desc:
-                    base = desc_base_ref[tile * mb + b].astype(jnp.int32) * 128
+                    base = tb["dbase"](sub, b) * 128
                     sl = pl.ds(pl.multiple_of(base, 128), bl)
                 else:
                     base, lead, cnt, cb, off = _pick_slot(
@@ -800,11 +941,9 @@ def _density_kernel(*refs, cfg, geom):
         if cfg.pallas_desc:
             # non-fitting tiles (desc_cnt < 0) fall back to the masked
             # select-chain branch — MB is a performance knob, not a capacity
-            pred = (sub_fast_ref[tile] > 0) & (
-                desc_cnt_ref[tile].astype(jnp.int32) >= 0
-            )
+            pred = tb["fast"](sub) & (tb["dcnt"](sub) >= 0)
         else:
-            pred = sub_fast_ref[tile] > 0
+            pred = tb["fast"](sub)
         acc0 = jax.lax.cond(
             pred,
             lambda: sub_acc(True),
@@ -836,37 +975,51 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
 
     nbuf = len(_sup_stencil(cfg)[0])
     prefetch = _prefetch_args(cols_info, cfg)
+    in_specs = [
+        pl.BlockSpec((pt * g, 4), lambda i, *_: (i, 0)),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    inputs = [tgts, cols]
+    scratch = [
+        # +1 parking block after the DMA windows when the descriptor
+        # loop is on (dead/unroll-padding blocks scan it)
+        pltpu.VMEM(
+            (_cand_slots(cfg, 8), 8, nbuf * col_cap
+             + (cfg.pallas_block_lanes if cfg.pallas_desc else 0)),
+            jnp.float32,
+        ),
+        pltpu.SemaphoreType.DMA((_cand_slots(cfg, 8), nbuf, 2)),
+    ]
+    if cfg.pallas_stream_desc:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        inputs.append(cols_info.records)
+        _off, rec = _record_layout(cfg, g)
+        scratch += [
+            pltpu.SMEM((2 * rec,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
         grid=(nprog,),
-        in_specs=[
-            pl.BlockSpec((pt * g, 4), lambda i, *_: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, g, pt), lambda i, *_: (i, 0, 0)),
-        scratch_shapes=[
-            # +1 parking block after the DMA windows when the descriptor
-            # loop is on (dead/unroll-padding blocks scan it)
-            pltpu.VMEM(
-                (_cand_slots(cfg, 8), 8, nbuf * col_cap
-                 + (cfg.pallas_block_lanes if cfg.pallas_desc else 0)),
-                jnp.float32,
-            ),
-            pltpu.SemaphoreType.DMA((_cand_slots(cfg, 8), nbuf, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     rho = pl.pallas_call(
         functools.partial(_density_kernel, cfg=cfg, geom=(pt, g)),
         out_shape=jax.ShapeDtypeStruct((nprog, g, pt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(*prefetch, tgts, cols)
+    )(*prefetch, *inputs)
     return rho.reshape(n)
 
 
 def _prefetch_args(cols_info: TileColumns, cfg: SimConfig):
     """Scalar-prefetch argument list in the kernels' unpacking order (the
     desc arrays slot in between sub_fast and sup_start when present)."""
+    if cfg.pallas_stream_desc:
+        # per-tile tables travel as streamed HBM records, not SMEM prefetch
+        return [cols_info.sup_start, cols_info.sup_cnt]
     args = [
         cols_info.sub_base,
         cols_info.sub_cnt,
@@ -888,16 +1041,11 @@ _FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FKEY = range(9)
 
 
 def _force_kernel(*refs, cfg, geom):
-    if cfg.pallas_desc:
-        (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
-         desc_base_ref, _desc_cnt_d_ref, desc_cnt_ref, sup_start_ref,
-         sup_cnt_ref, tgt_ref, cols_hbm, f_ref, cand, sem) = refs
-    else:
-        (sub_base_ref, sub_cnt_ref, sub_lead_ref, sub_fast_ref,
-         sup_start_ref, sup_cnt_ref, tgt_ref, cols_hbm, f_ref, cand,
-         sem) = refs
     i = pl.program_id(0)
     pt, g = geom
+    tb, sup_start_ref, sup_cnt_ref, tgt_ref, cols_hbm, f_ref, cand, sem = (
+        _unpack_refs(refs, cfg, geom, 16)
+    )
     col_cap = cfg.pallas_col_capacity
     h = jnp.float32(cfg.h)
     eps = jnp.float32(cfg.eps)
@@ -905,7 +1053,6 @@ def _force_kernel(*refs, cfg, geom):
     vk = jnp.float32(cfg.v_kernel_coeff)
     mu = jnp.float32(cfg.viscosity)
     nbuf = len(_sup_stencil(cfg)[0])
-    mb = cfg.pallas_desc_blocks
     kind = _slot_plan(cfg)[0][3]  # uniform mask kind across slots
     nslots = _cand_slots(cfg, 16)
     wait, slot = _super_dma_pipeline(
@@ -919,7 +1066,6 @@ def _force_kernel(*refs, cfg, geom):
         wait(c)
     for sub in range(g):
         t0 = sub * pt
-        tile = i * g + sub
         tx = tgt_ref[t0 : t0 + pt, 0:1]
         ty = tgt_ref[t0 : t0 + pt, 1:2]
         tz = tgt_ref[t0 : t0 + pt, 2:3]
@@ -928,12 +1074,10 @@ def _force_kernel(*refs, cfg, geom):
         tvz = tgt_ref[t0 : t0 + pt, 5:6]
         tp = tgt_ref[t0 : t0 + pt, 6:7]
         tkey = tgt_ref[t0 : t0 + pt, 7:8]
-        chain = _slot_scalars(
-            tile, sub_base_ref, sub_cnt_ref, sub_lead_ref, cfg
-        )
+        chain = _slot_scalars(sub, tb, cfg)
 
         def sub_force(fast, tx=tx, ty=ty, tz=tz, tvx=tvx, tvy=tvy, tvz=tvz,
-                      tp=tp, tkey=tkey, tile=tile, chain=chain):
+                      tp=tp, tkey=tkey, sub=sub, chain=chain):
             bl = cfg.pallas_block_lanes
             # carry fold: halve the loop-carried accumulator lanes (force is
             # VREG-pressure-bound; summation order change only)
@@ -941,14 +1085,14 @@ def _force_kernel(*refs, cfg, geom):
             zero = jnp.zeros((pt, bl2), jnp.float32)
             use_desc = fast and cfg.pallas_desc
             if use_desc:
-                total = desc_cnt_ref[tile].astype(jnp.int32)
+                total = tb["dcntf"](sub)
             else:
                 starts_blk, rows, total = chain
 
             def blk(b, carry):
                 fx, fy, fz = carry
                 if use_desc:
-                    base = desc_base_ref[tile * mb + b].astype(jnp.int32) * 128
+                    base = tb["dbase"](sub, b) * 128
                     sl = pl.ds(pl.multiple_of(base, 128), bl)
                 else:
                     base, lead, cnt, cb, off = _pick_slot(
@@ -1015,11 +1159,9 @@ def _force_kernel(*refs, cfg, geom):
             return jax.lax.fori_loop(0, total, blk, (zero, zero, zero))
 
         if cfg.pallas_desc:
-            pred = (sub_fast_ref[tile] > 0) & (
-                desc_cnt_ref[tile].astype(jnp.int32) >= 0
-            )
+            pred = tb["fast"](sub) & (tb["dcntf"](sub) >= 0)
         else:
-            pred = sub_fast_ref[tile] > 0
+            pred = tb["fast"](sub)
         fx, fy, fz = jax.lax.cond(
             pred,
             lambda: sub_force(True),
@@ -1059,27 +1201,38 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
 
     nbuf = len(_sup_stencil(cfg)[0])
     prefetch = _prefetch_args(cols_info, cfg)
+    in_specs = [
+        pl.BlockSpec((pt * g, 8), lambda i, *_: (i, 0)),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    inputs = [tgts, cols]
+    scratch = [
+        pltpu.VMEM(
+            (_cand_slots(cfg, 16), 16, nbuf * col_cap
+             + (cfg.pallas_block_lanes if cfg.pallas_desc else 0)),
+            jnp.float32,
+        ),
+        pltpu.SemaphoreType.DMA((_cand_slots(cfg, 16), nbuf, 2)),
+    ]
+    if cfg.pallas_stream_desc:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        inputs.append(cols_info.records)
+        _off, rec = _record_layout(cfg, g)
+        scratch += [
+            pltpu.SMEM((2 * rec,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
         grid=(nprog,),
-        in_specs=[
-            pl.BlockSpec((pt * g, 8), lambda i, *_: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((3, 1, g, pt), lambda i, *_: (0, i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM(
-                (_cand_slots(cfg, 16), 16, nbuf * col_cap
-                 + (cfg.pallas_block_lanes if cfg.pallas_desc else 0)),
-                jnp.float32,
-            ),
-            pltpu.SemaphoreType.DMA((_cand_slots(cfg, 16), nbuf, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     f = pl.pallas_call(
         functools.partial(_force_kernel, cfg=cfg, geom=(pt, g)),
         out_shape=jax.ShapeDtypeStruct((3, nprog, g, pt), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(*prefetch, tgts, cols)
+    )(*prefetch, *inputs)
     return f.reshape(3, n)  # field-major rows (fx, fy, fz)
