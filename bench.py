@@ -218,6 +218,8 @@ def config_overrides(n: int, env) -> dict:
     if env.get("TPUSPH_BENCH_DESC_UNROLL"):
         kw["pallas_desc_unroll"] = int(env["TPUSPH_BENCH_DESC_UNROLL"])
         kw["pallas_desc"] = True
+    if env.get("TPUSPH_BENCH_STREAM"):
+        kw["pallas_stream_desc"] = env["TPUSPH_BENCH_STREAM"] == "1"
     return kw
 
 

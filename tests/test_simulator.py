@@ -147,3 +147,73 @@ def test_render_frame_shape_and_content():
     assert img[..., 2].max() == 255  # blue particles present
     white = (img == 255).all(axis=-1)
     assert white.sum() > 100  # box wireframe present
+
+
+def test_chunked_positions_match_sequential():
+    """simulate_chunk runs the same step+click composition as S sequential
+    simulate() calls inside one lax.scan — per-step position snapshots must
+    be bitwise identical, clicks included."""
+    cfg = default_config(256, chunk_size=256)
+    clicks = {2: (400, 300)}
+
+    sim = Simulator(cfg, random_init=True, seed=9)
+    sim.setup()
+    pos = sim.simulate_chunk(5, clicks=clicks)
+    assert pos.shape == (5, 256, 3)
+
+    ref = Simulator(cfg, random_init=True, seed=9)
+    ref.setup()
+    for k in range(5):
+        ref.simulate(click=clicks.get(k))
+        np.testing.assert_array_equal(pos[k], ref.get_position(), err_msg=str(k))
+    # final carried state identical too
+    np.testing.assert_array_equal(
+        np.asarray(sim.state.velocity), np.asarray(ref.state.velocity)
+    )
+
+
+def test_chunked_free_mode_frames_match_sequential(tmp_path, monkeypatch):
+    """TPUSPH_VIZ_CHUNK=3 over 7 frames (uneven tail chunk) with a scripted
+    click must write byte-identical frames to the sequential loop."""
+    from tpusph.viz.render import render_frame, run_free_mode, save_png
+
+    cfg = default_config(128, chunk_size=128)
+    clicks = {1: (400, 300), 4: (350, 250)}
+
+    monkeypatch.setenv("TPUSPH_VIZ_CHUNK", "3")
+    sim = Simulator(cfg, random_init=True, seed=4)
+    sim.setup()
+    out = tmp_path / "frames"
+    run_free_mode(sim, frames=7, out_dir=str(out), clicks=clicks)
+    assert sorted(p.name for p in out.iterdir()) == [
+        f"frame_{k:05d}.png" for k in range(7)
+    ]
+
+    ref = Simulator(cfg, random_init=True, seed=4)
+    ref.setup()
+    for k in range(7):
+        ref.simulate(click=clicks.get(k))
+        img = render_frame(ref.get_position())
+        tmp = tmp_path / "ref.png"
+        save_png(img, str(tmp))
+        assert tmp.read_bytes() == (
+            out / f"frame_{k:05d}.png"
+        ).read_bytes(), f"frame {k} differs"
+
+
+def test_chunked_overflow_rewind():
+    """A chunk that overflows its windows must rewind to the pre-chunk state,
+    grow capacity, and replay — never ship clipped interactions."""
+    cfg = default_config(512, chunk_size=512, tile_cand_capacity=64)
+    sim = Simulator(cfg)
+    sim.setup()
+    pos = sim.simulate_chunk(3)
+    assert sim.cfg.tile_cand_capacity > 64  # growth happened
+
+    ref = Simulator(default_config(512, chunk_size=512))
+    ref.setup()
+    for k in range(3):
+        ref.simulate()
+        np.testing.assert_allclose(
+            pos[k], ref.get_position(), atol=1e-6, err_msg=str(k)
+        )

@@ -292,17 +292,24 @@ def tuned_overrides(num_particles: int) -> dict:
     if num_particles >= 2_000_000:
         # 2M-class single chip: the hybrid stencil's 9-slot SMEM tables no
         # longer fit the 1.00 MB SMEM budget at 16384+ tiles (measured:
-        # 1.80 MB requested) — slab3's 3-slot tables with BLOCK-unit counts
-        # stay int16 even at the col=65536 the dam-break pile-ups need
-        # (lane counts would overflow int16 and double the tables).
-        # Descriptor rows off: their dense per-tile SMEM doesn't fit here.
+        # 1.80 MB requested) under scalar prefetch — STREAMED per-program
+        # records (pallas_stream_desc) sidestep the budget entirely (each
+        # program DMAs its own ~4 KB record HBM→SMEM, double-buffered;
+        # measured bitwise-equal and timing-neutral at 262k), so the dense
+        # pile-up regime gets hybrid + the descriptor loop like 1M does.
+        # col=65536/sub_blocks=320 is what the dam-break pile-ups need
+        # (slab3-measured); fits scoped VMEM via the single-slot buffer.
         return {
-            "pallas_stencil": "slab3",
+            "pallas_stencil": "hybrid",
             "pallas_tile": 128,
             "pallas_group": 8,
             "pallas_col_capacity": 65536,
             "pallas_sub_blocks": 320,
+            "pallas_desc": True,
+            "pallas_desc_unroll": 4,
+            "pallas_desc_unroll_force": 2,
             "pallas_force_fold": True,
+            "pallas_stream_desc": True,
         }
     if num_particles >= 1_000_000:
         # desc blocks stay at the small default — the dense per-tile SMEM

@@ -34,12 +34,18 @@ from tpusph.core.config import SimConfig
 from tpusph.core.init import init_state
 from tpusph.core.state import FluidState
 from tpusph.engine.step import (
+    BACKENDS,
     build_phase,
     make_step,
     update_phase,
     update_phase_pallas,
 )
-from tpusph.interact.impulse import click_in_box, make_impulse
+from tpusph.interact.impulse import (
+    click_cell_from_px,
+    click_in_box,
+    click_kick,
+    make_impulse,
+)
 
 
 class AsyncPositionFetch:
@@ -64,6 +70,37 @@ class AsyncPositionFetch:
         if self._host is None:
             self._host = np.asarray(jax.device_get(self._arr))[: self._n]
         return self._host
+
+
+class AsyncChunkFetch:
+    """In-flight device→host copy of one chunk's stacked per-step positions
+    plus its summed overflow counter. wait() → (f32[S, N, 3], int)."""
+
+    def __init__(self, pos_stack, overflow, num_particles: int):
+        self._pos = pos_stack
+        self._ovf = overflow
+        self._n = num_particles
+        self._host: tuple[np.ndarray, int] | None = None
+        try:
+            pos_stack.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+
+    def wait(self) -> tuple[np.ndarray, int]:
+        if self._host is None:
+            pos = np.asarray(jax.device_get(self._pos))[:, : self._n]
+            self._host = (pos, int(jax.device_get(self._ovf)))
+        return self._host
+
+
+@dataclasses.dataclass
+class ChunkHandle:
+    """One dispatched chunk: the pre-chunk state (kept for rewind-on-
+    overflow), the in-flight fetch, and the chunk's step count."""
+
+    pre_state: FluidState
+    fetch: AsyncChunkFetch
+    n_steps: int
 
 
 class Simulator:
@@ -92,6 +129,7 @@ class Simulator:
         cfg = self.cfg
         self._step = make_step(cfg, self.backend)
         self._impulse = make_impulse(cfg)
+        self._chunk_cache = {}
         if self.backend in ("cell_list", "pallas"):
             upd = update_phase_pallas if self.backend == "pallas" else update_phase
             self._build = jax.jit(lambda s: build_phase(s, cfg))
@@ -195,6 +233,92 @@ class Simulator:
 
         self.state = new_state
         times.iters += 1
+
+    # ------------------------------------------------------- chunked stepping
+    def _chunk_fn(self, n_steps: int):
+        """Jitted `(state, cells i32[S,2], gains i32[S]) -> (state, positions
+        f32[S,N,3], overflow)`: S timesteps chained in ONE dispatch via
+        lax.scan, each optionally followed by a click impulse (gain 1) using
+        that step's pre-positions — the same composition simulate(click=...)
+        runs step-by-step, so the per-step position snapshots are bitwise
+        identical to the sequential loop. Through the ~25 ms axon relay this
+        amortizes the dispatch round-trip AND the overflow-counter fetch over
+        S frames (the reference pays a full D2H sync every frame,
+        /root/reference/src/simulator.cu:479-480)."""
+        fn = self._chunk_cache.get(n_steps)
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        step = BACKENDS[self.backend]
+
+        @jax.jit
+        def chunk(state, cells, gains):
+            def body(s, inp):
+                cell, gain = inp
+                s2, aux = step(s, cfg)
+                s2 = jax.lax.cond(
+                    gain > 0,
+                    lambda pre, st: st._replace(
+                        velocity=st.velocity
+                        + click_kick(pre, st.valid, cell, cfg)
+                    ),
+                    lambda pre, st: st,
+                    s.position,
+                    s2,
+                )
+                return s2, (s2.position, aux.window_overflow)
+
+            s_f, (pos, ovf) = jax.lax.scan(body, state, (cells, gains))
+            return s_f, pos, jnp.sum(ovf)
+
+        self._chunk_cache[n_steps] = chunk
+        return chunk
+
+    def dispatch_chunk(self, n_steps: int, clicks=None) -> ChunkHandle:
+        """Advance n_steps in one dispatch (speculatively: the handle's
+        overflow flag arrives with the positions; on overflow call
+        rewind_chunk and re-dispatch). clicks: {local_step_index: (px, py)}
+        pixel coords, applied after their step like simulate(click=...)."""
+        assert self.state is not None, "call setup() first"
+        cells = np.zeros((n_steps, 2), np.int32)
+        gains = np.zeros((n_steps,), np.int32)
+        for j, px_py in (clicks or {}).items():
+            if click_in_box(*px_py):
+                cells[j] = click_cell_from_px(px_py[0], px_py[1], self.cfg)
+                gains[j] = 1
+        pre = self.state
+        s_f, pos, ovf = self._chunk_fn(n_steps)(
+            pre, jnp.asarray(cells), jnp.asarray(gains)
+        )
+        self.state = s_f
+        self._position_host = None
+        self._pending_fetch = None
+        return ChunkHandle(
+            pre_state=pre,
+            fetch=AsyncChunkFetch(pos, ovf, self.cfg.num_particles),
+            n_steps=n_steps,
+        )
+
+    def rewind_chunk(self, handle: ChunkHandle, grow: bool = True) -> None:
+        """Overflow recovery: restore the pre-chunk state (discarding this
+        chunk's results and any chunk dispatched after it) and re-trace with
+        doubled window capacity, like simulate()'s per-step retry."""
+        self.state = handle.pre_state
+        self._position_host = None
+        self._pending_fetch = None
+        if grow:
+            self._grow_capacity()
+
+    def simulate_chunk(self, n_steps: int, clicks=None) -> np.ndarray:
+        """Synchronous chunked advance with the capacity-growth retry folded
+        in: returns the f32[S, N, 3] per-step position stack."""
+        for _ in range(8):
+            handle = self.dispatch_chunk(n_steps, clicks)
+            pos, ovf = handle.fetch.wait()
+            if ovf == 0:
+                return pos
+            self.rewind_chunk(handle)
+        raise RuntimeError("window capacity growth failed to converge")
 
     # --------------------------------------------------------------- queries
     def get_position(self) -> np.ndarray:

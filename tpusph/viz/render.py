@@ -155,6 +155,10 @@ def run_free_mode(sim, frames: int = 0, out_dir: str = "frames", clicks=None) ->
     clicks = clicks or {}
     if frames > 0:
         os.makedirs(out_dir, exist_ok=True)
+        chunk = int(os.environ.get("TPUSPH_VIZ_CHUNK", "0"))
+        if chunk > 1 and hasattr(sim, "dispatch_chunk"):
+            _run_chunked(sim, frames, chunk, clicks, out_dir)
+            return
         # Double-buffered readback: step k+1 is dispatched BEFORE the host
         # waits on step k's position transfer, so the D2H copy (and the
         # host-side rasterization) overlap the next device step — frame
@@ -181,6 +185,42 @@ def run_free_mode(sim, frames: int = 0, out_dir: str = "frames", clicks=None) ->
         return
 
     _run_interactive(sim)
+
+
+def _run_chunked(sim, frames: int, chunk: int, clicks, out_dir: str) -> None:
+    """TPUSPH_VIZ_CHUNK=S: one device dispatch per S frames. The scan-chained
+    chunk (Simulator.dispatch_chunk) amortizes the ~25 ms relay round-trip
+    and the overflow check over S frames, and the (S, N, 3) position stack
+    crosses to host in one transfer that overlaps the NEXT chunk's compute
+    (two chunks in flight). Frames are bitwise identical to the sequential
+    loop — scripted clicks fire at their exact frame inside the scan. On
+    overflow the oldest chunk rewinds to its pre-state (speculative newer
+    chunks are discarded) and replays with grown capacity."""
+    inflight: list[tuple[int, object]] = []  # (start frame, ChunkHandle)
+    k = 0  # next frame to dispatch
+
+    def dispatch():
+        nonlocal k
+        s = min(chunk, frames - k)
+        local = {j - k: clicks[j] for j in range(k, k + s) if j in clicks}
+        inflight.append((k, sim.dispatch_chunk(s, local)))
+        k += s
+
+    done = 0
+    while done < frames:
+        while k < frames and len(inflight) < 2:
+            dispatch()
+        start, h = inflight.pop(0)
+        pos, ovf = h.fetch.wait()
+        if ovf:
+            sim.rewind_chunk(h)
+            inflight.clear()
+            k = start
+            continue
+        for j in range(h.n_steps):
+            _render_to(pos[j], start + j, out_dir)
+            done += 1
+    print(f"wrote {frames} frames to {out_dir}/")
 
 
 def _render_to(positions: np.ndarray, k: int, out_dir: str) -> None:
