@@ -76,9 +76,7 @@ static inline bool project(const float *p, float *px, float *py, float *depth) {
     return true;
 }
 
-void sph_render_frame(const float *pos, int n, uint8_t *img /* H*W*3 */) {
-    std::memset(img, 0, (size_t)H * W * 3);
-
+static void draw_box_wireframe(uint8_t *img) {
     static const float verts[8][3] = {
         {0, 0, 0}, {10, 0, 0}, {10, 10, 0}, {0, 10, 0},
         {0, 0, 10}, {10, 0, 10}, {10, 10, 10}, {0, 10, 10}};
@@ -101,6 +99,11 @@ void sph_render_frame(const float *pos, int n, uint8_t *img /* H*W*3 */) {
             }
         }
     }
+}
+
+void sph_render_frame(const float *pos, int n, uint8_t *img /* H*W*3 */) {
+    std::memset(img, 0, (size_t)H * W * 3);
+    draw_box_wireframe(img);
 
     for (int i = 0; i < n; i++) {
         float px, py, d;
@@ -119,6 +122,27 @@ void sph_render_frame(const float *pos, int n, uint8_t *img /* H*W*3 */) {
     }
 }
 
-int sph_native_abi_version(void) { return 1; }
+// Rasterize from DEVICE-projected packed pixel coords
+// (tpusph/viz/project.py: bit 20 = inside flag, bits 19..10 = y, 9..0 = x)
+// — the 4-bytes-per-particle frame stream of the chunked free mode.
+void sph_render_packed(const int32_t *packed, int n, uint8_t *img) {
+    std::memset(img, 0, (size_t)H * W * 3);
+    draw_box_wireframe(img);
+    for (int i = 0; i < n; i++) {
+        int32_t p = packed[i];
+        if (!(p & (1 << 20))) continue;
+        int xi = p & 0x3FF, yi = (p >> 10) & 0x3FF;
+        for (int dy = -1; dy <= 1; dy++) {
+            for (int dx = -1; dx <= 1; dx++) {
+                uint8_t *q = img + 3 * ((size_t)(yi + dy) * W + (xi + dx));
+                q[0] = 0;
+                q[1] = 0;
+                q[2] = 255;
+            }
+        }
+    }
+}
+
+int sph_native_abi_version(void) { return 2; }
 
 }  // extern "C"

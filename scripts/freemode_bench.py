@@ -27,15 +27,23 @@ from tpusph.engine.simulator import Simulator
 from tpusph.viz.render import run_free_mode
 
 
-def run(n, frames, sync: bool):
+def run(n, frames, sync: bool, chunk: int = 0, pack: bool = True):
     if sync:
         os.environ["TPUSPH_VIZ_SYNC"] = "1"
     else:
         os.environ.pop("TPUSPH_VIZ_SYNC", None)
+    if chunk > 1:
+        os.environ["TPUSPH_VIZ_CHUNK"] = str(chunk)
+        # measure the steady state: no tail-size chunk program (its one-off
+        # compile through the remote-compile relay would poison the average)
+        frames -= frames % chunk
+    else:
+        os.environ.pop("TPUSPH_VIZ_CHUNK", None)
+    os.environ["TPUSPH_VIZ_PACK"] = "1" if pack else "0"
     sim = Simulator(tuned_config(n))
     sim.setup()
     with tempfile.TemporaryDirectory() as d:
-        run_free_mode(sim, frames=4, out_dir=d)  # compile + warm
+        run_free_mode(sim, frames=max(4, chunk), out_dir=d)  # compile + warm
         t0 = time.perf_counter()
         run_free_mode(sim, frames=frames, out_dir=d)
         dt = time.perf_counter() - t0
@@ -45,10 +53,12 @@ def run(n, frames, sync: bool):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-    for sync in (True, False):
-        per = run(n, frames, sync)
-        mode = "sync " if sync else "async"
-        print(f"{mode} frame time: {per * 1e3:7.2f} ms "
+    modes = [("sync    ", True, 0, True), ("async   ", False, 0, True)] + [
+        (f"chunk{s:<2d}  ", False, s, True) for s in (4, 8, 16)
+    ] + [("chunk8 xyz", False, 8, False)]
+    for name, sync, chunk, pack in modes:
+        per = run(n, frames, sync, chunk, pack)
+        print(f"{name} frame time: {per * 1e3:7.2f} ms "
               f"({1 / per:6.1f} fps) at N={n}", flush=True)
 
 

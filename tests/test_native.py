@@ -50,3 +50,29 @@ def test_native_render_matches_numpy():
     assert a.shape == b.shape == (600, 800, 3)
     # identical particle pixels; wireframe sampling may differ by a pixel
     np.testing.assert_array_equal(a[..., 2] == 255, b[..., 2] == 255)
+
+
+def test_native_packed_render_matches_numpy():
+    """The packed-coordinate rasterizer (free-mode frame stream) must agree
+    with the numpy fallback pixel-for-pixel on particle pixels."""
+    import jax.numpy as jnp
+
+    from tpusph.utils.native import render_packed_native
+    from tpusph.viz.project import project_pixels_packed
+
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(-1, 11, size=(300, 3)).astype(np.float32)
+    packed = np.asarray(project_pixels_packed(jnp.asarray(pos)))
+    a = render_packed_native(packed)
+
+    # numpy path, bypassing the native dispatch inside render_frame_packed
+    from tpusph.viz.render import _wireframe_layer
+    from tpusph.viz.project import PACK_INSIDE
+
+    img = _wireframe_layer().copy()
+    p = packed[(packed & PACK_INSIDE) != 0]
+    xi, yi = p & 0x3FF, (p >> 10) & 0x3FF
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            img[yi + dy, xi + dx] = (0, 0, 255)
+    np.testing.assert_array_equal(a[..., 2] == 255, img[..., 2] == 255)

@@ -217,3 +217,30 @@ def test_chunked_overflow_rewind():
         np.testing.assert_allclose(
             pos[k], ref.get_position(), atol=1e-6, err_msg=str(k)
         )
+
+
+def test_device_projection_matches_host():
+    """project_pixels_packed (device, jnp) must agree with render.project
+    (host, numpy) — same f32 ops in the same order — including the
+    inside-frame mask and int truncation."""
+    import jax.numpy as jnp
+
+    from tpusph.viz.project import PACK_INSIDE, project_pixels_packed
+    from tpusph.viz.render import HEIGHT, NEAR, WIDTH, project
+
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(-2.0, 12.0, size=(4096, 3)).astype(np.float32)
+    packed = np.asarray(project_pixels_packed(jnp.asarray(pos)))
+
+    px, z = project(pos)
+    inside = (
+        (px[:, 0] >= 1) & (px[:, 0] < WIDTH - 1)
+        & (px[:, 1] >= 1) & (px[:, 1] < HEIGHT - 1) & (z > NEAR)
+    )
+    np.testing.assert_array_equal((packed & PACK_INSIDE) != 0, inside)
+    np.testing.assert_array_equal(
+        packed[inside] & 0x3FF, px[inside, 0].astype(np.int32)
+    )
+    np.testing.assert_array_equal(
+        (packed[inside] >> 10) & 0x3FF, px[inside, 1].astype(np.int32)
+    )

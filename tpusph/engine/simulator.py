@@ -235,7 +235,7 @@ class Simulator:
         times.iters += 1
 
     # ------------------------------------------------------- chunked stepping
-    def _chunk_fn(self, n_steps: int):
+    def _chunk_fn(self, n_steps: int, pack_pixels: bool = False):
         """Jitted `(state, cells i32[S,2], gains i32[S]) -> (state, positions
         f32[S,N,3], overflow)`: S timesteps chained in ONE dispatch via
         lax.scan, each optionally followed by a click impulse (gain 1) using
@@ -244,8 +244,13 @@ class Simulator:
         identical to the sequential loop. Through the ~25 ms axon relay this
         amortizes the dispatch round-trip AND the overflow-counter fetch over
         S frames (the reference pays a full D2H sync every frame,
-        /root/reference/src/simulator.cu:479-480)."""
-        fn = self._chunk_cache.get(n_steps)
+        /root/reference/src/simulator.cu:479-480).
+
+        pack_pixels=True emits DEVICE-projected packed pixel coords
+        (int32[S, N], tpusph/viz/project.py) instead of raw positions —
+        4 bytes/particle/frame instead of 12 through the transfer-bound
+        relay, the analog of the reference rendering on-device."""
+        fn = self._chunk_cache.get((n_steps, pack_pixels))
         if fn is not None:
             return fn
         cfg = self.cfg
@@ -266,15 +271,23 @@ class Simulator:
                     s.position,
                     s2,
                 )
-                return s2, (s2.position, aux.window_overflow)
+                if pack_pixels:
+                    from tpusph.viz.project import project_pixels_packed
+
+                    snap = project_pixels_packed(s2.position)
+                else:
+                    snap = s2.position
+                return s2, (snap, aux.window_overflow)
 
             s_f, (pos, ovf) = jax.lax.scan(body, state, (cells, gains))
             return s_f, pos, jnp.sum(ovf)
 
-        self._chunk_cache[n_steps] = chunk
+        self._chunk_cache[(n_steps, pack_pixels)] = chunk
         return chunk
 
-    def dispatch_chunk(self, n_steps: int, clicks=None) -> ChunkHandle:
+    def dispatch_chunk(
+        self, n_steps: int, clicks=None, pack_pixels: bool = False
+    ) -> ChunkHandle:
         """Advance n_steps in one dispatch (speculatively: the handle's
         overflow flag arrives with the positions; on overflow call
         rewind_chunk and re-dispatch). clicks: {local_step_index: (px, py)}
@@ -287,7 +300,7 @@ class Simulator:
                 cells[j] = click_cell_from_px(px_py[0], px_py[1], self.cfg)
                 gains[j] = 1
         pre = self.state
-        s_f, pos, ovf = self._chunk_fn(n_steps)(
+        s_f, pos, ovf = self._chunk_fn(n_steps, pack_pixels)(
             pre, jnp.asarray(cells), jnp.asarray(gains)
         )
         self.state = s_f

@@ -59,8 +59,9 @@ def get_lib():
     lib.sph_grid_init.argtypes = [ctypes.c_int, ctypes.c_float, ctypes.c_float, f32p]
     lib.sph_grid_init.restype = ctypes.c_int
     lib.sph_render_frame.argtypes = [f32p, ctypes.c_int, u8p]
+    lib.sph_render_packed.argtypes = [i32p, ctypes.c_int, u8p]
     lib.sph_native_abi_version.restype = ctypes.c_int
-    if lib.sph_native_abi_version() != 1:
+    if lib.sph_native_abi_version() != 2:
         return None
     _lib = lib
     return _lib
@@ -92,6 +93,23 @@ def render_frame_native(positions: np.ndarray):
     lib.sph_render_frame(
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         pos.shape[0],
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return img
+
+
+def render_packed_native(packed: np.ndarray):
+    """Native rasterizer over DEVICE-projected packed pixel coords
+    (tpusph/viz/project.py layout). Returns uint8[600,800,3] or None if
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(packed, np.int32)
+    img = np.empty((600, 800, 3), np.uint8)
+    lib.sph_render_packed(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p.shape[0],
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return img

@@ -90,6 +90,51 @@ def _render_frame_numpy(positions: np.ndarray) -> np.ndarray:
     return img
 
 
+_WIREFRAME_CACHE: np.ndarray | None = None
+
+
+def _wireframe_layer() -> np.ndarray:
+    """uint8[H, W, 3] black frame with the white box wireframe — static
+    across frames, rasterized once per process."""
+    global _WIREFRAME_CACHE
+    if _WIREFRAME_CACHE is None:
+        img = np.zeros((HEIGHT, WIDTH, 3), np.uint8)
+        for a, b in _BOX_EDGES:
+            t = np.linspace(0.0, 1.0, 400, dtype=np.float32)[:, None]
+            seg = _BOX_VERTICES[a][None, :] * (1 - t) + _BOX_VERTICES[b][None, :] * t
+            px, _ = project(seg)
+            xi = np.clip(px[:, 0].astype(np.int32), 0, WIDTH - 1)
+            yi = np.clip(px[:, 1].astype(np.int32), 0, HEIGHT - 1)
+            img[yi, xi] = 255
+        _WIREFRAME_CACHE = img
+    return _WIREFRAME_CACHE
+
+
+def render_frame_packed(packed: np.ndarray) -> np.ndarray:
+    """Rasterize one frame from DEVICE-projected packed pixel coords
+    (tpusph/viz/project.py: bit 20 inside flag, bits 19..10 y, bits 9..0 x)
+    — the 4-bytes-per-particle frame stream for the transfer-bound free
+    mode. Same output as render_frame on host-projected positions. Uses the
+    native C++ rasterizer (native/sphnative.cpp) when available."""
+    from tpusph.utils.native import render_packed_native
+    from tpusph.viz.project import PACK_INSIDE
+
+    native = render_packed_native(packed)
+    if native is not None:
+        return native
+
+    img = _wireframe_layer().copy()
+    p = packed[(packed & PACK_INSIDE) != 0]
+    xi = p & 0x3FF
+    yi = (p >> 10) & 0x3FF
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            img[yi + dy, xi + dx, 2] = 255
+            img[yi + dy, xi + dx, 0] = 0
+            img[yi + dy, xi + dx, 1] = 0
+    return img
+
+
 def save_png(img: np.ndarray, path: str) -> None:
     """PNG encode; PIL if present, else a minimal stdlib encoder."""
     try:
@@ -196,6 +241,9 @@ def _run_chunked(sim, frames: int, chunk: int, clicks, out_dir: str) -> None:
     loop — scripted clicks fire at their exact frame inside the scan. On
     overflow the oldest chunk rewinds to its pre-state (speculative newer
     chunks are discarded) and replays with grown capacity."""
+    # Device-side pixel projection (4 bytes/particle/frame instead of 12)
+    # is the default — TPUSPH_VIZ_PACK=0 ships raw positions instead.
+    pack = os.environ.get("TPUSPH_VIZ_PACK", "1") != "0"
     inflight: list[tuple[int, object]] = []  # (start frame, ChunkHandle)
     k = 0  # next frame to dispatch
 
@@ -203,7 +251,7 @@ def _run_chunked(sim, frames: int, chunk: int, clicks, out_dir: str) -> None:
         nonlocal k
         s = min(chunk, frames - k)
         local = {j - k: clicks[j] for j in range(k, k + s) if j in clicks}
-        inflight.append((k, sim.dispatch_chunk(s, local)))
+        inflight.append((k, sim.dispatch_chunk(s, local, pack_pixels=pack)))
         k += s
 
     done = 0
@@ -218,7 +266,8 @@ def _run_chunked(sim, frames: int, chunk: int, clicks, out_dir: str) -> None:
             k = start
             continue
         for j in range(h.n_steps):
-            _render_to(pos[j], start + j, out_dir)
+            img = render_frame_packed(pos[j]) if pack else render_frame(pos[j])
+            save_png(img, os.path.join(out_dir, f"frame_{start + j:05d}.png"))
             done += 1
     print(f"wrote {frames} frames to {out_dir}/")
 
