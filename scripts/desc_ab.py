@@ -3,7 +3,9 @@ flat block loop on the real TPU: slope-timed density/force/prep at chosen
 trajectory steps, both modes, same advance programs.
 
 Usage: python scripts/desc_ab.py [N] [steps...]   (env TPUSPH_AB_STENCIL,
-TPUSPH_AB_MB override stencil / desc block capacity)
+TPUSPH_AB_MB override stencil / desc block capacity; TPUSPH_AB_VARIANTS a
+comma list restricting which variants run — each is a fresh multi-minute
+remote compile, so sweeps should name only what they need)
 """
 
 from __future__ import annotations
@@ -64,6 +66,9 @@ def main():
             pallas_force_fold=True, **desc_kw
         ),
     }
+    if os.environ.get("TPUSPH_AB_VARIANTS"):
+        names = os.environ["TPUSPH_AB_VARIANTS"].split(",")
+        variants = {k: v for k, v in variants.items() if k in names}
 
     state = init_state(cfg0)
     prev = 0

@@ -78,6 +78,20 @@ def test_dcn_boundary_count_scales():
         assert len(topo.dcn_boundary_pairs()) == n_slices - 1
 
 
+def test_dist_simulator_exposes_topology(eight_devices):
+    """DistSimulator's default 1-D path must build through the multislice
+    topology layer (identity order on single-slice platforms; synthetic
+    n_slices splits for validation)."""
+    from tpusph.core.config import default_config
+    from tpusph.dist.simulator import DistSimulator
+
+    cfg = default_config(512, chunk_size=512)
+    sim = DistSimulator(cfg, devices=eight_devices, n_slices=2)
+    assert sim.topology.n_slices == 2
+    assert sim.topology.dcn_boundary_pairs() == [(3, 4)]
+    assert sim.mesh.devices.shape == (8,)
+
+
 @pytest.mark.slow
 def test_sharded_step_over_multislice_mesh(eight_devices):
     """The sharded engine is topology-agnostic: running it over the

@@ -236,8 +236,8 @@ class SimConfig:
             raise ValueError(
                 "pallas_stencil must be 'col9', 'slab3' or 'hybrid'"
             )
-        if self.pallas_block_lanes not in (128, 256):
-            raise ValueError("pallas_block_lanes must be 128 or 256")
+        if self.pallas_block_lanes not in (128, 256, 512):
+            raise ValueError("pallas_block_lanes must be 128, 256 or 512")
         if self.pallas_desc_unroll not in (1, 2, 4):
             raise ValueError("pallas_desc_unroll must be 1, 2 or 4")
         if self.pallas_desc_unroll_force not in (0, 1, 2, 4):

@@ -79,7 +79,12 @@ class DistSimulator:
     single-chip engine, reference simulator.cu:329-367,482-489).
 
     mesh_shape=None (default) shards 1-D z-slabs over all devices;
-    mesh_shape=(mz, my, mx) shards a 3-D brick mesh (dist/mesh3d.py)."""
+    mesh_shape=(mz, my, mx) shards a 3-D brick mesh (dist/mesh3d.py).
+
+    On multi-slice platforms the 1-D mesh is ordered SLICE-MAJOR
+    (dist/multislice.py), so the step's ±1-hop ppermutes cross the DCN on
+    exactly n_slices−1 links; single-slice platforms are unaffected
+    (identity order). n_slices forces synthetic slicing for validation."""
 
     def __init__(
         self,
@@ -89,6 +94,7 @@ class DistSimulator:
         random_init: bool = False,
         seed: int = 0,
         mesh_shape: tuple[int, int, int] | None = None,
+        n_slices: int | None = None,
     ):
         cfg.validate()
         self.cfg = cfg
@@ -100,7 +106,10 @@ class DistSimulator:
         self.use_pallas = jax.default_backend() not in ("cpu",)
         self.mesh_shape = mesh_shape
         if mesh_shape is None:
-            self.mesh = Mesh(np.array(devices), ("z",))
+            from tpusph.dist.multislice import make_multislice_mesh
+
+            self.topology = make_multislice_mesh(devices, n_slices=n_slices)
+            self.mesh = self.topology.mesh
             self.dcfg = dcfg or default_dist_config(cfg, len(devices))
             self._step = make_sharded_step(
                 cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
@@ -108,6 +117,7 @@ class DistSimulator:
         else:
             from tpusph.dist.mesh3d import make_mesh, make_mesh3d_step
 
+            self.topology = None  # 3-D bricks: single-slice ICI domains only
             assert dcfg is None, "pass capacities via default_mesh3d_config"
             n_dev = int(np.prod(mesh_shape))
             assert len(devices) >= n_dev, (
