@@ -65,6 +65,18 @@ def main():
             cfg0, pallas_desc_unroll=4, pallas_desc_unroll_force=4,
             pallas_force_fold=True, **desc_kw
         ),
+        "split": dataclasses.replace(
+            cfg0, pallas_desc_unroll=4, pallas_desc_unroll_force=2,
+            pallas_force_fold=True, pallas_force_split=True, **desc_kw
+        ),
+        "split_nofold": dataclasses.replace(
+            cfg0, pallas_desc_unroll=4, pallas_desc_unroll_force=2,
+            pallas_force_split=True, **desc_kw
+        ),
+        "split_u4f": dataclasses.replace(
+            cfg0, pallas_desc_unroll=4, pallas_desc_unroll_force=4,
+            pallas_force_fold=True, pallas_force_split=True, **desc_kw
+        ),
     }
     if os.environ.get("TPUSPH_AB_VARIANTS"):
         names = os.environ["TPUSPH_AB_VARIANTS"].split(",")

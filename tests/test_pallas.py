@@ -212,6 +212,26 @@ def test_force_fold_matches_plain():
     )
 
 
+def test_force_split_matches_plain():
+    """Split-target compute (two pt/2 halves per block sharing one
+    candidate load) is pure rescheduling: per-target pair sets and
+    per-lane summation order are unchanged, so results are bit-identical
+    to the unsplit kernel."""
+    import dataclasses
+
+    base = default_config(
+        512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
+        pallas_stencil="slab3", pallas_block_lanes=256,
+        pallas_force_fold=True,
+    )
+    st = init_state(base, random_init=True, seed=7)
+    a, _ = jax.jit(lambda s: step_pallas(s, base, interpret=True))(st)
+    split = dataclasses.replace(base, pallas_force_split=True)
+    b, _ = jax.jit(lambda s: step_pallas(s, split, interpret=True))(st)
+    np.testing.assert_array_equal(np.asarray(a.density), np.asarray(b.density))
+    np.testing.assert_array_equal(np.asarray(a.force), np.asarray(b.force))
+
+
 def test_pallas_desc_blocks_fallback_correct():
     """Tiles whose block total exceeds pallas_desc_blocks must fall back to
     the select-chain branch with IDENTICAL physics (MB is a performance

@@ -166,6 +166,12 @@ class SimConfig:
     # is the VREG-pressure-bound kernel — u4 unroll measured WORSE there).
     # Changes lane summation order only (parity budget 1e-4 unaffected).
     pallas_force_fold: bool = False
+    # Force-kernel split-target compute: each block's pair math runs in two
+    # sequential pt/2 target halves sharing ONE candidate load, halving the
+    # live (pt, bl) temporary footprint (dx/dy/dz/r/… are the VREG peak; the
+    # carry is kept as per-half triples so no concat re-widens it). Same
+    # arithmetic lane count — a pure scheduling/VREG-pressure experiment.
+    pallas_force_split: bool = False
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192

@@ -1082,7 +1082,11 @@ def _force_kernel(*refs, cfg, geom):
             # carry fold: halve the loop-carried accumulator lanes (force is
             # VREG-pressure-bound; summation order change only)
             bl2 = bl // 2 if cfg.pallas_force_fold else bl
-            zero = jnp.zeros((pt, bl2), jnp.float32)
+            # split-target compute: two sequential pt/2 halves per block
+            # share one candidate load; halves the live (pt, bl) temps
+            hpt = pt // 2 if cfg.pallas_force_split else pt
+            halves = range(0, pt, hpt)
+            zero = jnp.zeros((hpt, bl2), jnp.float32)
             use_desc = fast and cfg.pallas_desc
             if use_desc:
                 total = tb["dcntf"](sub)
@@ -1090,7 +1094,6 @@ def _force_kernel(*refs, cfg, geom):
                 starts_blk, rows, total = chain
 
             def blk(b, carry):
-                fx, fy, fz = carry
                 if use_desc:
                     base = tb["dbase"](sub, b) * 128
                     sl = pl.ds(pl.multiple_of(base, 128), bl)
@@ -1104,72 +1107,85 @@ def _force_kernel(*refs, cfg, geom):
                 # sublane extracts (see the density-kernel note)
                 cblk = cand[slot, :, sl]
                 row = lambda r: cblk[r : r + 1, :]
-                dx = tx - row(_FX)
-                dy = ty - row(_FY)
-                dz = tz - row(_FZ)
-                r2 = dx * dx + dy * dy + dz * dz
-                # r and 1/r via one rsqrt (sqrt+divide are the two slow
-                # transcendental slots in this loop); r2=0 → NaN, which
-                # the masks turn into exact 0 through the selects
-                inv_r = jax.lax.rsqrt(r2)
-                r = r2 * inv_r
-                # The r ≥ eps guard excludes self-pairs (reference EPS_F,
-                # cu:107,126). The r ≤ h cutoff is folded into hr:
-                # max(h−r, 0) zeroes BOTH terms outside the support — the
-                # reference's pressure guard (r² ≤ h², cu:107) and
-                # viscosity guard (r ≤ h, cu:126) are the same set for
-                # r ≥ 0, and both scale linearly in hr. When prep proved
-                # the key mask redundant (fast), eps alone remains; else
-                # the key-difference mask bounds the window (density note).
-                if fast:
-                    live = r >= eps
-                else:
-                    keyhit = _key_mask(row(_FKEY), tkey + off, kind, cfg)
-                    if kind == "slab_ranged":
-                        # hybrid: bound lanes to the true range — see
-                        # the density kernel note
-                        li = local * bl + jax.lax.broadcasted_iota(
-                            jnp.int32, (1, bl), 1
+                out = []
+                for hi, h0 in enumerate(halves):
+                    ts = slice(h0, h0 + hpt)
+                    fx, fy, fz = carry[3 * hi : 3 * hi + 3]
+                    dx = tx[ts] - row(_FX)
+                    dy = ty[ts] - row(_FY)
+                    dz = tz[ts] - row(_FZ)
+                    r2 = dx * dx + dy * dy + dz * dz
+                    # r and 1/r via one rsqrt (sqrt+divide are the two slow
+                    # transcendental slots in this loop); r2=0 → NaN, which
+                    # the masks turn into exact 0 through the selects
+                    inv_r = jax.lax.rsqrt(r2)
+                    r = r2 * inv_r
+                    # The r ≥ eps guard excludes self-pairs (reference
+                    # EPS_F, cu:107,126). The r ≤ h cutoff is folded into
+                    # hr: max(h−r, 0) zeroes BOTH terms outside the support
+                    # — the reference's pressure guard (r² ≤ h², cu:107)
+                    # and viscosity guard (r ≤ h, cu:126) are the same set
+                    # for r ≥ 0, and both scale linearly in hr. When prep
+                    # proved the key mask redundant (fast), eps alone
+                    # remains; else the key-difference mask bounds the
+                    # window (density note).
+                    if fast:
+                        live = r >= eps
+                    else:
+                        keyhit = _key_mask(
+                            row(_FKEY), tkey[ts] + off, kind, cfg
                         )
-                        keyhit = keyhit & (li >= lead) & (li < cnt)
-                    live = keyhit & (r >= eps)
-                hr = jnp.maximum(h - r, 0.0)
-                # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the reference's
-                # two minus signs cancel (∇W_spiky = disp·(−vk)(h−r)²/r,
-                # cu:99-117, 224-235), so s_p = +m·vk·(p_i+p_j)/(2ρ_j)
-                # ·(h−r)²/r, applied along disp.
-                term = tp * row(_FI2R) + row(_FPI2R)  # (p_i+p_j)/(2ρ_j)
-                s_p = jnp.where(live, (m * vk) * term * hr * hr * inv_r, 0.0)
-                # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
-                # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
-                s_v = jnp.where(live, (2.0 * mu * m * vk) * hr * row(_FI2R), 0.0)
-                cx = s_p * dx + s_v * (row(_FVX) - tvx)
-                cy = s_p * dy + s_v * (row(_FVY) - tvy)
-                cz = s_p * dz + s_v * (row(_FVZ) - tvz)
-                if cfg.pallas_force_fold:
-                    cx = cx[:, :bl2] + cx[:, bl2:]
-                    cy = cy[:, :bl2] + cy[:, bl2:]
-                    cz = cz[:, :bl2] + cz[:, bl2:]
-                return fx + cx, fy + cy, fz + cz
+                        if kind == "slab_ranged":
+                            # hybrid: bound lanes to the true range — see
+                            # the density kernel note
+                            li = local * bl + jax.lax.broadcasted_iota(
+                                jnp.int32, (1, bl), 1
+                            )
+                            keyhit = keyhit & (li >= lead) & (li < cnt)
+                        live = keyhit & (r >= eps)
+                    hr = jnp.maximum(h - r, 0.0)
+                    # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the
+                    # reference's two minus signs cancel (∇W_spiky =
+                    # disp·(−vk)(h−r)²/r, cu:99-117, 224-235), so s_p =
+                    # +m·vk·(p_i+p_j)/(2ρ_j)·(h−r)²/r, applied along disp.
+                    term = tp[ts] * row(_FI2R) + row(_FPI2R)
+                    s_p = jnp.where(
+                        live, (m * vk) * term * hr * hr * inv_r, 0.0
+                    )
+                    # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
+                    # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
+                    s_v = jnp.where(
+                        live, (2.0 * mu * m * vk) * hr * row(_FI2R), 0.0
+                    )
+                    cx = s_p * dx + s_v * (row(_FVX) - tvx[ts])
+                    cy = s_p * dy + s_v * (row(_FVY) - tvy[ts])
+                    cz = s_p * dz + s_v * (row(_FVZ) - tvz[ts])
+                    if cfg.pallas_force_fold:
+                        cx = cx[:, :bl2] + cx[:, bl2:]
+                        cy = cy[:, :bl2] + cy[:, bl2:]
+                        cz = cz[:, :bl2] + cz[:, bl2:]
+                    out += [fx + cx, fy + cy, fz + cz]
+                return tuple(out)
 
+            init = (zero,) * (3 * len(halves))
             if use_desc:
-                return _unrolled_fori(
-                    total, blk, (zero, zero, zero), cfg.force_unroll
-                )
-            return jax.lax.fori_loop(0, total, blk, (zero, zero, zero))
+                return _unrolled_fori(total, blk, init, cfg.force_unroll)
+            return jax.lax.fori_loop(0, total, blk, init)
 
         if cfg.pallas_desc:
             pred = tb["fast"](sub) & (tb["dcntf"](sub) >= 0)
         else:
             pred = tb["fast"](sub)
-        fx, fy, fz = jax.lax.cond(
+        acc = jax.lax.cond(
             pred,
             lambda: sub_force(True),
             lambda: sub_force(False),
         )
-        f_ref[0, 0, sub, :] = jnp.sum(fx, axis=1)
-        f_ref[1, 0, sub, :] = jnp.sum(fy, axis=1)
-        f_ref[2, 0, sub, :] = jnp.sum(fz, axis=1)
+        hpt = pt // 2 if cfg.pallas_force_split else pt
+        for hi, h0 in enumerate(range(0, pt, hpt)):
+            f_ref[0, 0, sub, h0 : h0 + hpt] = jnp.sum(acc[3 * hi], axis=1)
+            f_ref[1, 0, sub, h0 : h0 + hpt] = jnp.sum(acc[3 * hi + 1], axis=1)
+            f_ref[2, 0, sub, h0 : h0 + hpt] = jnp.sum(acc[3 * hi + 2], axis=1)
 
 
 def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=False):
