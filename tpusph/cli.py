@@ -100,6 +100,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="timed mode: dump a jax.profiler trace to DIR",
     )
     p.add_argument(
+        "--viz-chunk",
+        type=int,
+        default=None,
+        metavar="S",
+        help="free mode with --frames: steps per device dispatch (scan-"
+        "chained, device-projected packed frame stream; 50 fps at 65k with "
+        "S=16 through a 25 ms relay). Default: TPUSPH_VIZ_CHUNK or 1",
+    )
+    p.add_argument(
         "--gif",
         type=str,
         default=None,
@@ -190,7 +199,10 @@ def main(argv: list[str] | None = None) -> int:
             frame, xy = spec.split(":")
             x, y = xy.split(",")
             clicks[int(frame)] = (int(x), int(y))
-        run_free_mode(sim, frames=args.frames, out_dir=args.out, clicks=clicks)
+        run_free_mode(
+            sim, frames=args.frames, out_dir=args.out, clicks=clicks,
+            chunk=args.viz_chunk,
+        )
         if args.gif and args.frames > 0:
             from tpusph.viz.render import frames_to_gif
 

@@ -192,15 +192,20 @@ def frames_to_gif(frames_dir: str, gif_path: str, fps: int = 30) -> None:
     )
 
 
-def run_free_mode(sim, frames: int = 0, out_dir: str = "frames", clicks=None) -> None:
+def run_free_mode(
+    sim, frames: int = 0, out_dir: str = "frames", clicks=None,
+    chunk: int | None = None,
+) -> None:
     """Free mode: continuous animation (display() callback loop,
     display.cpp:35-64). frames>0 → headless frame dump with optional scripted
     clicks {frame: (px, py)}; frames==0 → interactive matplotlib window with
-    live left-click ripple impulses."""
+    live left-click ripple impulses. chunk=S (or TPUSPH_VIZ_CHUNK=S) runs S
+    steps per device dispatch — see _run_chunked."""
     clicks = clicks or {}
     if frames > 0:
         os.makedirs(out_dir, exist_ok=True)
-        chunk = int(os.environ.get("TPUSPH_VIZ_CHUNK", "0"))
+        if chunk is None:
+            chunk = int(os.environ.get("TPUSPH_VIZ_CHUNK", "0"))
         if chunk > 1 and hasattr(sim, "dispatch_chunk"):
             _run_chunked(sim, frames, chunk, clicks, out_dir)
             return
