@@ -315,6 +315,7 @@ def tuned_overrides(num_particles: int) -> dict:
             "pallas_desc_unroll": 4,
             "pallas_desc_unroll_force": 2,
             "pallas_force_fold": True,
+            "pallas_force_split": True,
             "pallas_stream_desc": True,
         }
     if num_particles >= 1_000_000:
@@ -331,6 +332,9 @@ def tuned_overrides(num_particles: int) -> dict:
             "pallas_desc_unroll": 4,
             "pallas_desc_unroll_force": 2,
             "pallas_force_fold": True,
+            # 1M A/B (scripts/desc_ab.py, MB=16): force 26.10→23.98 ms at
+            # step 30, 39.28→36.42 at step 90; density neutral, parity OK
+            "pallas_force_split": True,
         }
     return {
         "pallas_desc": True,
