@@ -1,0 +1,91 @@
+"""FULL-step slope A/B of config tweaks on the production fields-native
+step. The per-piece probes mis-attribute costs XLA DCEs in isolation (the
+starts histogram vanishes when nothing consumes `starts` — glue_probe vs
+prep_bench disagree by exactly that); the full step is the ground truth.
+
+Usage: python scripts/step_ab.py [N] [steps...]
+  TPUSPH_AB_VARIANTS — comma list from VARIANTS below (default: all)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import numpy as np
+
+from scripts.profile_step import fence, slope_bench  # noqa: E402
+from tpusph.core.config import default_config
+from tpusph.core.init import init_state
+from tpusph.engine.step import fields_from_state, step_pallas_fields
+
+VARIANTS = {
+    "base": {},
+    "rank": {"pallas_rank_prep": True},
+}
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
+    probe_steps = [int(s) for s in sys.argv[2:]] or [60]
+    from bench import config_overrides
+
+    cfg0 = default_config(n, **config_overrides(n, os.environ))
+    names = (
+        os.environ["TPUSPH_AB_VARIANTS"].split(",")
+        if os.environ.get("TPUSPH_AB_VARIANTS")
+        else list(VARIANTS)
+    )
+    fs = fields_from_state(init_state(cfg0))
+
+    def advance(fs, k):
+        @jax.jit
+        def go(fs):
+            def body(f, _):
+                (f2, _, _, _), _aux = step_pallas_fields(f, cfg0)
+                return f2, None
+            return jax.lax.scan(body, fs, None, length=k)[0]
+        return go(fs)
+
+    prev = 0
+    for target in probe_steps:
+        if target > prev:
+            fs = advance(fs, target - prev)
+            fence(fs)
+            prev = target
+        print(f"--- step {target} (N={n}) ---", flush=True)
+        base_rho = None
+        for name in names:
+            cfg = dataclasses.replace(cfg0, **VARIANTS[name])
+            (out, rho, _, _), aux = jax.jit(
+                lambda f, cfg=cfg: step_pallas_fields(f, cfg)
+            )(fs)
+            ovf = int(jax.device_get(aux.window_overflow))
+            rho_h = np.sort(np.asarray(jax.device_get(rho)))
+            if base_rho is None:
+                base_rho = rho_h
+                pstr = "ref"
+            else:
+                rel = float(
+                    np.max(np.abs(rho_h - base_rho) / np.abs(base_rho))
+                )
+                pstr = f"relerr={rel:.1e}"
+            t = slope_bench(
+                lambda f, cfg=cfg: step_pallas_fields(f, cfg)[0][0],
+                lambda a, z: (a[0]._replace(x=a[0].x + z),),
+                fs,
+            )
+            print(f"  {name}: FULL={t*1e3:7.2f} ms  overflow={ovf}  {pstr}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

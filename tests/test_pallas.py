@@ -406,3 +406,42 @@ def test_sub_descriptor_dtype_widens_past_int16():
             (sf.x, sf.y, sf.z), sf.key_sorted, cols, cfg, interpret=True
         )
         assert bool(jnp.all(rho > 0))
+
+
+def test_rank_prep_equals_gather_prep():
+    """The two-sort rank lookup (pallas_rank_prep) must reproduce the
+    gather-path TileColumns EXACTLY (integer ranks are starts[q] by
+    construction) for every stencil, with the descriptor loop on."""
+    import dataclasses
+
+    from tpusph.neighbors.cell_list import build_sorted_fields
+    from tpusph.pallas.fused import supertile_columns
+
+    for stencil in ("slab3", "col9", "hybrid"):
+        base = default_config(
+            512, chunk_size=512, pallas_col_capacity=512,
+            pallas_sub_blocks=4, pallas_stencil=stencil,
+            pallas_block_lanes=128, pallas_desc=True, pallas_desc_blocks=48,
+        )
+        st = init_state(base, random_init=True, seed=11)
+        sf = jax.jit(
+            lambda s, cfg=base: build_sorted_fields(
+                s.position, s.velocity, s.valid, cfg
+            )
+        )(st)
+        cols = {}
+        for rank in (False, True):
+            cfg = dataclasses.replace(base, pallas_rank_prep=rank)
+            cols[rank] = jax.jit(
+                lambda sf, cfg=cfg: supertile_columns(
+                    sf.key_sorted, sf.valid_sorted, sf.starts, cfg
+                )
+            )(sf)
+        for field in cols[False]._fields:
+            a, b = getattr(cols[False], field), getattr(cols[True], field)
+            if a is None:
+                assert b is None, field
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{stencil}.{field}"
+            )

@@ -172,6 +172,17 @@ class SimConfig:
     # carry is kept as per-half triples so no concat re-widens it). Same
     # arithmetic lane count — a pure scheduling/VREG-pressure experiment.
     pallas_force_split: bool = False
+    # Prep starts-table lookups via the two-sort rank computation instead of
+    # gathers: TPU gathers from the (num_cells+2,) table cost ~50 ns/element
+    # (~2.5 ms at 262k, ~13.5 ms at 1M — the step's hidden "glue",
+    # scripts/glue_probe.py), while rank_left(key_sorted, q) == starts[q]
+    # costs two data-oblivious payload sorts of N+Q. Integer-exact either
+    # way (tests/test_pallas.py::test_rank_prep_equals_gather_prep); also
+    # lets XLA drop the histogram-built starts table from the production
+    # step entirely. FULL-step A/B (scripts/step_ab.py, bit-identical
+    # densities): 262k 10.94→8.87 ms (step 60), 13.09→11.14 (step 90);
+    # 1M 49.86→42.76 / 71.70→64.44.
+    pallas_rank_prep: bool = True
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192

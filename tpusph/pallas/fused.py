@@ -193,17 +193,20 @@ def _tile_key_span(key_s, valid_s, cfg: SimConfig, tile: int):
     return kmin, kmax
 
 
-def _geom_ranges(kmin, kmax, starts, cfg: SimConfig, geom):
-    """(aligned_start, cnt, lead) of each window of `geom` for tiles spanning
-    [kmin, kmax]; `lead` is the alignment lead-in (true start − aligned
-    start, < block width)."""
+def _geom_queries(kmin, kmax, cfg: SimConfig, geom):
+    """starts-table indices (lo, hi) of each window of `geom` for tiles
+    spanning [kmin, kmax]."""
     nc = cfg.num_cells
     offsets, lo_pad, hi_pad = geom
     offs = jnp.asarray(offsets, jnp.int32)
     lo = jnp.clip(kmin[:, None] + offs[None, :] - lo_pad, 0, nc)
     hi = jnp.clip(kmax[:, None] + offs[None, :] + hi_pad, lo, nc)
-    se = starts[jnp.stack([lo, hi])]  # one batched lookup
-    start, end = se[0], se[1]
+    return lo, hi
+
+
+def _geom_finish(start, end, cfg: SimConfig):
+    """(aligned_start, cnt, lead) from resolved window bounds; `lead` is the
+    alignment lead-in (true start − aligned start, < block width)."""
     # Align down to the block width (≥128 keeps Mosaic's DMA-offset rule);
     # the key mask / fast-path lead-in argument rejects the extra lanes.
     bl = cfg.pallas_block_lanes
@@ -213,6 +216,55 @@ def _geom_ranges(kmin, kmax, starts, cfg: SimConfig, geom):
         (end - astart).astype(jnp.int32),
         (start - astart).astype(jnp.int32),
     )
+
+
+def _rank_left(key_s, queries):
+    """rank_left(key_s, q) == starts[q] for q ∈ [0, num_cells+1], computed
+    WITHOUT gathering from the (num_cells+2,) starts table: TPU gathers
+    from a large table lower to ~50 ns/element (the prep's ~50k–400k
+    lookups were 2.5 ms at 262k / 13.5 ms at 1M — the step's hidden
+    "glue", scripts/glue_probe.py), while two data-oblivious 2-lane
+    payload sorts of N+Q are an order of magnitude cheaper on this
+    stack's fast lax.sort. Queries are tagged to sort BEFORE equal keys
+    (2q vs 2k+1 ⇒ left rank); the second sort unpermutes by query index."""
+    nq = queries.shape[0]
+    vals = jnp.concatenate([key_s * 2 + 1, queries * 2])
+    idx = jnp.concatenate([
+        jnp.full(key_s.shape, nq, jnp.int32),
+        jnp.arange(nq, dtype=jnp.int32),
+    ])
+    sv, si = jax.lax.sort((vals, idx), num_keys=1, is_stable=True)
+    isq = (sv & 1) == 0
+    pos = jnp.arange(sv.shape[0], dtype=jnp.int32)
+    rank = pos - (jnp.cumsum(isq.astype(jnp.int32)) - 1)
+    _, out = jax.lax.sort(
+        (jnp.where(isq, si, jnp.int32(2**30)), rank), num_keys=1,
+        is_stable=True,
+    )
+    return out[:nq]
+
+
+def _resolve_starts(key_s, starts, queries, cfg: SimConfig):
+    """Resolve a list of starts-table index arrays in ONE batched lookup:
+    the rank-sort path (pallas_rank_prep) or plain gathers. Results are
+    exactly equal (integer ranks)."""
+    if not cfg.pallas_rank_prep:
+        return [starts[q] for q in queries]
+    flat = jnp.concatenate([q.reshape(-1) for q in queries])
+    r = _rank_left(key_s, flat)
+    out, o = [], 0
+    for q in queries:
+        out.append(r[o : o + q.size].reshape(q.shape))
+        o += q.size
+    return out
+
+
+def _geom_ranges(kmin, kmax, starts, cfg: SimConfig, geom):
+    """Gather-path convenience wrapper (scripts/diagnostics): (aligned_start,
+    cnt, lead) of each window of `geom` for tiles spanning [kmin, kmax]."""
+    lo, hi = _geom_queries(kmin, kmax, cfg, geom)
+    se = starts[jnp.stack([lo, hi])]  # one batched lookup
+    return _geom_finish(se[0], se[1], cfg)
 
 
 def _column_ranges(key_s, valid_s, starts, cfg: SimConfig, tile: int):
@@ -242,18 +294,30 @@ def _fast_flags(
     scan the SAME lanes for different (dy,dz) interpretations — lead/tail
     guards cannot separate them). `period` is the flat-key distance between
     adjacent windows (C for col9, C² for slab3)."""
+    prev_i, next_i = _fast_queries(kmin, kmax, cfg, geom, period)
+    prev_end, next_start = starts[prev_i], starts[next_i]
+    return _fast_finish(sub_start, sub_cnt, prev_end, next_start, cfg,
+                        span_ok)
+
+
+def _fast_queries(kmin, kmax, cfg: SimConfig, geom, period):
+    """starts-table indices of the neighboring windows' accepted-range
+    bounds (prev end, next start) the fast-path guards compare against."""
     nc = cfg.num_cells
     offsets, lo_pad, hi_pad = geom
     offs = jnp.asarray(offsets, jnp.int32)
-    prev_end = starts[
-        jnp.clip(kmax[:, None] + offs[None, :] - period + hi_pad, 0, nc + 1)
-    ]
+    prev_i = jnp.clip(kmax[:, None] + offs[None, :] - period + hi_pad, 0,
+                      nc + 1)
+    next_i = jnp.clip(kmin[:, None] + offs[None, :] + period - lo_pad, 0,
+                      nc + 1)
+    return prev_i, next_i
+
+
+def _fast_finish(sub_start, sub_cnt, prev_end, next_start, cfg: SimConfig,
+                 span_ok):
     lead_ok = sub_start >= prev_end
     bl = cfg.pallas_block_lanes
     tail_abs = sub_start + ((sub_cnt + bl - 1) // bl) * bl
-    next_start = starts[
-        jnp.clip(kmin[:, None] + offs[None, :] + period - lo_pad, 0, nc + 1)
-    ]
     tail_ok = tail_abs <= next_start
     return span_ok & jnp.all(lead_ok & tail_ok, axis=1)
 
@@ -453,8 +517,21 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
     pt, g = effective_geometry(key_s.shape[0], cfg)
     cap = cfg.pallas_col_capacity
     c = cfg.num_cells_per_dim
-    sub_start, sub_cnt, kmin, kmax = _column_ranges(key_s, valid_s, starts, cfg, pt)
-    sup_start, sup_cnt, _, _ = _column_ranges(key_s, valid_s, starts, cfg, pt * g)
+    geom = _stencil(cfg)
+    period = c * c if cfg.pallas_stencil == "slab3" else c
+    kmin, kmax = _tile_key_span(key_s, valid_s, cfg, pt)
+    skmin, skmax = _tile_key_span(key_s, valid_s, cfg, pt * g)
+    # every starts-table lookup of this prep, resolved in ONE batch (the
+    # rank-sort path makes the lookups ~free and lets XLA drop the
+    # histogram-built table entirely from the production step)
+    sub_lo, sub_hi = _geom_queries(kmin, kmax, cfg, geom)
+    sup_lo, sup_hi = _geom_queries(skmin, skmax, cfg, geom)
+    prev_i, next_i = _fast_queries(kmin, kmax, cfg, geom, period)
+    sub_s, sub_e, sup_s, sup_e, prev_end, next_start = _resolve_starts(
+        key_s, starts, [sub_lo, sub_hi, sup_lo, sup_hi, prev_i, next_i], cfg
+    )
+    sub_start, sub_cnt, _ = _geom_finish(sub_s, sub_e, cfg)
+    sup_start, sup_cnt, _ = _geom_finish(sup_s, sup_e, cfg)
     overflow = jnp.sum(jnp.maximum(sup_cnt - cap, 0)).astype(jnp.int32)
     sub_base = sub_start - jnp.repeat(sup_start, g, axis=0)  # ≥0, 128-aligned
     sub_cnt, excess = _clamp_sub(sub_base, sub_cnt, cfg)
@@ -462,13 +539,10 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
 
     if cfg.pallas_stencil == "slab3":
         span_ok = jnp.ones_like(kmin, dtype=bool)
-        period = c * c
     else:
         span_ok = (kmax - kmin) <= (c - 3)
-        period = c
-    sub_fast = _fast_flags(
-        sub_start, sub_cnt, kmin, kmax, starts, cfg, _stencil(cfg), period,
-        span_ok,
+    sub_fast = _fast_finish(
+        sub_start, sub_cnt, prev_end, next_start, cfg, span_ok
     )
 
     ns = sub_base.shape[1]
@@ -528,15 +602,26 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
 
     kmin, kmax = _tile_key_span(key_s, valid_s, cfg, pt)
     skmin, skmax = _tile_key_span(key_s, valid_s, cfg, pt * g)
-    sup_start, sup_cnt, _ = _geom_ranges(skmin, skmax, starts, cfg, slab_geom)
+    # batch ALL starts-table lookups (sup + both sub geometries + both
+    # fast-flag guards) into one resolution — see _rank_left
+    sup_lo, sup_hi = _geom_queries(skmin, skmax, cfg, slab_geom)
+    slab_lo, slab_hi = _geom_queries(kmin, kmax, cfg, slab_geom)
+    col_lo, col_hi = _geom_queries(kmin, kmax, cfg, col_geom)
+    sprev_i, snext_i = _fast_queries(kmin, kmax, cfg, slab_geom, c * c)
+    cprev_i, cnext_i = _fast_queries(kmin, kmax, cfg, col_geom, c)
+    (
+        sup_s, sup_e, slab_s, slab_e, col_s, col_e,
+        sprev_end, snext_start, cprev_end, cnext_start,
+    ) = _resolve_starts(
+        key_s, starts,
+        [sup_lo, sup_hi, slab_lo, slab_hi, col_lo, col_hi,
+         sprev_i, snext_i, cprev_i, cnext_i], cfg,
+    )
+    sup_start, sup_cnt, _ = _geom_finish(sup_s, sup_e, cfg)
     overflow = jnp.sum(jnp.maximum(sup_cnt - cap, 0)).astype(jnp.int32)
 
-    slab_start, slab_cnt, slab_lead = _geom_ranges(
-        kmin, kmax, starts, cfg, slab_geom
-    )
-    col_start, col_cnt, col_lead = _geom_ranges(
-        kmin, kmax, starts, cfg, col_geom
-    )
+    slab_start, slab_cnt, slab_lead = _geom_finish(slab_s, slab_e, cfg)
+    col_start, col_cnt, col_lead = _geom_finish(col_s, col_e, cfg)
 
     sup_rep = jnp.repeat(sup_start, g, axis=0)  # (ntiles, 3)
     slab_base = slab_start - sup_rep  # ≥0, bl-aligned
@@ -552,12 +637,12 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
         (blocks_col + cfg.pallas_hybrid_bias) < blocks_slab
     )
 
-    fast_slab = _fast_flags(
-        slab_start, slab_cnt, kmin, kmax, starts, cfg, slab_geom, c * c,
+    fast_slab = _fast_finish(
+        slab_start, slab_cnt, sprev_end, snext_start, cfg,
         jnp.ones_like(kmin, dtype=bool),
     )
-    fast_col = _fast_flags(
-        col_start, col_cnt, kmin, kmax, starts, cfg, col_geom, c, span_ok
+    fast_col = _fast_finish(
+        col_start, col_cnt, cprev_end, cnext_start, cfg, span_ok
     )
 
     ntiles = kmin.shape[0]
