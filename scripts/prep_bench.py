@@ -166,6 +166,34 @@ def main():
 
         t["sorted1"] = slope_bench(sorted1, inj, key_s, valid_s, starts)
 
+        def qrank(k, v, s):
+            # Pallas query-rank kernel: sort only the Q queries, rank the
+            # sorted chunks against the keys with a mask-free chunked
+            # outer-compare (pallas/qrank.py)
+            from tpusph.pallas.qrank import rank_queries_pallas
+            qs = _queries(k, v, cfg)
+            flat = jnp.concatenate([q.reshape(-1) for q in qs]) + (s[0] * 0)
+            ranks, ov = rank_queries_pallas(k, flat, cfg)
+            return ranks, ov
+
+        t["qrank"] = slope_bench(qrank, inj, key_s, valid_s, starts)
+        _, ov = jax.jit(qrank)(key_s, valid_s, starts)
+        print(f"  qrank overflow={int(ov)} "
+              f"(kcap={cfg.pallas_qrank_kcap} chunks/prog="
+              f"{cfg.pallas_qrank_chunks})", flush=True)
+
+        def qsort_only(k, v, s):
+            # floor: the two Q-only payload sorts of the qrank path
+            qs = _queries(k, v, cfg)
+            flat = jnp.concatenate([q.reshape(-1) for q in qs]) + (s[0] * 0)
+            qv, qi = jax.lax.sort(
+                (flat, jnp.arange(flat.shape[0], dtype=jnp.int32)),
+                num_keys=1, is_stable=True,
+            )
+            return jax.lax.sort((qi, qv), num_keys=1, is_stable=True)
+
+        t["qsort"] = slope_bench(qsort_only, inj, key_s, valid_s, starts)
+
         nq = sum(q.size for q in _queries(key_s, valid_s, cfg))
         parts = "  ".join(f"{k_}={v*1e3:7.3f}" for k_, v in t.items())
         print(f"{parts} ms  (queries={nq})", flush=True)

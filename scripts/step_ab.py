@@ -30,6 +30,8 @@ from tpusph.engine.step import fields_from_state, step_pallas_fields
 VARIANTS = {
     "base": {},
     "rank": {"pallas_rank_prep": True},
+    # query-rank Pallas kernel over the prep lookups (pallas/qrank.py)
+    "qrank": {"pallas_query_rank": True},
 }
 
 

@@ -445,3 +445,80 @@ def test_rank_prep_equals_gather_prep():
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b), err_msg=f"{stencil}.{field}"
             )
+
+
+def test_rank_queries_pallas_exact():
+    """The query-rank kernel (pallas/qrank.py) must equal searchsorted
+    left-ranks for arbitrary query arrays, and detect kcap overflow
+    instead of misranking."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpusph.pallas.qrank import rank_queries_pallas
+
+    rng = np.random.default_rng(3)
+    cfg = default_config(
+        4096, pallas_qrank_chunks=4, pallas_qrank_kcap=2048
+    )
+    # nq >> n/kcap so per-program key spans stay under kcap (a sparse
+    # query set over a huge key array is a legitimate capacity miss —
+    # covered by the overflow case below)
+    for n, nq in ((3000, 700), (512, 2500), (4096, 900)):
+        keys = np.sort(rng.integers(0, 900, n)).astype(np.int32)
+        qs = rng.integers(0, 902, nq).astype(np.int32)
+        ranks, ovf = rank_queries_pallas(
+            jnp.asarray(keys), jnp.asarray(qs), cfg, interpret=True
+        )
+        assert int(ovf) == 0
+        np.testing.assert_array_equal(
+            np.asarray(ranks), np.searchsorted(keys, qs, side="left")
+        )
+    # all keys equal and queries straddling them: one program's span is the
+    # whole key array -> must report overflow, not misrank silently
+    tiny = dataclasses.replace(cfg, pallas_qrank_kcap=1024)
+    keys = np.full(3000, 50, np.int32)
+    qs = np.array([0, 51] * 40, np.int32)
+    _, ovf = rank_queries_pallas(
+        jnp.asarray(keys), jnp.asarray(qs), tiny, interpret=True
+    )
+    assert int(ovf) > 0
+
+
+def test_query_rank_prep_equals_sort_prep():
+    """pallas_query_rank must reproduce the rank-sort TileColumns EXACTLY
+    (both compute integer left-ranks) for every stencil."""
+    import dataclasses
+
+    from tpusph.neighbors.cell_list import build_sorted_fields
+    from tpusph.pallas.fused import supertile_columns
+
+    for stencil in ("slab3", "col9", "hybrid"):
+        base = default_config(
+            512, chunk_size=512, pallas_col_capacity=512,
+            pallas_sub_blocks=4, pallas_stencil=stencil,
+            pallas_block_lanes=128, pallas_qrank_chunks=4,
+            pallas_qrank_kcap=2048,
+        )
+        st = init_state(base, random_init=True, seed=12)
+        sf = jax.jit(
+            lambda s, cfg=base: build_sorted_fields(
+                s.position, s.velocity, s.valid, cfg
+            )
+        )(st)
+        cols = {}
+        for qr in (False, True):
+            cfg = dataclasses.replace(base, pallas_query_rank=qr)
+            cols[qr] = jax.jit(
+                lambda sf, cfg=cfg: supertile_columns(
+                    sf.key_sorted, sf.valid_sorted, sf.starts, cfg, True
+                )
+            )(sf)
+        for field in cols[False]._fields:
+            a, b = getattr(cols[False], field), getattr(cols[True], field)
+            if a is None:
+                assert b is None, field
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{stencil}.{field}"
+            )

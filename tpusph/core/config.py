@@ -183,6 +183,18 @@ class SimConfig:
     # densities): 262k 10.94→8.87 ms (step 60), 13.09→11.14 (step 90);
     # 1M 49.86→42.76 / 71.70→64.44.
     pallas_rank_prep: bool = True
+    # Query-rank Pallas kernel (pallas/qrank.py): resolve the prep's batched
+    # starts lookups by sorting the Q ≈ 0.3·N queries ALONE (instead of the
+    # rank-sort path's two N+Q payload sorts) and ranking the sorted chunks
+    # against the sorted keys with a mask-free chunked outer-compare —
+    # per-chunk key spans partition the keys, so compare work is 64·N
+    # pair-lanes. Only active when pallas_rank_prep is also on. chunks =
+    # 64-query chunks sharing one grid program + one double-buffered key
+    # DMA; kcap = per-program key-slice capacity (overflow detected via
+    # StepAux, regrown). Integer-exact vs the sort path.
+    pallas_query_rank: bool = False
+    pallas_qrank_chunks: int = 16
+    pallas_qrank_kcap: int = 16384
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192
@@ -274,6 +286,13 @@ class SimConfig:
                 "pallas_starts_kcap must be a positive multiple of 512 "
                 "(4-part conditional DMA alignment)"
             )
+        if self.pallas_qrank_kcap % 1024 or self.pallas_qrank_kcap <= 0:
+            raise ValueError(
+                "pallas_qrank_kcap must be a positive multiple of 1024 "
+                "(4-part conditional DMA alignment at 256-lane blocks)"
+            )
+        if self.pallas_qrank_chunks <= 0:
+            raise ValueError("pallas_qrank_chunks must be positive")
         if self.pallas_col_capacity % (2 * self.pallas_block_lanes):
             raise ValueError(
                 "pallas_col_capacity must be a multiple of "

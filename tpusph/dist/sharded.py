@@ -111,7 +111,9 @@ def _local_physics(comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret):
         from tpusph.pallas.fused import density_pallas, supertile_columns
         from tpusph.physics.kernels import pressure_from_density
 
-        cols_info = supertile_columns(cl.key_sorted, cl.valid_sorted, cl.starts, cfg)
+        cols_info = supertile_columns(
+            cl.key_sorted, cl.valid_sorted, cl.starts, cfg, interpret
+        )
         raw = density_pallas(
             (sp[:, 0], sp[:, 1], sp[:, 2]), cl.key_sorted, cols_info, cfg,
             interpret=interpret,

@@ -231,7 +231,9 @@ def update_phase_pallas(state: FluidState, cl: CellList, cfg: SimConfig, interpr
 
     sp = state.position[cl.perm]
     sv = state.velocity[cl.perm]
-    cols_info = supertile_columns(cl.key_sorted, cl.valid_sorted, cl.starts, cfg)
+    cols_info = supertile_columns(
+        cl.key_sorted, cl.valid_sorted, cl.starts, cfg, interpret
+    )
     ovf = cols_info.overflow
     xyz = (sp[:, 0], sp[:, 1], sp[:, 2])
     raw_rho = density_pallas(xyz, cl.key_sorted, cols_info, cfg, interpret=interpret)
@@ -314,7 +316,8 @@ def step_pallas_fields(fs: FieldsState, cfg: SimConfig, interpret=False):
         interpret=interpret,
     )
     valid_s = sf.valid_sorted
-    cols_info = supertile_columns(sf.key_sorted, valid_s, sf.starts, cfg)
+    cols_info = supertile_columns(sf.key_sorted, valid_s, sf.starts, cfg,
+                                  interpret)
     ovf = cols_info.overflow + sf.starts_overflow
     xyz = (sf.x, sf.y, sf.z)
     raw_rho = density_pallas(xyz, sf.key_sorted, cols_info, cfg, interpret=interpret)

@@ -244,19 +244,28 @@ def _rank_left(key_s, queries):
     return out[:nq]
 
 
-def _resolve_starts(key_s, starts, queries, cfg: SimConfig):
+def _resolve_starts(key_s, starts, queries, cfg: SimConfig,
+                    interpret: bool = False):
     """Resolve a list of starts-table index arrays in ONE batched lookup:
-    the rank-sort path (pallas_rank_prep) or plain gathers. Results are
-    exactly equal (integer ranks)."""
+    the query-rank Pallas kernel (pallas_query_rank), the rank-sort path
+    (pallas_rank_prep), or plain gathers. Results are exactly equal
+    (integer ranks). Returns (resolved list, int32 overflow — nonzero only
+    on the kernel path when a program's key span exceeded
+    pallas_qrank_kcap; drivers regrow)."""
+    zero = jnp.int32(0)
     if not cfg.pallas_rank_prep:
-        return [starts[q] for q in queries]
+        return [starts[q] for q in queries], zero
     flat = jnp.concatenate([q.reshape(-1) for q in queries])
-    r = _rank_left(key_s, flat)
+    if cfg.pallas_query_rank:
+        from tpusph.pallas.qrank import rank_queries_pallas
+        r, ovf = rank_queries_pallas(key_s, flat, cfg, interpret=interpret)
+    else:
+        r, ovf = _rank_left(key_s, flat), zero
     out, o = [], 0
     for q in queries:
         out.append(r[o : o + q.size].reshape(q.shape))
         o += q.size
-    return out
+    return out, ovf
 
 
 def _geom_ranges(kmin, kmax, starts, cfg: SimConfig, geom):
@@ -511,9 +520,12 @@ def _make_tables(cfg: SimConfig, g: int, i, refs=None, rec_smem=None,
     }
 
 
-def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
+def supertile_columns(
+    key_s, valid_s, starts, cfg: SimConfig, interpret: bool = False
+) -> TileColumns:
     if cfg.pallas_stencil == "hybrid":
-        return _supertile_columns_hybrid(key_s, valid_s, starts, cfg)
+        return _supertile_columns_hybrid(key_s, valid_s, starts, cfg,
+                                         interpret)
     pt, g = effective_geometry(key_s.shape[0], cfg)
     cap = cfg.pallas_col_capacity
     c = cfg.num_cells_per_dim
@@ -527,12 +539,18 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
     sub_lo, sub_hi = _geom_queries(kmin, kmax, cfg, geom)
     sup_lo, sup_hi = _geom_queries(skmin, skmax, cfg, geom)
     prev_i, next_i = _fast_queries(kmin, kmax, cfg, geom, period)
-    sub_s, sub_e, sup_s, sup_e, prev_end, next_start = _resolve_starts(
-        key_s, starts, [sub_lo, sub_hi, sup_lo, sup_hi, prev_i, next_i], cfg
+    (sub_s, sub_e, sup_s, sup_e, prev_end, next_start), rq_ovf = (
+        _resolve_starts(
+            key_s, starts,
+            [sub_lo, sub_hi, sup_lo, sup_hi, prev_i, next_i], cfg,
+            interpret,
+        )
     )
     sub_start, sub_cnt, _ = _geom_finish(sub_s, sub_e, cfg)
     sup_start, sup_cnt, _ = _geom_finish(sup_s, sup_e, cfg)
-    overflow = jnp.sum(jnp.maximum(sup_cnt - cap, 0)).astype(jnp.int32)
+    overflow = rq_ovf + jnp.sum(jnp.maximum(sup_cnt - cap, 0)).astype(
+        jnp.int32
+    )
     sub_base = sub_start - jnp.repeat(sup_start, g, axis=0)  # ≥0, 128-aligned
     sub_cnt, excess = _clamp_sub(sub_base, sub_cnt, cfg)
     overflow = overflow + jnp.sum(excess).astype(jnp.int32)
@@ -575,7 +593,8 @@ def supertile_columns(key_s, valid_s, starts, cfg: SimConfig) -> TileColumns:
     return cols
 
 
-def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
+def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig,
+                              interpret: bool = False):
     """Hybrid stencil prep: super-tiles always DMA the 3 slab windows (a dz
     slab covers all 9 of its plane's columns), and each SUB-tile picks the
     cheaper scan layout by measured block count:
@@ -612,13 +631,15 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig):
     (
         sup_s, sup_e, slab_s, slab_e, col_s, col_e,
         sprev_end, snext_start, cprev_end, cnext_start,
-    ) = _resolve_starts(
+    ), rq_ovf = _resolve_starts(
         key_s, starts,
         [sup_lo, sup_hi, slab_lo, slab_hi, col_lo, col_hi,
-         sprev_i, snext_i, cprev_i, cnext_i], cfg,
+         sprev_i, snext_i, cprev_i, cnext_i], cfg, interpret,
     )
     sup_start, sup_cnt, _ = _geom_finish(sup_s, sup_e, cfg)
-    overflow = jnp.sum(jnp.maximum(sup_cnt - cap, 0)).astype(jnp.int32)
+    overflow = rq_ovf + jnp.sum(jnp.maximum(sup_cnt - cap, 0)).astype(
+        jnp.int32
+    )
 
     slab_start, slab_cnt, slab_lead = _geom_finish(slab_s, slab_e, cfg)
     col_start, col_cnt, col_lead = _geom_finish(col_s, col_e, cfg)
