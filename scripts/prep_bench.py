@@ -75,6 +75,15 @@ def main():
     from bench import config_overrides
 
     cfg = default_config(n, **config_overrides(n, os.environ))
+    import dataclasses
+    if os.environ.get("TPUSPH_QRANK_KCAP"):
+        cfg = dataclasses.replace(
+            cfg, pallas_qrank_kcap=int(os.environ["TPUSPH_QRANK_KCAP"])
+        )
+    if os.environ.get("TPUSPH_QRANK_CHUNKS"):
+        cfg = dataclasses.replace(
+            cfg, pallas_qrank_chunks=int(os.environ["TPUSPH_QRANK_CHUNKS"])
+        )
     fs = fields_from_state(init_state(cfg))
 
     def advance(fs, k):
@@ -107,24 +116,30 @@ def main():
             z32 = z.astype(jnp.int32)
             return (a[0] + z32, a[1], a[2] + z32)
 
-        t = {}
-        t["prep"] = slope_bench(
-            lambda k, v, s: supertile_columns(k, v, s, cfg),
-            inj, key_s, valid_s, starts,
-        )
+        sel = os.environ.get("TPUSPH_PREP_VARIANTS", "").split(",")
+        want = lambda name: not sel or not sel[0] or name in sel
 
-        t["gathers"] = slope_bench(
-            lambda k, v, s: [s[jnp.stack([a, b])] for a, b in zip(
-                _queries(k, v, cfg)[::2], _queries(k, v, cfg)[1::2])],
-            inj, key_s, valid_s, starts,
-        )
+        t = {}
+        if want("prep"):
+            t["prep"] = slope_bench(
+                lambda k, v, s: supertile_columns(k, v, s, cfg),
+                inj, key_s, valid_s, starts,
+            )
+
+        if want("gathers"):
+            t["gathers"] = slope_bench(
+                lambda k, v, s: [s[jnp.stack([a, b])] for a, b in zip(
+                    _queries(k, v, cfg)[::2], _queries(k, v, cfg)[1::2])],
+                inj, key_s, valid_s, starts,
+            )
 
         def gather1(k, v, s):
             qs = _queries(k, v, cfg)
             flat = jnp.concatenate([q.reshape(-1) for q in qs])
             return s[flat]
 
-        t["gather1"] = slope_bench(gather1, inj, key_s, valid_s, starts)
+        if want("gather1"):
+            t["gather1"] = slope_bench(gather1, inj, key_s, valid_s, starts)
 
         def ranksort(k, v, s):
             # rank_left(key_sorted, q) == starts[q] without touching starts:
@@ -152,7 +167,9 @@ def main():
             )
             return r2[:nq]
 
-        t["ranksort"] = slope_bench(ranksort, inj, key_s, valid_s, starts)
+        if want("ranksort"):
+            t["ranksort"] = slope_bench(
+                ranksort, inj, key_s, valid_s, starts)
 
         def sorted1(k, v, s):
             qs = _queries(k, v, cfg)
@@ -164,7 +181,8 @@ def main():
             ])
             return jax.lax.sort((vals, idx), num_keys=1, is_stable=True)
 
-        t["sorted1"] = slope_bench(sorted1, inj, key_s, valid_s, starts)
+        if want("sorted1"):
+            t["sorted1"] = slope_bench(sorted1, inj, key_s, valid_s, starts)
 
         def qrank(k, v, s):
             # Pallas query-rank kernel: sort only the Q queries, rank the
@@ -176,11 +194,12 @@ def main():
             ranks, ov = rank_queries_pallas(k, flat, cfg)
             return ranks, ov
 
-        t["qrank"] = slope_bench(qrank, inj, key_s, valid_s, starts)
-        _, ov = jax.jit(qrank)(key_s, valid_s, starts)
-        print(f"  qrank overflow={int(ov)} "
-              f"(kcap={cfg.pallas_qrank_kcap} chunks/prog="
-              f"{cfg.pallas_qrank_chunks})", flush=True)
+        if want("qrank"):
+            t["qrank"] = slope_bench(qrank, inj, key_s, valid_s, starts)
+            _, ov = jax.jit(qrank)(key_s, valid_s, starts)
+            print(f"  qrank overflow={int(ov)} "
+                  f"(kcap={cfg.pallas_qrank_kcap} chunks/prog="
+                  f"{cfg.pallas_qrank_chunks})", flush=True)
 
         def qsort_only(k, v, s):
             # floor: the two Q-only payload sorts of the qrank path
@@ -192,7 +211,9 @@ def main():
             )
             return jax.lax.sort((qi, qv), num_keys=1, is_stable=True)
 
-        t["qsort"] = slope_bench(qsort_only, inj, key_s, valid_s, starts)
+        if want("qsort"):
+            t["qsort"] = slope_bench(
+                qsort_only, inj, key_s, valid_s, starts)
 
         nq = sum(q.size for q in _queries(key_s, valid_s, cfg))
         parts = "  ".join(f"{k_}={v*1e3:7.3f}" for k_, v in t.items())

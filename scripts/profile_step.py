@@ -64,13 +64,19 @@ def slope_bench(fn, inject, *args, reps=4):
 
         return run
 
+    import os
+    dbg = os.environ.get("TPUSPH_SLOPE_DEBUG")
     times = {}
     for k in (1, K):
         run = chained(k)
+        if dbg:
+            print(f"    [slope] k={k} warmup", flush=True)
         out = run(*args)
         fence(out)
         ts = []
-        for _ in range(reps):
+        for r in range(reps):
+            if dbg:
+                print(f"    [slope] k={k} rep={r}", flush=True)
             t0 = time.perf_counter()
             out = run(*args)
             fence(out)

@@ -20,15 +20,20 @@ NEGATIVE):
   1. Sort the Q queries by value with an index payload (2-lane lax.sort of
      Q — cheap: Q ≈ 0.2–0.3·N and this stack's payload sort is fast).
   2. Cut the sorted queries into CHUNKS of 64 consecutive values. Coarse
-     chunk-edge ranks come from one small `jnp.searchsorted` (nchunk+1
-     queries — microseconds). Chunk c's fine ranks then only depend on
-     the keys in [edge_rank[c], edge_rank[c+1]) — because chunks are
-     consecutive IN VALUE, the per-chunk key spans partition the keys, so
-     total compare work is 64·N pair-lanes (the table kernel's strided
-     chunks each spanned the whole table range → chunk·N work).
-  3. S chunks share one grid program and ONE double-buffered key-slice DMA
-     (their spans are consecutive → the union is one slice). This
-     amortizes the ~2.4 µs/program overhead that dominated `starts.py`.
+     chunk-edge rank bounds come from one fused outer-compare of the edge
+     queries against the 256-subsampled keys (`jnp.searchsorted` would
+     cost ~log2(N) GATHERS per edge — gather cost scales with index count
+     on this stack, ~5 ms at 1M). Chunk c's fine ranks then only depend
+     on keys in [bound(c), bound(c+1)) — because chunks are consecutive
+     IN VALUE, the per-chunk key spans partition the keys, so total
+     compare work is 64·N pair-lanes (the table kernel's strided chunks
+     each spanned the whole table range → chunk·N work).
+  3. S chunks share one grid program; the program's union key span is
+     covered by TWO consecutive kcap-sized blocks of the padded key
+     array, selected per program through the scalar-prefetch index map —
+     Mosaic double-buffers these automatically across the grid (the
+     hand-rolled make_async_copy variant of this kernel raced under
+     lax.scan chains — INVALID_ARGUMENT on reruns — and is gone).
   4. The compare is completely MASK-FREE (2 VPU ops/pair): the key buffer
      in HBM is padded with KEY_BIG ≥ every query, and sortedness makes
      out-of-chunk lanes self-masking — keys below the chunk's aligned
@@ -41,9 +46,10 @@ NEGATIVE):
      sorted queries (and the inverse for the ranks).
   6. Unpermute by one more 2-lane payload sort on the saved query index.
 
-Capacity: a program's union key span beyond `kcap` is detected host-side
-(returned overflow count; drivers regrow and re-trace) — never silently
-misranked.
+Capacity: a program whose union key span exceeds the 2·kcap block window
+is detected host-side (returned overflow count; in-kernel scans are
+clamped to the window so they never read out of bounds; drivers regrow
+and re-trace) — never silently misranked.
 """
 
 from __future__ import annotations
@@ -62,55 +68,30 @@ QS = 64  # queries per chunk (one per sublane of the compare)
 
 
 def _qrank_kernel(
-    c_aligned_ref, c_nblk_ref, p_aligned_ref, p_parts_ref,
-    khbm, qin_ref, out_ref, kbuf, sem,
+    c_off_ref, c_nblk_ref, c_base_ref, p_blk_ref,
+    k0_ref, k1_ref, qin_ref, out_ref,
     *, S, bl, kcap,
 ):
     p = pl.program_id(0)
-    nprog = pl.num_programs(0)
-    part = kcap // 4
+    half = kcap // bl  # blocks per key window half
 
-    def get_dma(prog, i):
-        return pltpu.make_async_copy(
-            khbm.at[:, pl.ds(
-                pl.multiple_of(p_aligned_ref[prog] + i * part, 128), part
-            )],
-            kbuf.at[prog % 2, :, pl.ds(i * part, part)],
-            sem.at[prog % 2, i],
-        )
-
-    def start_all(prog):
-        parts = p_parts_ref[prog].astype(jnp.int32)
-        for i in range(4):
-            @pl.when((i == 0) | (parts > i))
-            def _():
-                get_dma(prog, i).start()
-
-    @pl.when(p == 0)
-    def _():
-        start_all(0)
-
-    @pl.when(p + 1 < nprog)
-    def _():
-        start_all(p + 1)
-
-    parts = p_parts_ref[p].astype(jnp.int32)
-    for i in range(4):
-        @pl.when((i == 0) | (parts > i))
-        def _():
-            get_dma(p, i).wait()
-
-    slot = p % 2
-    pa = p_aligned_ref[p].astype(jnp.int32)
     for s in range(S):
         g = p * S + s
-        ca = c_aligned_ref[g].astype(jnp.int32)
+        base = c_base_ref[g].astype(jnp.int32)
         nblk = c_nblk_ref[g].astype(jnp.int32)
-        off = pl.multiple_of(ca - pa, bl)
+        off_blk = c_off_ref[g].astype(jnp.int32)  # block units in-window
         q = qin_ref[0, :, s : s + 1]  # (QS, 1) consecutive sorted queries
 
-        def blk(b, acc, q=q, off=off):
-            kv = kbuf[slot, 0, pl.ds(off + b * bl, bl)][None, :]  # (1, bl)
+        def blk(b, acc, q=q, off_blk=off_blk):
+            i = off_blk + b
+            # window = two consecutive kcap blocks; load the candidate
+            # position in each half and lane-select (branchless — Mosaic
+            # conds per block would cost more than the ~40 ns extra load)
+            i0 = jnp.minimum(i, half - 1)
+            i1 = jnp.clip(i - half, 0, half - 1)
+            kv0 = k0_ref[0, pl.ds(pl.multiple_of(i0 * bl, bl), bl)]
+            kv1 = k1_ref[0, pl.ds(pl.multiple_of(i1 * bl, bl), bl)]
+            kv = jnp.where(i < half, kv0, kv1)[None, :]  # (1, bl)
             # mask-free: lanes beyond this chunk's edge hold keys (or
             # KEY_BIG padding) >= every q in the chunk -> compare false
             return acc + jnp.where(kv < q, 1.0, 0.0)
@@ -119,8 +100,8 @@ def _qrank_kernel(
             0, nblk, blk, jnp.zeros((QS, bl), jnp.float32)
         )
         # keys below the chunk's aligned start are < every q in the chunk:
-        # counted via the base `ca` instead of scanning them
-        out_ref[0, :, s : s + 1] = ca + jnp.sum(
+        # counted via the base instead of scanning them
+        out_ref[0, :, s : s + 1] = base + jnp.sum(
             acc, axis=1, keepdims=True
         ).astype(jnp.int32)
 
@@ -131,14 +112,14 @@ def rank_queries_pallas(
 ):
     """ranks[i] = #{keys < queries[i]} as int32[Q], from SORTED keys and an
     arbitrary flat int32 query array. Returns (ranks, overflow): overflow
-    > 0 means some program's key span exceeded pallas_qrank_kcap (drivers
-    regrow and re-trace)."""
+    > 0 means some program's key span exceeded its 2·pallas_qrank_kcap
+    block window (drivers regrow and re-trace)."""
     n = key_sorted.shape[0]
     nq = queries.shape[0]
     S = cfg.pallas_qrank_chunks
     kcap = cfg.pallas_qrank_kcap
     bl = 256
-    assert kcap % (4 * bl) == 0
+    assert kcap % bl == 0
 
     # 1. sort queries by value, remember the origin index
     qv, qi = jax.lax.sort(
@@ -154,14 +135,12 @@ def rank_queries_pallas(
     qv_p = jnp.concatenate([qv, jnp.broadcast_to(qv[-1:], (npad,))])
 
     # 2. coarse chunk-edge rank BOUNDS, gather-free: one fused
-    # outer-compare of the edge queries against the bl-subsampled keys
-    # (jnp.searchsorted would cost ~log2(N) gathers per edge — ~5 ms at
-    # 1M; gather cost scales with the index count on this stack). ss[j]
-    # is the LAST key of key block j, so cnt = #{ss < q} bounds rank(q)
-    # in [bl·cnt, bl·(cnt+1)): keys before block cnt are < q, keys from
-    # block cnt+1 on are ≥ ss[cnt] ≥ q. The kernel stays EXACT on these
-    # bounds — lanes below the aligned base are counted via the base,
-    # lanes at/after the end bound self-mask (kv ≥ q compares false).
+    # outer-compare of the edge queries against the bl-subsampled keys.
+    # ss[j] is the LAST key of key block j, so cnt = #{ss < q} bounds
+    # rank(q) in [bl·cnt, bl·(cnt+1)): keys before block cnt are < q,
+    # keys from block cnt+1 on are ≥ ss[cnt] ≥ q. The kernel stays EXACT
+    # on these bounds — lanes below the aligned base are counted via the
+    # base, lanes at/after the end bound self-mask (kv ≥ q is false).
     nchunk = nprog * S
     edge_q = jnp.concatenate([qv_p[:: QS], qv_p[-1:]])  # (nchunk + 1,)
     m = n // bl
@@ -171,41 +150,53 @@ def rank_queries_pallas(
     )
     c_aligned = cnt[:-1] * bl
     c_end = (cnt[1:] + 1) * bl  # scan may run into the KEY_BIG padding
-    c_nblk = (c_end - c_aligned) // bl
 
-    p_aligned = c_aligned[:: S]  # (nprog,)
-    p_need = c_end[S - 1 :: S] - p_aligned
-    p_parts = -(-p_need // (kcap // 4))
-    overflow = jnp.sum(jnp.maximum(p_need - kcap, 0)).astype(jnp.int32)
+    # per-program key window: two consecutive kcap blocks of the padded
+    # key array, starting at the block containing the first chunk's base
+    p_blk = c_aligned[:: S] // kcap  # (nprog,)
+    win_start = p_blk * kcap
+    win_end = win_start + 2 * kcap
+    overflow = jnp.sum(
+        jnp.maximum(c_end[S - 1 :: S] - win_end, 0)
+    ).astype(jnp.int32)
+    # an overflowing program must never scan past its window: clamp each
+    # chunk's scan to the window end (ranks go wrong there, but the
+    # overflow count above makes the driver regrow and re-trace)
+    we = jnp.repeat(win_end, S)
+    lo = jnp.minimum(c_aligned, we)
+    c_nblk = (jnp.minimum(c_end, we) - lo) // bl
+    c_off = (lo - jnp.repeat(win_start, S)) // bl  # in-window block offset
 
     # 3. queries one-per-sublane: (nprog, S, QS) -> (nprog, QS, S)
     qin = qv_p.reshape(nprog, S, QS).transpose(0, 2, 1)
 
-    # pad keys so every (aligned + kcap) slice stays in bounds; KEY_BIG
-    # >= every query, so padded lanes never count
+    # pad keys so every 2·kcap window stays in bounds; KEY_BIG ≥ every
+    # query, so padded lanes never count
+    pad = (-(n) % kcap) + 2 * kcap
     khbm = jnp.concatenate(
-        [key_sorted, jnp.full((kcap,), KEY_BIG, jnp.int32)]
+        [key_sorted, jnp.full((pad,), KEY_BIG, jnp.int32)]
     )[None, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nprog,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1, kcap), lambda i, co, cn, cb, pb: (0, pb[i])
+            ),
+            pl.BlockSpec(
+                (1, kcap), lambda i, co, cn, cb, pb: (0, pb[i] + 1)
+            ),
             pl.BlockSpec((1, QS, S), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, QS, S), lambda i, *_: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, 1, kcap), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 4)),
-        ],
     )
     out = pl.pallas_call(
         functools.partial(_qrank_kernel, S=S, bl=bl, kcap=kcap),
         out_shape=jax.ShapeDtypeStruct((nprog, QS, S), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(c_aligned, c_nblk, p_aligned, p_parts, khbm, qin)
+    )(c_off, c_nblk, c_aligned, p_blk, khbm, khbm, qin)
 
     # 4. undo the sublane layout and the value sort
     ranks_sorted = out.transpose(0, 2, 1).reshape(nprog * per_prog)[:nq]
