@@ -463,8 +463,9 @@ def test_rank_queries_pallas_exact():
     )
     # nq >> n/kcap so per-program key spans stay under kcap (a sparse
     # query set over a huge key array is a legitimate capacity miss —
-    # covered by the overflow case below)
-    for n, nq in ((3000, 700), (512, 2500), (4096, 900)):
+    # covered by the overflow case below). n % 256 == 0 per the kernel's
+    # contract (production sorted fields are tile-padded).
+    for n, nq in ((3072, 700), (512, 2500), (4096, 900)):
         keys = np.sort(rng.integers(0, 900, n)).astype(np.int32)
         qs = rng.integers(0, 902, nq).astype(np.int32)
         ranks, ovf = rank_queries_pallas(
@@ -474,13 +475,24 @@ def test_rank_queries_pallas_exact():
         np.testing.assert_array_equal(
             np.asarray(ranks), np.searchsorted(keys, qs, side="left")
         )
+    # windows strictly interior to the array (n >> 2*kcap): exercises the
+    # clamped window start + in-window block offsets
+    small = dataclasses.replace(cfg, pallas_qrank_kcap=1024)
+    keys = np.sort(rng.integers(0, 900, 8192)).astype(np.int32)
+    qs = rng.integers(0, 902, 4096).astype(np.int32)
+    ranks, ovf = rank_queries_pallas(
+        jnp.asarray(keys), jnp.asarray(qs), small, interpret=True
+    )
+    assert int(ovf) == 0
+    np.testing.assert_array_equal(
+        np.asarray(ranks), np.searchsorted(keys, qs, side="left")
+    )
     # all keys equal and queries straddling them: one program's span is the
     # whole key array -> must report overflow, not misrank silently
-    tiny = dataclasses.replace(cfg, pallas_qrank_kcap=1024)
-    keys = np.full(3000, 50, np.int32)
+    keys = np.full(3072, 50, np.int32)
     qs = np.array([0, 51] * 40, np.int32)
     _, ovf = rank_queries_pallas(
-        jnp.asarray(keys), jnp.asarray(qs), tiny, interpret=True
+        jnp.asarray(keys), jnp.asarray(qs), small, interpret=True
     )
     assert int(ovf) > 0
 

@@ -256,7 +256,9 @@ def _resolve_starts(key_s, starts, queries, cfg: SimConfig,
     if not cfg.pallas_rank_prep:
         return [starts[q] for q in queries], zero
     flat = jnp.concatenate([q.reshape(-1) for q in queries])
-    if cfg.pallas_query_rank:
+    if cfg.pallas_query_rank and key_s.shape[0] % 256 == 0:
+        # (the % 256 gate is the qrank kernel's key-padding contract;
+        # production sorted fields always satisfy it)
         from tpusph.pallas.qrank import rank_queries_pallas
         r, ovf = rank_queries_pallas(key_s, flat, cfg, interpret=interpret)
     else:

@@ -29,27 +29,49 @@ NEGATIVE):
      compare work is 64·N pair-lanes (the table kernel's strided chunks
      each spanned the whole table range → chunk·N work).
   3. S chunks share one grid program; the program's union key span is
-     covered by TWO consecutive kcap-sized blocks of the padded key
-     array, selected per program through the scalar-prefetch index map —
-     Mosaic double-buffers these automatically across the grid (the
-     hand-rolled make_async_copy variant of this kernel raced under
-     lax.scan chains — INVALID_ARGUMENT on reruns — and is gone).
-  4. The compare is completely MASK-FREE (2 VPU ops/pair): the key buffer
-     in HBM is padded with KEY_BIG ≥ every query, and sortedness makes
-     out-of-chunk lanes self-masking — keys below the chunk's aligned
-     start are < every query in the chunk (counted via the aligned base
-     instead of a lead mask), keys at/after the next chunk edge are
-     ≥ every query in the chunk (compare false on its own).
+     covered by a W = 2·kcap window of key rows GATHERED host-side (one
+     row-granular XLA take of 256/1024-lane rows straight out of
+     key_sorted, ~tens of µs) into a (nprog, W) array the kernel walks
+     with a static program-id block map — Mosaic double-buffers these
+     blocks automatically across the grid.
+
+     HARD-WON STABILITY NOTE (exact bisect, scripts history r3): three
+     window plumbings crashed on-device with a flaky INVALID_ARGUMENT on
+     the SECOND run of a lax.scan executable when a different executable
+     had run first: hand-rolled make_async_copy, data-dependent
+     scalar-prefetch block index maps, and gathers out of a PADDED key
+     copy. Stubbing the pallas_call with pure-XLA emulation still
+     crashed; stripping the glue piece by piece isolated the trigger to
+     CONSTRUCTING THE PADDED KEY ARRAY inside the scan body — both
+     jnp.concatenate([key_sorted, full(pad)]) and
+     full(n+pad).at[:n].set(key_sorted) crash, with or without any
+     gather/pallas downstream, while the identical program minus that
+     array runs clean (an XLA:TPU/runtime bug on this stack, not a
+     Mosaic or kernel bug). Therefore: NEVER build a padded copy of the
+     sorted keys inside the step — the window gather below reads
+     key_sorted directly, and window starts are CLAMPED into the real
+     array instead of padding past its end.
+  4. The compare is completely MASK-FREE (2 VPU ops/pair): sortedness
+     makes out-of-chunk lanes self-masking — keys below the chunk's
+     aligned start are < every query in the chunk (counted via the
+     aligned base instead of a lead mask), keys at/after the next chunk
+     edge are ≥ every query in the chunk (compare false on its own).
+     Scans are clamped to the window (and the window to the array), so
+     no lane past the real keys is ever read — no pad value needed.
   5. Queries live one-per-SUBLANE, keys stream through LANES: chunk s of
      a program is the (64, 1) column `qin[0, :, s]`, so the host-side
      layout is one (nprog, S, 64) → (nprog, 64, S) transpose of the
      sorted queries (and the inverse for the ranks).
   6. Unpermute by one more 2-lane payload sort on the saved query index.
 
-Capacity: a program whose union key span exceeds the 2·kcap block window
-is detected host-side (returned overflow count; in-kernel scans are
-clamped to the window so they never read out of bounds; drivers regrow
-and re-trace) — never silently misranked.
+Capacity: a program whose union key span exceeds the W-lane window is
+detected host-side (returned overflow count; in-kernel scans are clamped
+to the window so they never read out of bounds; drivers regrow and
+re-trace) — never silently misranked.
+
+Contract: len(key_sorted) must be a multiple of 256 (production sorted
+fields are padded to tile×group ≥ 256 lanes; `_resolve_starts` falls back
+to the rank-sort path otherwise).
 """
 
 from __future__ import annotations
@@ -63,17 +85,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpusph.core.config import SimConfig
 
-KEY_BIG = jnp.int32(2**30)  # padding key: larger than any query
 QS = 64  # queries per chunk (one per sublane of the compare)
 
 
 def _qrank_kernel(
-    c_off_ref, c_nblk_ref, c_base_ref, p_blk_ref,
-    k0_ref, k1_ref, qin_ref, out_ref,
-    *, S, bl, kcap,
+    c_off_ref, c_nblk_ref, c_base_ref,
+    kwin_ref, qin_ref, out_ref,
+    *, S, bl,
 ):
     p = pl.program_id(0)
-    half = kcap // bl  # blocks per key window half
 
     for s in range(S):
         g = p * S + s
@@ -84,16 +104,10 @@ def _qrank_kernel(
 
         def blk(b, acc, q=q, off_blk=off_blk):
             i = off_blk + b
-            # window = two consecutive kcap blocks; load the candidate
-            # position in each half and lane-select (branchless — Mosaic
-            # conds per block would cost more than the ~40 ns extra load)
-            i0 = jnp.minimum(i, half - 1)
-            i1 = jnp.clip(i - half, 0, half - 1)
-            kv0 = k0_ref[0, pl.ds(pl.multiple_of(i0 * bl, bl), bl)]
-            kv1 = k1_ref[0, pl.ds(pl.multiple_of(i1 * bl, bl), bl)]
-            kv = jnp.where(i < half, kv0, kv1)[None, :]  # (1, bl)
-            # mask-free: lanes beyond this chunk's edge hold keys (or
-            # KEY_BIG padding) >= every q in the chunk -> compare false
+            # window = this program's gathered key row; one load per block
+            kv = kwin_ref[0, pl.ds(pl.multiple_of(i * bl, bl), bl)][None, :]
+            # mask-free: lanes beyond this chunk's edge hold keys >= every
+            # q in the chunk -> compare false on its own
             return acc + jnp.where(kv < q, 1.0, 0.0)
 
         acc = jax.lax.fori_loop(
@@ -113,13 +127,13 @@ def rank_queries_pallas(
     """ranks[i] = #{keys < queries[i]} as int32[Q], from SORTED keys and an
     arbitrary flat int32 query array. Returns (ranks, overflow): overflow
     > 0 means some program's key span exceeded its 2·pallas_qrank_kcap
-    block window (drivers regrow and re-trace)."""
+    window (drivers regrow and re-trace). len(key_sorted) % 256 == 0."""
     n = key_sorted.shape[0]
     nq = queries.shape[0]
     S = cfg.pallas_qrank_chunks
     kcap = cfg.pallas_qrank_kcap
     bl = 256
-    assert kcap % bl == 0
+    assert n % bl == 0, "qrank needs 256-lane-padded keys (see module doc)"
 
     # 1. sort queries by value, remember the origin index
     qv, qi = jax.lax.sort(
@@ -144,18 +158,29 @@ def rank_queries_pallas(
     nchunk = nprog * S
     edge_q = jnp.concatenate([qv_p[:: QS], qv_p[-1:]])  # (nchunk + 1,)
     m = n // bl
-    ss = key_sorted[bl - 1 : m * bl : bl]
+    ss = key_sorted[bl - 1 :: bl]  # (m,) last key of each block
     cnt = jnp.sum(
         ss[None, :] < edge_q[:, None], axis=1, dtype=jnp.int32
     )
     c_aligned = cnt[:-1] * bl
-    c_end = (cnt[1:] + 1) * bl  # scan may run into the KEY_BIG padding
+    c_end = (cnt[1:] + 1) * bl  # may exceed n by one block; clamped below
 
-    # per-program key window: two consecutive kcap blocks of the padded
-    # key array, starting at the block containing the first chunk's base
-    p_blk = c_aligned[:: S] // kcap  # (nprog,)
-    win_start = p_blk * kcap
-    win_end = win_start + 2 * kcap
+    # per-program key window: W consecutive lanes of key_sorted itself
+    # (NO padded copy — see the stability note in the module docstring),
+    # gathered at R-lane row granularity with the start clamped so the
+    # window never leaves the array. R must be a multiple of bl so
+    # window starts stay block-aligned.
+    R = 1024 if n % 1024 == 0 else bl
+    nrows = n // R
+    wrows = min(2 * kcap // R, nrows)
+    W = wrows * R  # static window width (== whole array when n ≤ 2·kcap)
+    p_row = jnp.minimum(c_aligned[:: S] // R, nrows - wrows)  # (nprog,)
+    win_start = p_row * R
+    win_end = win_start + W
+    # c_end is capped at n (the real array) before the overflow test: the
+    # lanes past n the "+1 block" could ask for don't exist, and a window
+    # ending at n has, by construction, every key ≥ its start available
+    c_end = jnp.minimum(c_end, n)
     overflow = jnp.sum(
         jnp.maximum(c_end[S - 1 :: S] - win_end, 0)
     ).astype(jnp.int32)
@@ -170,33 +195,29 @@ def rank_queries_pallas(
     # 3. queries one-per-sublane: (nprog, S, QS) -> (nprog, QS, S)
     qin = qv_p.reshape(nprog, S, QS).transpose(0, 2, 1)
 
-    # pad keys so every 2·kcap window stays in bounds; KEY_BIG ≥ every
-    # query, so padded lanes never count
-    pad = (-(n) % kcap) + 2 * kcap
-    khbm = jnp.concatenate(
-        [key_sorted, jnp.full((pad,), KEY_BIG, jnp.int32)]
-    )[None, :]
+    # window gather: one row-granular take straight out of key_sorted.
+    # Flattened to (1, nprog·W): Mosaic requires the block's sublane dim
+    # to divide 8 or equal the array's — (1, W) blocks of a (1, ·) array
+    # qualify, (1, W) blocks of an (nprog, W) array do not.
+    kb = key_sorted.reshape(nrows, R)
+    idx = p_row[:, None] + jnp.arange(wrows, dtype=jnp.int32)[None, :]
+    kwin = kb[idx].reshape(1, nprog * W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(nprog,),
         in_specs=[
-            pl.BlockSpec(
-                (1, kcap), lambda i, co, cn, cb, pb: (0, pb[i])
-            ),
-            pl.BlockSpec(
-                (1, kcap), lambda i, co, cn, cb, pb: (0, pb[i] + 1)
-            ),
+            pl.BlockSpec((1, W), lambda i, *_: (0, i)),
             pl.BlockSpec((1, QS, S), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, QS, S), lambda i, *_: (i, 0, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_qrank_kernel, S=S, bl=bl, kcap=kcap),
+        functools.partial(_qrank_kernel, S=S, bl=bl),
         out_shape=jax.ShapeDtypeStruct((nprog, QS, S), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(c_off, c_nblk, c_aligned, p_blk, khbm, khbm, qin)
+    )(c_off, c_nblk, c_aligned, kwin, qin)
 
     # 4. undo the sublane layout and the value sort
     ranks_sorted = out.transpose(0, 2, 1).reshape(nprog * per_prog)[:nq]
