@@ -191,7 +191,11 @@ class SimConfig:
     # pair-lanes. Only active when pallas_rank_prep is also on. chunks =
     # 64-query chunks sharing one grid program + one double-buffered key
     # DMA; kcap = per-program key-slice capacity (overflow detected via
-    # StepAux, regrown). Integer-exact vs the sort path.
+    # StepAux, regrown). Integer-exact vs the sort path. Default off at
+    # the raw-config level (interpret-mode test cost); tuned_overrides
+    # turns it ON at every N — isolated prep 1.4→0.8 ms at 262k,
+    # 5.5→2.5 ms at 1M (scripts/prep_bench.py), full-step wins logged
+    # in tuned_overrides.
     pallas_query_rank: bool = False
     pallas_qrank_chunks: int = 16
     pallas_qrank_kcap: int = 16384
@@ -347,6 +351,7 @@ def tuned_overrides(num_particles: int) -> dict:
             "pallas_force_fold": True,
             "pallas_force_split": True,
             "pallas_stream_desc": True,
+            "pallas_query_rank": True,
         }
     if num_particles >= 1_000_000:
         # desc blocks stay at the small default — the dense per-tile SMEM
@@ -365,6 +370,10 @@ def tuned_overrides(num_particles: int) -> dict:
             # 1M A/B (scripts/desc_ab.py, MB=16): force 26.10→23.98 ms at
             # step 30, 39.28→36.42 at step 90; density neutral, parity OK
             "pallas_force_split": True,
+            # query-rank kernel over the prep lookups: prep 5.5→2.5 ms
+            # isolated, FULL-step A/B (scripts/step_ab.py) 42.79→40.66 ms
+            # at step 30 / 64.62→62.37 at step 90; bit-identical densities
+            "pallas_query_rank": True,
         }
     return {
         "pallas_desc": True,
@@ -375,6 +384,10 @@ def tuned_overrides(num_particles: int) -> dict:
         # split-target compute: two pt/2 halves share one candidate load
         # (262k force 5.34→5.01 ms step 60, 6.93→6.57 step 90; bit-identical)
         "pallas_force_split": True,
+        # query-rank kernel over the prep lookups (pallas/qrank.py): FULL
+        # step 7.91→7.08 ms at 262k step 0, 9.01→8.43 at 60, 11.07→10.38
+        # at 90 (scripts/step_ab.py; bit-identical densities, 0 overflow)
+        "pallas_query_rank": True,
     }
 
 
