@@ -32,6 +32,15 @@ VARIANTS = {
     "rank": {"pallas_rank_prep": True},
     # query-rank Pallas kernel over the prep lookups (pallas/qrank.py)
     "qrank": {"pallas_query_rank": True},
+    # bl=128 re-test under the round-3 desc/unroll/split machinery (the
+    # round-2c bl=128 negative predates all of it); fold below 128 lanes
+    # is pointless (VREG lane width), so test both fold settings
+    "bl128": {"pallas_query_rank": True, "pallas_block_lanes": 128},
+    "bl128nf": {
+        "pallas_query_rank": True,
+        "pallas_block_lanes": 128,
+        "pallas_force_fold": False,
+    },
 }
 
 

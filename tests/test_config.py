@@ -77,3 +77,16 @@ def test_tuned_config_presets_and_overrides():
     assert set(tuned_overrides(100)) <= {
         f.name for f in __import__("dataclasses").fields(small)
     }
+
+
+def test_tuned_presets_enable_query_rank_and_padding_satisfies_gate():
+    """Every tuned tier turns the query-rank kernel on, and the padded
+    particle count is always a multiple of 256 — the qrank kernel's
+    key-padding contract (_resolve_starts falls back to the rank-sort
+    path otherwise, so the preset would silently not apply)."""
+    from tpusph.core.config import tuned_config
+
+    for n in (1, 1000, 65536, 262_144, 1_048_576, 2_097_152):
+        cfg = tuned_config(n)
+        assert cfg.pallas_query_rank
+        assert cfg.padded_num_particles % 256 == 0
