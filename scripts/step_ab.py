@@ -41,6 +41,10 @@ VARIANTS = {
         "pallas_block_lanes": 128,
         "pallas_force_fold": False,
     },
+    # force split-factor sweep: smaller target slices per block shrink the
+    # live VREG temps (see config.pallas_force_split_factor)
+    "fs4": {"pallas_query_rank": True, "pallas_force_split_factor": 4},
+    "fs8": {"pallas_query_rank": True, "pallas_force_split_factor": 8},
 }
 
 

@@ -172,6 +172,12 @@ class SimConfig:
     # carry is kept as per-half triples so no concat re-widens it). Same
     # arithmetic lane count — a pure scheduling/VREG-pressure experiment.
     pallas_force_split: bool = False
+    # Number of sequential target slices per block when pallas_force_split
+    # is on (2 = the original halves). At (pt=64, bl=256) a single live
+    # temp is 16 VREGs; with ~8 temps + 24 VREGs of folded carry the
+    # kernel oversubscribes a 64-VREG file even at factor 2 — factor 4
+    # (hpt=16: 4 VREGs/temp) is the first size where temps + carry fit.
+    pallas_force_split_factor: int = 2
     # Prep starts-table lookups via the two-sort rank computation instead of
     # gathers: TPU gathers from the (num_cells+2,) table cost ~50 ns/element
     # (~2.5 ms at 262k, ~13.5 ms at 1M — the step's hidden "glue",
@@ -297,6 +303,14 @@ class SimConfig:
             )
         if self.pallas_qrank_chunks <= 0:
             raise ValueError("pallas_qrank_chunks must be positive")
+        if self.pallas_force_split_factor < 2 or (
+            self.pallas_force_split_factor & (self.pallas_force_split_factor - 1)
+        ):
+            raise ValueError(
+                "pallas_force_split_factor must be a power of two >= 2 "
+                "(target slices per block; pt/factor must stay >= 8 sublanes "
+                "— checked at kernel build)"
+            )
         if self.pallas_col_capacity % (2 * self.pallas_block_lanes):
             raise ValueError(
                 "pallas_col_capacity must be a multiple of "

@@ -1190,9 +1190,17 @@ def _force_kernel(*refs, cfg, geom):
             # carry fold: halve the loop-carried accumulator lanes (force is
             # VREG-pressure-bound; summation order change only)
             bl2 = bl // 2 if cfg.pallas_force_fold else bl
-            # split-target compute: two sequential pt/2 halves per block
-            # share one candidate load; halves the live (pt, bl) temps
-            hpt = pt // 2 if cfg.pallas_force_split else pt
+            # split-target compute: pallas_force_split_factor sequential
+            # target slices per block share one candidate load, dividing
+            # the live (pt, bl) temporary footprint by the factor
+            if cfg.pallas_force_split:
+                hpt = pt // cfg.pallas_force_split_factor
+                assert hpt >= 8, (
+                    "pallas_force_split_factor too large: pt/factor must "
+                    "be >= 8 sublanes"
+                )
+            else:
+                hpt = pt
             halves = range(0, pt, hpt)
             zero = jnp.zeros((hpt, bl2), jnp.float32)
             use_desc = fast and cfg.pallas_desc
@@ -1289,7 +1297,7 @@ def _force_kernel(*refs, cfg, geom):
             lambda: sub_force(True),
             lambda: sub_force(False),
         )
-        hpt = pt // 2 if cfg.pallas_force_split else pt
+        hpt = pt // cfg.pallas_force_split_factor if cfg.pallas_force_split else pt
         for hi, h0 in enumerate(range(0, pt, hpt)):
             f_ref[0, 0, sub, h0 : h0 + hpt] = jnp.sum(acc[3 * hi], axis=1)
             f_ref[1, 0, sub, h0 : h0 + hpt] = jnp.sum(acc[3 * hi + 1], axis=1)
