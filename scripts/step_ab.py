@@ -45,6 +45,9 @@ VARIANTS = {
     # live VREG temps (see config.pallas_force_split_factor)
     "fs4": {"pallas_query_rank": True, "pallas_force_split_factor": 4},
     "fs8": {"pallas_query_rank": True, "pallas_force_split_factor": 8},
+    # density split-target analog
+    "ds2": {"pallas_query_rank": True, "pallas_density_split": 2},
+    "ds4": {"pallas_query_rank": True, "pallas_density_split": 4},
 }
 
 

@@ -178,6 +178,11 @@ class SimConfig:
     # kernel oversubscribes a 64-VREG file even at factor 2 — factor 4
     # (hpt=16: 4 VREGs/temp) is the first size where temps + carry fit.
     pallas_force_split_factor: int = 2
+    # Density-kernel analog of the split-target experiment: number of
+    # sequential target slices per block (1 = off). The density block's
+    # live set (dx/dy/dz + the (pt, bl) carry) also brushes the VREG file
+    # at (64, 256).
+    pallas_density_split: int = 1
     # Prep starts-table lookups via the two-sort rank computation instead of
     # gathers: TPU gathers from the (num_cells+2,) table cost ~50 ns/element
     # (~2.5 ms at 262k, ~13.5 ms at 1M — the step's hidden "glue",
@@ -303,6 +308,12 @@ class SimConfig:
             )
         if self.pallas_qrank_chunks <= 0:
             raise ValueError("pallas_qrank_chunks must be positive")
+        if self.pallas_density_split < 1 or (
+            self.pallas_density_split & (self.pallas_density_split - 1)
+        ):
+            raise ValueError(
+                "pallas_density_split must be a power of two >= 1"
+            )
         if self.pallas_force_split_factor < 2 or (
             self.pallas_force_split_factor & (self.pallas_force_split_factor - 1)
         ):

@@ -994,7 +994,13 @@ def _density_kernel(*refs, cfg, geom):
             else:
                 starts_blk, rows, total = chain
 
-            def blk(b, acc):
+            # density split-target: ds sequential target slices per block
+            # share one candidate load (see config.pallas_density_split)
+            dpt = pt // cfg.pallas_density_split
+            assert dpt >= 8, "pallas_density_split too large (pt/ds < 8)"
+            dparts = range(0, pt, dpt)
+
+            def blk(b, carry):
                 if use_desc:
                     base = tb["dbase"](sub, b) * 128
                     sl = pl.ds(pl.multiple_of(base, 128), bl)
@@ -1012,35 +1018,44 @@ def _density_kernel(*refs, cfg, geom):
                 cx = cblk[0:1, :]
                 cy = cblk[1:2, :]
                 cz = cblk[2:3, :]
-                dx = tx - cx
-                dy = ty - cy
-                dz = tz - cz
-                r2 = dx * dx + dy * dy + dz * dz  # (PT, 128)
-                w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
-                w = w * w * w
-                if fast:
-                    # prep proved the key mask redundant for this sub
-                    # (window disjointness + lead-in/tail isolation): the
-                    # r ≤ h cutoff alone is exact, parked sentinel/pad
-                    # rows are ≥ 0.17 from any valid particle.
-                    return acc + w
-                # col9/slab3: no per-lane count check — alignment lead-in
-                # lanes carry keys below the accepted set, beyond-window
-                # lanes carry keys above it or KEY_PAD — the key mask
-                # rejects all.
-                ck = cblk[3:4, :]
-                keyhit = _key_mask(ck, tkey + off, kind, cfg)
-                if kind == "slab_ranged":
-                    # hybrid: the plane-wide slab mask cannot separate a
-                    # col window from its neighbors' lead-in/tail lanes —
-                    # bound lanes to the true range [lead, cnt) instead.
-                    li = local * bl + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, bl), 1
-                    )
-                    keyhit = keyhit & (li >= lead) & (li < cnt)
-                return acc + jnp.where(keyhit, w, 0.0)
+                if not fast:
+                    ck = cblk[3:4, :]
+                out = []
+                for di, d0 in enumerate(dparts):
+                    ts = slice(d0, d0 + dpt)
+                    dx = tx[ts] - cx
+                    dy = ty[ts] - cy
+                    dz = tz[ts] - cz
+                    r2 = dx * dx + dy * dy + dz * dz  # (dpt, bl)
+                    w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
+                    w = w * w * w
+                    if fast:
+                        # prep proved the key mask redundant for this sub
+                        # (window disjointness + lead-in/tail isolation):
+                        # the r ≤ h cutoff alone is exact, parked
+                        # sentinel/pad rows are ≥ 0.17 from any valid
+                        # particle.
+                        out.append(carry[di] + w)
+                        continue
+                    # col9/slab3: no per-lane count check — alignment
+                    # lead-in lanes carry keys below the accepted set,
+                    # beyond-window lanes carry keys above it or KEY_PAD —
+                    # the key mask rejects all.
+                    keyhit = _key_mask(ck, tkey[ts] + off, kind, cfg)
+                    if kind == "slab_ranged":
+                        # hybrid: the plane-wide slab mask cannot separate
+                        # a col window from its neighbors' lead-in/tail
+                        # lanes — bound lanes to the true range [lead, cnt)
+                        li = local * bl + jax.lax.broadcasted_iota(
+                            jnp.int32, (1, bl), 1
+                        )
+                        keyhit = keyhit & (li >= lead) & (li < cnt)
+                    out.append(carry[di] + jnp.where(keyhit, w, 0.0))
+                return tuple(out)
 
-            init = jnp.zeros((pt, bl), jnp.float32)
+            init = tuple(
+                jnp.zeros((dpt, bl), jnp.float32) for _ in dparts
+            )
             # dynamic trip count: dead capacity costs nothing
             if use_desc:
                 return _unrolled_fori(total, blk, init, cfg.pallas_desc_unroll)
@@ -1060,7 +1075,7 @@ def _density_kernel(*refs, cfg, geom):
         rho_ref[0, sub, :] = (
             jnp.float32(cfg.mass)
             * jnp.float32(cfg.d_kernel_coeff)
-            * jnp.sum(acc0, axis=1)
+            * jnp.concatenate([jnp.sum(a, axis=1) for a in acc0])
         )
 
 
