@@ -48,6 +48,17 @@ VARIANTS = {
     # density split-target analog
     "ds2": {"pallas_query_rank": True, "pallas_density_split": 2},
     "ds4": {"pallas_query_rank": True, "pallas_density_split": 4},
+    # u4 force unroll was VREG-blocked at hpt=32; retry at hpt=16
+    "fs4u4": {
+        "pallas_query_rank": True,
+        "pallas_force_split_factor": 4,
+        "pallas_desc_unroll_force": 4,
+    },
+    "fs4ds2": {
+        "pallas_query_rank": True,
+        "pallas_force_split_factor": 4,
+        "pallas_density_split": 2,
+    },
 }
 
 
