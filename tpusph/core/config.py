@@ -375,6 +375,7 @@ def tuned_overrides(num_particles: int) -> dict:
             "pallas_desc_unroll_force": 2,
             "pallas_force_fold": True,
             "pallas_force_split": True,
+            "pallas_force_split_factor": 4,
             "pallas_stream_desc": True,
             "pallas_query_rank": True,
         }
@@ -395,6 +396,9 @@ def tuned_overrides(num_particles: int) -> dict:
             # 1M A/B (scripts/desc_ab.py, MB=16): force 26.10→23.98 ms at
             # step 30, 39.28→36.42 at step 90; density neutral, parity OK
             "pallas_force_split": True,
+            # split factor 4 beats 2 on the full 1M trajectory too
+            # (21.26 vs 20.92 steps/s, scripts/traj_ab.py)
+            "pallas_force_split_factor": 4,
             # query-rank kernel over the prep lookups: prep 5.5→2.5 ms
             # isolated, FULL-step A/B (scripts/step_ab.py) 42.79→40.66 ms
             # at step 30 / 64.62→62.37 at step 90; bit-identical densities
@@ -406,9 +410,13 @@ def tuned_overrides(num_particles: int) -> dict:
         "pallas_desc_unroll": 4,
         "pallas_desc_unroll_force": 2,
         "pallas_force_fold": True,
-        # split-target compute: two pt/2 halves share one candidate load
-        # (262k force 5.34→5.01 ms step 60, 6.93→6.57 step 90; bit-identical)
+        # split-target compute: pt/4 target slices share one candidate load
+        # (halving was 262k force 5.34→5.01 ms step 60, 6.93→6.57 step 90;
+        # factor 4 beats 2 on the full 100-step trajectory: 118.45 vs
+        # 116.25 steps/s, scripts/traj_ab.py — factor 8 and the density
+        # analog measured negative, see CLAUDE.md; bit-identical)
         "pallas_force_split": True,
+        "pallas_force_split_factor": 4,
         # query-rank kernel over the prep lookups (pallas/qrank.py): FULL
         # step 7.91→7.08 ms at 262k step 0, 9.01→8.43 at 60, 11.07→10.38
         # at 90 (scripts/step_ab.py; bit-identical densities, 0 overflow)
