@@ -59,6 +59,12 @@ VARIANTS = {
         "pallas_force_split_factor": 4,
         "pallas_density_split": 2,
     },
+    # 128x8 geometry retest under force split 4: the earlier 128x8 losses
+    # (84.2 vs 86.7 pre-qrank) were suspected VREG pressure, which fs4
+    # specifically relieves; larger tiles amortize the slab padding
+    # (~2 blocks/window) over 2x the targets
+    "g128": {"pallas_tile": 128, "pallas_group": 8},
+    "g64x32": {"pallas_group": 32, "pallas_col_capacity": 8192},
 }
 
 
