@@ -65,6 +65,9 @@ VARIANTS = {
     # (~2 blocks/window) over 2x the targets
     "g128": {"pallas_tile": 128, "pallas_group": 8},
     "g64x32": {"pallas_group": 32, "pallas_col_capacity": 8192},
+    # candidate-lane split: half-width temps, bit-identical via the fold's
+    # add tree (see fused.py pair())
+    "ls": {"pallas_force_lane_split": True},
 }
 
 

@@ -70,6 +70,7 @@ def test_config_overrides_presets():
     from bench import config_overrides
 
     assert config_overrides(262_144, {}) == {
+        "pallas_group": 32, "pallas_col_capacity": 8192,
         "pallas_desc": True, "pallas_desc_blocks": 24,
         "pallas_desc_unroll": 4, "pallas_desc_unroll_force": 2,
         "pallas_force_fold": True, "pallas_force_split": True,

@@ -232,6 +232,33 @@ def test_force_split_matches_plain():
     np.testing.assert_array_equal(np.asarray(a.force), np.asarray(b.force))
 
 
+def test_force_lane_split_matches_fold():
+    """Candidate-lane split computes each bl/2-lane half on half-width
+    temps; slicing an elementwise computation commutes with it and the
+    half-sum reproduces the fold's exact add tree — bit-identical to the
+    folded kernel (with and without target split on top)."""
+    import dataclasses
+
+    base = default_config(
+        512, chunk_size=512, pallas_col_capacity=512, pallas_sub_blocks=4,
+        pallas_stencil="slab3", pallas_block_lanes=256,
+        pallas_force_fold=True, pallas_force_split=True,
+    )
+    st = init_state(base, random_init=True, seed=7)
+    a, _ = jax.jit(lambda s: step_pallas(s, base, interpret=True))(st)
+    for extra in ({}, {"pallas_force_split": False}):
+        ls = dataclasses.replace(
+            base, pallas_force_lane_split=True, **extra
+        )
+        b, _ = jax.jit(lambda s: step_pallas(s, ls, interpret=True))(st)
+        np.testing.assert_array_equal(
+            np.asarray(a.density), np.asarray(b.density)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.force), np.asarray(b.force)
+        )
+
+
 def test_pallas_desc_blocks_fallback_correct():
     """Tiles whose block total exceeds pallas_desc_blocks must fall back to
     the select-chain branch with IDENTICAL physics (MB is a performance

@@ -178,6 +178,13 @@ class SimConfig:
     # kernel oversubscribes a 64-VREG file even at factor 2 — factor 4
     # (hpt=16: 4 VREGs/temp) is the first size where temps + carry fit.
     pallas_force_split_factor: int = 2
+    # Lane-split analog: compute each candidate block's two bl/2-lane
+    # halves SEQUENTIALLY on half-width temps (the target split shrinks
+    # temps along sublanes; this shrinks them along lanes). Requires
+    # pallas_force_fold — the carry is already bl/2 wide, and summing the
+    # two half contributions before the carry add reproduces the fold's
+    # exact add tree, so the result is bit-identical.
+    pallas_force_lane_split: bool = False
     # Density-kernel analog of the split-target experiment: number of
     # sequential target slices per block (1 = off). The density block's
     # live set (dx/dy/dz + the (pt, bl) carry) also brushes the VREG file
@@ -322,6 +329,11 @@ class SimConfig:
                 "(target slices per block; pt/factor must stay >= 8 sublanes "
                 "— checked at kernel build)"
             )
+        if self.pallas_force_lane_split and not self.pallas_force_fold:
+            raise ValueError(
+                "pallas_force_lane_split requires pallas_force_fold (the "
+                "half-width carry it accumulates into)"
+            )
         if self.pallas_col_capacity % (2 * self.pallas_block_lanes):
             raise ValueError(
                 "pallas_col_capacity must be a multiple of "
@@ -405,6 +417,13 @@ def tuned_overrides(num_particles: int) -> dict:
             "pallas_query_rank": True,
         }
     return {
+        # 64x32 geometry: halving the program count at doubled column
+        # capacity beats 64x16 on the full trajectory at BOTH sub-1M
+        # tiers (262k 119.04 vs 118.38 steps/s, 65k 504.6 vs 497.8;
+        # scripts/traj_ab.py) — 128x8 retested NEGATIVE even under
+        # force split 4 (115.1)
+        "pallas_group": 32,
+        "pallas_col_capacity": 8192,
         "pallas_desc": True,
         "pallas_desc_blocks": 24,
         "pallas_desc_unroll": 4,

@@ -1237,11 +1237,13 @@ def _force_kernel(*refs, cfg, geom):
                 # one wide (16, bl) dynamic-offset load; rows are static
                 # sublane extracts (see the density-kernel note)
                 cblk = cand[slot, :, sl]
-                row = lambda r: cblk[r : r + 1, :]
-                out = []
-                for hi, h0 in enumerate(halves):
-                    ts = slice(h0, h0 + hpt)
-                    fx, fy, fz = carry[3 * hi : 3 * hi + 3]
+
+                def pair(ts, ls, lw):
+                    """(cx, cy, cz) contributions of candidate lanes
+                    [ls, ls+lw) of this block against targets `ts`. Pure
+                    elementwise → restricting the lane range is bit-exact
+                    slicing of the full-width computation."""
+                    row = lambda r: cblk[r : r + 1, ls : ls + lw]
                     dx = tx[ts] - row(_FX)
                     dy = ty[ts] - row(_FY)
                     dz = tz[ts] - row(_FZ)
@@ -1269,8 +1271,11 @@ def _force_kernel(*refs, cfg, geom):
                         if kind == "slab_ranged":
                             # hybrid: bound lanes to the true range — see
                             # the density kernel note
-                            li = local * bl + jax.lax.broadcasted_iota(
-                                jnp.int32, (1, bl), 1
+                            li = (
+                                local * bl + ls
+                                + jax.lax.broadcasted_iota(
+                                    jnp.int32, (1, lw), 1
+                                )
                             )
                             keyhit = keyhit & (li >= lead) & (li < cnt)
                         live = keyhit & (r >= eps)
@@ -1291,10 +1296,27 @@ def _force_kernel(*refs, cfg, geom):
                     cx = s_p * dx + s_v * (row(_FVX) - tvx[ts])
                     cy = s_p * dy + s_v * (row(_FVY) - tvy[ts])
                     cz = s_p * dz + s_v * (row(_FVZ) - tvz[ts])
-                    if cfg.pallas_force_fold:
-                        cx = cx[:, :bl2] + cx[:, bl2:]
-                        cy = cy[:, :bl2] + cy[:, bl2:]
-                        cz = cz[:, :bl2] + cz[:, bl2:]
+                    return cx, cy, cz
+
+                out = []
+                for hi, h0 in enumerate(halves):
+                    ts = slice(h0, h0 + hpt)
+                    fx, fy, fz = carry[3 * hi : 3 * hi + 3]
+                    if cfg.pallas_force_lane_split:
+                        # lane-split: each bl2-lane half computed on
+                        # HALF-WIDTH temps (live VREG footprint ÷2), then
+                        # summed exactly like the fold below — bit-exact
+                        # (slicing an elementwise computation commutes
+                        # with it, and the add tree matches the fold's)
+                        cxa, cya, cza = pair(ts, 0, bl2)
+                        cxb, cyb, czb = pair(ts, bl2, bl2)
+                        cx, cy, cz = cxa + cxb, cya + cyb, cza + czb
+                    else:
+                        cx, cy, cz = pair(ts, 0, bl)
+                        if cfg.pallas_force_fold:
+                            cx = cx[:, :bl2] + cx[:, bl2:]
+                            cy = cy[:, :bl2] + cy[:, bl2:]
+                            cz = cz[:, :bl2] + cz[:, bl2:]
                     out += [fx + cx, fy + cy, fz + cz]
                 return tuple(out)
 
