@@ -68,6 +68,9 @@ VARIANTS = {
     # candidate-lane split: half-width temps, bit-identical via the fold's
     # add tree (see fused.py pair())
     "ls": {"pallas_force_lane_split": True},
+    # 1M-tier group doubling (the g64x32 lever at the hybrid geometry):
+    # halves the program count; capacity must cover the doubled group span
+    "g1M": {"pallas_group": 16, "pallas_col_capacity": 32768},
 }
 
 

@@ -436,6 +436,9 @@ def tuned_overrides(num_particles: int) -> dict:
         # analog measured negative, see CLAUDE.md; bit-identical)
         "pallas_force_split": True,
         "pallas_force_split_factor": 4,
+        # candidate-lane split: half-width temps, bit-identical (262k
+        # full-trajectory A/B 118.29 vs 117.17 steps/s)
+        "pallas_force_lane_split": True,
         # query-rank kernel over the prep lookups (pallas/qrank.py): FULL
         # step 7.91→7.08 ms at 262k step 0, 9.01→8.43 at 60, 11.07→10.38
         # at 90 (scripts/step_ab.py; bit-identical densities, 0 overflow)
