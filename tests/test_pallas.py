@@ -257,6 +257,15 @@ def test_force_lane_split_matches_fold():
         np.testing.assert_array_equal(
             np.asarray(a.force), np.asarray(b.force)
         )
+    # the hybrid SLOW path carries the slab_ranged lane bound, which the
+    # lane split offsets per half — cover it too (1M/2M presets run
+    # hybrid + lane split)
+    hy = dataclasses.replace(base, pallas_stencil="hybrid")
+    a, _ = jax.jit(lambda s: step_pallas(s, hy, interpret=True))(st)
+    hls = dataclasses.replace(hy, pallas_force_lane_split=True)
+    b, _ = jax.jit(lambda s: step_pallas(s, hls, interpret=True))(st)
+    np.testing.assert_array_equal(np.asarray(a.density), np.asarray(b.density))
+    np.testing.assert_array_equal(np.asarray(a.force), np.asarray(b.force))
 
 
 def test_pallas_desc_blocks_fallback_correct():
