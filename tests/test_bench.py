@@ -79,8 +79,8 @@ def test_config_overrides_presets():
     }
     kw = config_overrides(1_048_576, {})
     assert kw == {
-        "pallas_stencil": "hybrid", "pallas_tile": 128, "pallas_group": 8,
-        "pallas_col_capacity": 16384, "pallas_sub_blocks": 80,
+        "pallas_stencil": "hybrid", "pallas_tile": 128, "pallas_group": 16,
+        "pallas_col_capacity": 32768, "pallas_sub_blocks": 80,
         "pallas_desc": True, "pallas_desc_unroll": 4,
         "pallas_desc_unroll_force": 2, "pallas_force_fold": True,
         "pallas_force_split": True, "pallas_force_split_factor": 4,
@@ -96,7 +96,7 @@ def test_config_overrides_presets():
     assert kw["pallas_stencil"] == "slab3"  # explicit env wins over preset
     assert kw["pallas_col_capacity"] == 8192
     # the geometry + capacity presets survive a stencil-only override
-    assert kw["pallas_tile"] == 128 and kw["pallas_group"] == 8
+    assert kw["pallas_tile"] == 128 and kw["pallas_group"] == 16
     assert kw["pallas_sub_blocks"] == 80
     # geometry env overrides (on top of the sub-1M desc preset)
     kw = config_overrides(512, {"TPUSPH_BENCH_TILE": "64",

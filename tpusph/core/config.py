@@ -398,8 +398,12 @@ def tuned_overrides(num_particles: int) -> dict:
         return {
             "pallas_stencil": "hybrid",
             "pallas_tile": 128,
-            "pallas_group": 8,
-            "pallas_col_capacity": 16384,
+            # group doubling (full-trajectory A/B: 21.41 vs 21.26 steps/s;
+            # the doubled-capacity candidate buffer still double-buffers
+            # inside scoped VMEM at 32768). Lane split measured NEUTRAL at
+            # this tier — left off.
+            "pallas_group": 16,
+            "pallas_col_capacity": 32768,
             "pallas_sub_blocks": 80,
             "pallas_desc": True,
             "pallas_desc_unroll": 4,
