@@ -68,11 +68,12 @@ def test_tuned_config_presets_and_overrides():
     assert small.pallas_desc and small.pallas_desc_unroll == 4
     assert small.force_unroll == 2 and small.pallas_force_fold
     big = tuned_config(1_048_576)
-    assert big.pallas_stencil == "hybrid" and big.pallas_col_capacity == 16384
+    assert big.pallas_stencil == "hybrid" and big.pallas_col_capacity == 32768
     assert big.pallas_desc
     # explicit kwargs always win over the preset
     over = tuned_config(65536, pallas_desc=False, pallas_desc_unroll=1,
-                        pallas_desc_unroll_force=0, pallas_force_fold=False)
+                        pallas_desc_unroll_force=0, pallas_force_fold=False,
+                        pallas_force_lane_split=False)
     assert not over.pallas_desc
     assert set(tuned_overrides(100)) <= {
         f.name for f in __import__("dataclasses").fields(small)
