@@ -71,6 +71,17 @@ VARIANTS = {
     # 1M-tier group doubling (the g64x32 lever at the hybrid geometry):
     # halves the program count; capacity must cover the doubled group span
     "g1M": {"pallas_group": 16, "pallas_col_capacity": 32768},
+    # force unroll 4 retry now that the lane split halves live temps
+    # (plain u4 and fs4u4 both measured VREG-blocked)
+    "lsu4": {"pallas_desc_unroll_force": 4},
+    # qrank shape sweep
+    "qs8": {"pallas_qrank_chunks": 8},
+    "qs32": {"pallas_qrank_chunks": 32},
+    # 1M hybrid: 4x group (single-slot candidate buffer past scoped VMEM)
+    "g1Mb": {"pallas_group": 32, "pallas_col_capacity": 65536},
+    # 1M hybrid col/slab selection bias sweep
+    "hb0": {"pallas_hybrid_bias": 0.0},
+    "hb4": {"pallas_hybrid_bias": 4.0},
 }
 
 
