@@ -82,6 +82,8 @@ VARIANTS = {
     # 1M hybrid col/slab selection bias sweep
     "hb0": {"pallas_hybrid_bias": 0.0},
     "hb4": {"pallas_hybrid_bias": 4.0},
+    # density lane-split (bit-exact half-width temps; carry unchanged)
+    "dls": {"pallas_density_lane_split": True},
 }
 
 

@@ -268,6 +268,30 @@ def test_force_lane_split_matches_fold():
     np.testing.assert_array_equal(np.asarray(a.force), np.asarray(b.force))
 
 
+def test_density_lane_split_matches_plain():
+    """Density lane-split: each half accumulates into its own carry half —
+    carry lanes never mix, so the result is bit-identical, on both the
+    slab3 and hybrid (slab_ranged slow path) stencils."""
+    import dataclasses
+
+    for stencil in ("slab3", "hybrid"):
+        base = default_config(
+            512, chunk_size=512, pallas_col_capacity=512,
+            pallas_sub_blocks=4, pallas_stencil=stencil,
+            pallas_block_lanes=256,
+        )
+        st = init_state(base, random_init=True, seed=7)
+        a, _ = jax.jit(lambda s: step_pallas(s, base, interpret=True))(st)
+        dls = dataclasses.replace(base, pallas_density_lane_split=True)
+        b, _ = jax.jit(lambda s: step_pallas(s, dls, interpret=True))(st)
+        np.testing.assert_array_equal(
+            np.asarray(a.density), np.asarray(b.density)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.force), np.asarray(b.force)
+        )
+
+
 def test_pallas_desc_blocks_fallback_correct():
     """Tiles whose block total exceeds pallas_desc_blocks must fall back to
     the select-chain branch with IDENTICAL physics (MB is a performance

@@ -190,6 +190,10 @@ class SimConfig:
     # live set (dx/dy/dz + the (pt, bl) carry) also brushes the VREG file
     # at (64, 256).
     pallas_density_split: int = 1
+    # Density lane-split: compute each bl/2-lane half on half-width temps,
+    # each added into its own carry half (carry stays full width; no fold
+    # needed). Bit-identical — carry lanes never mix.
+    pallas_density_lane_split: bool = False
     # Prep starts-table lookups via the two-sort rank computation instead of
     # gathers: TPU gathers from the (num_cells+2,) table cost ~50 ns/element
     # (~2.5 ms at 262k, ~13.5 ms at 1M — the step's hidden "glue",

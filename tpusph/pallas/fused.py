@@ -1020,14 +1020,17 @@ def _density_kernel(*refs, cfg, geom):
                 cz = cblk[2:3, :]
                 if not fast:
                     ck = cblk[3:4, :]
-                out = []
-                for di, d0 in enumerate(dparts):
-                    ts = slice(d0, d0 + dpt)
-                    dx = tx[ts] - cx
-                    dy = ty[ts] - cy
-                    dz = tz[ts] - cz
-                    r2 = dx * dx + dy * dy + dz * dz  # (dpt, bl)
-                    w = jnp.maximum(h2 - r2, 0.0)  # folds the r² ≤ h² cutoff
+
+                def wpart(ts, ls, lw):
+                    """Masked poly6 contribution of candidate lanes
+                    [ls, ls+lw) against targets `ts` — elementwise, so a
+                    lane-restricted call is a bit-exact slice of the
+                    full-width one."""
+                    dx = tx[ts] - cx[:, ls : ls + lw]
+                    dy = ty[ts] - cy[:, ls : ls + lw]
+                    dz = tz[ts] - cz[:, ls : ls + lw]
+                    r2 = dx * dx + dy * dy + dz * dz  # (dpt, lw)
+                    w = jnp.maximum(h2 - r2, 0.0)  # folds r² ≤ h² cutoff
                     w = w * w * w
                     if fast:
                         # prep proved the key mask redundant for this sub
@@ -1035,22 +1038,42 @@ def _density_kernel(*refs, cfg, geom):
                         # the r ≤ h cutoff alone is exact, parked
                         # sentinel/pad rows are ≥ 0.17 from any valid
                         # particle.
-                        out.append(carry[di] + w)
-                        continue
+                        return w
                     # col9/slab3: no per-lane count check — alignment
                     # lead-in lanes carry keys below the accepted set,
                     # beyond-window lanes carry keys above it or KEY_PAD —
                     # the key mask rejects all.
-                    keyhit = _key_mask(ck, tkey[ts] + off, kind, cfg)
+                    keyhit = _key_mask(
+                        ck[:, ls : ls + lw], tkey[ts] + off, kind, cfg
+                    )
                     if kind == "slab_ranged":
                         # hybrid: the plane-wide slab mask cannot separate
                         # a col window from its neighbors' lead-in/tail
                         # lanes — bound lanes to the true range [lead, cnt)
-                        li = local * bl + jax.lax.broadcasted_iota(
-                            jnp.int32, (1, bl), 1
+                        li = (
+                            local * bl + ls
+                            + jax.lax.broadcasted_iota(
+                                jnp.int32, (1, lw), 1
+                            )
                         )
                         keyhit = keyhit & (li >= lead) & (li < cnt)
-                    out.append(carry[di] + jnp.where(keyhit, w, 0.0))
+                    return jnp.where(keyhit, w, 0.0)
+
+                out = []
+                for di, d0 in enumerate(dparts):
+                    ts = slice(d0, d0 + dpt)
+                    if cfg.pallas_density_lane_split:
+                        # lane-split: each bl/2-lane half computed on
+                        # half-width temps and added into its own carry
+                        # half — bit-exact (slicing elementwise math
+                        # commutes; carry lanes never mix)
+                        bl2 = bl // 2
+                        out.append(jnp.concatenate([
+                            carry[di][:, :bl2] + wpart(ts, 0, bl2),
+                            carry[di][:, bl2:] + wpart(ts, bl2, bl2),
+                        ], axis=1))
+                    else:
+                        out.append(carry[di] + wpart(ts, 0, bl))
                 return tuple(out)
 
             init = tuple(
