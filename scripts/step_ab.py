@@ -84,6 +84,9 @@ VARIANTS = {
     "hb4": {"pallas_hybrid_bias": 4.0},
     # density lane-split (bit-exact half-width temps; carry unchanged)
     "dls": {"pallas_density_lane_split": True},
+    # group scaling continued (g64x32 won +0.6%): 64 subs/program
+    "g64": {"pallas_group": 64},
+    "g64c16": {"pallas_group": 64, "pallas_col_capacity": 16384},
 }
 
 
