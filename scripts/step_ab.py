@@ -87,6 +87,11 @@ VARIANTS = {
     # group scaling continued (g64x32 won +0.6%): 64 subs/program
     "g64": {"pallas_group": 64},
     "g64c16": {"pallas_group": 64, "pallas_col_capacity": 16384},
+    # hybrid-at-262k retest under the full round-3 preset (the round-2c
+    # negative predates desc/unroll/splits/qrank; late-trajectory pile-ups
+    # are hybrid's regime). Needs sub_blocks sized in LANES for the
+    # ranged bound.
+    "hyb": {"pallas_stencil": "hybrid", "pallas_sub_blocks": 40},
 }
 
 
