@@ -74,9 +74,10 @@ VARIANTS = {
     # force unroll 4 retry now that the lane split halves live temps
     # (plain u4 and fs4u4 both measured VREG-blocked)
     "lsu4": {"pallas_desc_unroll_force": 4},
-    # qrank shape sweep
+    # qrank shape sweep (262k step 60: base S=16 8.20, qs8 8.11, qs32 8.04)
     "qs8": {"pallas_qrank_chunks": 8},
     "qs32": {"pallas_qrank_chunks": 32},
+    "qs64": {"pallas_qrank_chunks": 64},
     # 1M hybrid: 4x group (single-slot candidate buffer past scoped VMEM)
     "g1Mb": {"pallas_group": 32, "pallas_col_capacity": 65536},
     # 1M hybrid col/slab selection bias sweep

@@ -1307,14 +1307,17 @@ def _force_kernel(*refs, cfg, geom):
                     # reference's two minus signs cancel (∇W_spiky =
                     # disp·(−vk)(h−r)²/r, cu:99-117, 224-235), so s_p =
                     # +m·vk·(p_i+p_j)/(2ρ_j)·(h−r)²/r, applied along disp.
+                    # The common m·vk factor of BOTH terms is deferred to
+                    # the per-target sums after the block loop (the same
+                    # deferred-scale the density kernel uses) — one fewer
+                    # multiply per pair; rounding changes within the 1e-4
+                    # parity budget.
                     term = tp[ts] * row(_FI2R) + row(_FPI2R)
-                    s_p = jnp.where(
-                        live, (m * vk) * term * hr * hr * inv_r, 0.0
-                    )
+                    s_p = jnp.where(live, term * hr * hr * inv_r, 0.0)
                     # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
                     # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
                     s_v = jnp.where(
-                        live, (2.0 * mu * m * vk) * hr * row(_FI2R), 0.0
+                        live, (2.0 * mu) * hr * row(_FI2R), 0.0
                     )
                     cx = s_p * dx + s_v * (row(_FVX) - tvx[ts])
                     cy = s_p * dy + s_v * (row(_FVY) - tvy[ts])
@@ -1358,10 +1361,11 @@ def _force_kernel(*refs, cfg, geom):
             lambda: sub_force(False),
         )
         hpt = pt // cfg.pallas_force_split_factor if cfg.pallas_force_split else pt
+        mvk = m * vk  # deferred per-pair scale (see pair())
         for hi, h0 in enumerate(range(0, pt, hpt)):
-            f_ref[0, 0, sub, h0 : h0 + hpt] = jnp.sum(acc[3 * hi], axis=1)
-            f_ref[1, 0, sub, h0 : h0 + hpt] = jnp.sum(acc[3 * hi + 1], axis=1)
-            f_ref[2, 0, sub, h0 : h0 + hpt] = jnp.sum(acc[3 * hi + 2], axis=1)
+            f_ref[0, 0, sub, h0 : h0 + hpt] = mvk * jnp.sum(acc[3 * hi], axis=1)
+            f_ref[1, 0, sub, h0 : h0 + hpt] = mvk * jnp.sum(acc[3 * hi + 1], axis=1)
+            f_ref[2, 0, sub, h0 : h0 + hpt] = mvk * jnp.sum(acc[3 * hi + 2], axis=1)
 
 
 def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=False):
