@@ -88,6 +88,10 @@ VARIANTS = {
     # group scaling continued (g64x32 won +0.6%): 64 subs/program
     "g64": {"pallas_group": 64},
     "g64c16": {"pallas_group": 64, "pallas_col_capacity": 16384},
+    # slow-branch unroll (parking-padded select chain): matters only where
+    # subs fall off the fast/desc path — 1M step 90 has 44.5% slow subs
+    # (scripts/fast_frac.py), 262k has none
+    "su2": {"pallas_slow_unroll": 2},
     # hybrid-at-262k retest under the full round-3 preset (the round-2c
     # negative predates desc/unroll/splits/qrank; late-trajectory pile-ups
     # are hybrid's regime). Needs sub_blocks sized in LANES for the

@@ -594,3 +594,60 @@ def test_query_rank_prep_equals_sort_prep():
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b), err_msg=f"{stencil}.{field}"
             )
+
+
+def test_slow_unroll_matches_plain():
+    """pallas_slow_unroll=2 (select-chain loop padded onto the parking row,
+    two blocks per fori iteration) must be bit-identical to the plain slow
+    loop: the single pad block parks on the zeroed KEY_PAD block (rejected
+    by the key masks, zero through the cutoffs), live block order is
+    unchanged. Exercised with every sub FORCED slow so the chain actually
+    runs, on both the slab3 and hybrid (slab_ranged) mask kinds."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpusph.neighbors.cell_list import build_sorted_fields
+    from tpusph.pallas.fused import (
+        density_pallas,
+        force_pallas,
+        supertile_columns,
+    )
+    from tpusph.physics.kernels import pressure_from_density
+
+    for stencil in ("slab3", "hybrid"):
+        base = default_config(
+            512, chunk_size=512, pallas_col_capacity=512,
+            pallas_sub_blocks=4, pallas_stencil=stencil,
+            pallas_block_lanes=128, pallas_desc=True, pallas_desc_blocks=48,
+        )
+        st = init_state(base, random_init=True, seed=9)
+        sf = jax.jit(
+            lambda s, cfg=base: build_sorted_fields(
+                s.position, s.velocity, s.valid, cfg
+            )
+        )(st)
+        outs = {}
+        for su in (1, 2):
+            cfg = dataclasses.replace(base, pallas_slow_unroll=su)
+            cols = jax.jit(
+                lambda sf, cfg=cfg: supertile_columns(
+                    sf.key_sorted, sf.valid_sorted, sf.starts, cfg
+                )
+            )(sf)
+            assert int(cols.overflow) == 0
+            cols = cols._replace(sub_fast=jnp.zeros_like(cols.sub_fast))
+            xyz = (sf.x, sf.y, sf.z)
+            rho = density_pallas(xyz, sf.key_sorted, cols, cfg, interpret=True)
+            rho_c, p_c = pressure_from_density(rho, cfg)
+            rho_c = jnp.where(sf.valid_sorted, rho_c, 1.0)
+            p_c = jnp.where(sf.valid_sorted, p_c, 0.0)
+            f = force_pallas(
+                xyz, (sf.vx, sf.vy, sf.vz), rho_c, p_c, sf.key_sorted, cols,
+                cfg, interpret=True,
+            )
+            outs[su] = (np.asarray(rho), np.asarray(f))
+        np.testing.assert_array_equal(outs[2][0], outs[1][0],
+                                      err_msg=f"{stencil} density")
+        np.testing.assert_array_equal(outs[2][1], outs[1][1],
+                                      err_msg=f"{stencil} force")

@@ -143,6 +143,16 @@ class SimConfig:
     # helping density), so the two kernels may want different factors.
     # Descriptor padding uses the max of the two.
     pallas_desc_unroll_force: int = 0
+    # SLOW-branch unroll: the select-chain loop (key-masked subs, and
+    # desc-misfit tiles) gets the same dead-block unroll as the descriptor
+    # loop by appending a PARKING row to the select chain and padding the
+    # trip count to a multiple of 2 — at most ONE pad block per sub, which
+    # the parking block (present whenever pallas_desc) absorbs; its
+    # contribution is exactly zero by the same ≥0.17-distance argument.
+    # Matters only where subs actually take the slow branch: the 1M/2M
+    # pile-up regime (fast coverage 63.5% at 1M step 90, 100% at 262k —
+    # scripts/fast_frac.py). Factor 2 only (one parking block).
+    pallas_slow_unroll: int = 1
     # Starts-table rank kernel (pallas/starts.py): replaces the bincount
     # scatter-add (≈7 ns/particle on this stack — the whole build-phase
     # cost at 1M) with a no-scatter Pallas outer-compare over the sorted
@@ -299,6 +309,16 @@ class SimConfig:
             raise ValueError("pallas_desc_unroll_force must be 0, 1, 2 or 4")
         if self.pallas_desc_unroll > 1 and not self.pallas_desc:
             raise ValueError("pallas_desc_unroll needs pallas_desc=True")
+        if self.pallas_slow_unroll not in (1, 2):
+            raise ValueError(
+                "pallas_slow_unroll must be 1 or 2 (one parking block "
+                "absorbs at most one pad block per sub)"
+            )
+        if self.pallas_slow_unroll > 1 and not self.pallas_desc:
+            raise ValueError(
+                "pallas_slow_unroll needs pallas_desc=True (the parking "
+                "block it pads with only exists in descriptor mode)"
+            )
         if self.pallas_desc_blocks % self.max_desc_unroll:
             raise ValueError(
                 "pallas_desc_blocks must be a multiple of the unroll factors"

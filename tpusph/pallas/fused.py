@@ -903,6 +903,17 @@ def _slot_scalars(sub, tb, cfg):
         starts_blk.append(cb)
         rows.append((base, lead, cnt, cb, jnp.float32(off)))
         cb = cb + blocks
+    if cfg.pallas_slow_unroll > 1:
+        # parking row: flat block `cb` (the unroll pad — at most one block
+        # for factor 2) resolves here and scans the zeroed parking block
+        # appended after the DMA windows. Its contribution is exactly zero
+        # through the distance cutoffs regardless of the key mask (parked
+        # positions sit ≥ 0.17 from any valid target); lead=0/cnt=bl keep
+        # the slab_ranged lane bound from excluding what is already zero.
+        nbuf = len(_sup_stencil(cfg)[0])
+        park = jnp.int32(nbuf * cfg.pallas_col_capacity)
+        starts_blk.append(cb)
+        rows.append((park, jnp.int32(0), jnp.int32(bl), cb, jnp.float32(0)))
     return starts_blk, rows, cb
 
 
@@ -1082,6 +1093,12 @@ def _density_kernel(*refs, cfg, geom):
             # dynamic trip count: dead capacity costs nothing
             if use_desc:
                 return _unrolled_fori(total, blk, init, cfg.pallas_desc_unroll)
+            if cfg.pallas_slow_unroll > 1:
+                # pad the chain trip count onto the parking row (one pad
+                # block max — see _slot_scalars) so the slow branch gets
+                # the same dead-block unroll the descriptor loop has
+                su = cfg.pallas_slow_unroll
+                return _unrolled_fori(pl.cdiv(total, su) * su, blk, init, su)
             return jax.lax.fori_loop(0, total, blk, init)
 
         if cfg.pallas_desc:
@@ -1349,6 +1366,10 @@ def _force_kernel(*refs, cfg, geom):
             init = (zero,) * (3 * len(halves))
             if use_desc:
                 return _unrolled_fori(total, blk, init, cfg.force_unroll)
+            if cfg.pallas_slow_unroll > 1:
+                # slow-branch unroll via the parking row (see _slot_scalars)
+                su = cfg.pallas_slow_unroll
+                return _unrolled_fori(pl.cdiv(total, su) * su, blk, init, su)
             return jax.lax.fori_loop(0, total, blk, init)
 
         if cfg.pallas_desc:
