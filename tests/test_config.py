@@ -70,6 +70,11 @@ def test_tuned_config_presets_and_overrides():
     big = tuned_config(1_048_576)
     assert big.pallas_stencil == "hybrid" and big.pallas_col_capacity == 32768
     assert big.pallas_desc
+    # the pile-up tiers unroll the slow branch too (parking-padded chain);
+    # sub-1M stays plain — 100% of its subs are fast (scripts/fast_frac.py)
+    assert big.pallas_slow_unroll == 2
+    assert tuned_config(2_097_152).pallas_slow_unroll == 2
+    assert small.pallas_slow_unroll == 1
     # explicit kwargs always win over the preset
     over = tuned_config(65536, pallas_desc=False, pallas_desc_unroll=1,
                         pallas_desc_unroll_force=0, pallas_force_fold=False,

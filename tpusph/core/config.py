@@ -414,6 +414,9 @@ def tuned_overrides(num_particles: int) -> dict:
             "pallas_force_split_factor": 4,
             "pallas_stream_desc": True,
             "pallas_query_rank": True,
+            # slow-branch unroll: the random-init 2M run lives in the
+            # pile-up regime where 36-45% of subs run the select chain
+            "pallas_slow_unroll": 2,
         }
     if num_particles >= 1_000_000:
         # desc blocks stay at the small default — the dense per-tile SMEM
@@ -443,6 +446,10 @@ def tuned_overrides(num_particles: int) -> dict:
             # isolated, FULL-step A/B (scripts/step_ab.py) 42.79→40.66 ms
             # at step 30 / 64.62→62.37 at step 90; bit-identical densities
             "pallas_query_rank": True,
+            # slow-branch unroll (parking-padded select chain): 44.5% of
+            # subs run slow at step 90 (fast_frac probe) — FULL-step A/B
+            # 60.81→56.62 ms there, 39.17→38.82 at step 30; bit-identical
+            "pallas_slow_unroll": 2,
         }
     return {
         # 64x32 geometry: halving the program count at doubled column
