@@ -36,7 +36,8 @@ def main():
     from bench import config_overrides
 
     cfg = default_config(n, **config_overrides(n, os.environ))
-    state = init_state(cfg)
+    # past the 1.29M grid-lattice ceiling only random init exists
+    state = init_state(cfg, random_init=(n > 1_295_029))
 
     prev = 0
     for target in probes:

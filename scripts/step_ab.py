@@ -92,6 +92,11 @@ VARIANTS = {
     # subs fall off the fast/desc path — 1M step 90 has 44.5% slow subs
     # (scripts/fast_frac.py), 262k has none
     "su2": {"pallas_slow_unroll": 2},
+    # streamed records + doubled MB at 1M: desc-fit is 89.3% at step 90
+    # (MB=16 under the SMEM table budget) — streaming moves the tables to
+    # per-program records so MB=32 is affordable, moving the ~11% misfit
+    # subs from the select chain onto the desc path
+    "sd32": {"pallas_stream_desc": True, "pallas_desc_blocks": 32},
     # hybrid-at-262k retest under the full round-3 preset (the round-2c
     # negative predates desc/unroll/splits/qrank; late-trajectory pile-ups
     # are hybrid's regime). Needs sub_blocks sized in LANES for the
