@@ -97,6 +97,9 @@ VARIANTS = {
     # per-program records so MB=32 is affordable, moving the ~11% misfit
     # subs from the select chain onto the desc path
     "sd32": {"pallas_stream_desc": True, "pallas_desc_blocks": 32},
+    # MB-raise at 2M (stream_desc already in that preset)
+    "d32": {"pallas_desc_blocks": 32},
+    "d64": {"pallas_desc_blocks": 64},
     # hybrid-at-262k retest under the full round-3 preset (the round-2c
     # negative predates desc/unroll/splits/qrank; late-trajectory pile-ups
     # are hybrid's regime). Needs sub_blocks sized in LANES for the
@@ -111,12 +114,13 @@ def main():
     from bench import config_overrides
 
     cfg0 = default_config(n, **config_overrides(n, os.environ))
+    random_init = n > 1_295_029  # grid-lattice ceiling
     names = (
         os.environ["TPUSPH_AB_VARIANTS"].split(",")
         if os.environ.get("TPUSPH_AB_VARIANTS")
         else list(VARIANTS)
     )
-    fs = fields_from_state(init_state(cfg0))
+    fs = fields_from_state(init_state(cfg0, random_init=random_init))
 
     def advance(fs, k):
         @jax.jit

@@ -85,6 +85,7 @@ def test_config_overrides_presets():
         "pallas_desc_unroll_force": 2, "pallas_force_fold": True,
         "pallas_force_split": True, "pallas_force_split_factor": 4,
         "pallas_query_rank": True, "pallas_slow_unroll": 2,
+        "pallas_stream_desc": True, "pallas_desc_blocks": 32,
     }
     # desc can be forced off (and the unroll preset goes with it)
     kw = config_overrides(262_144, {"TPUSPH_BENCH_DESC": "0"})

@@ -419,12 +419,15 @@ def tuned_overrides(num_particles: int) -> dict:
             "pallas_slow_unroll": 2,
         }
     if num_particles >= 1_000_000:
-        # desc blocks stay at the small default — the dense per-tile SMEM
-        # rows are the constraint at 8192 tiles; pile-up tiles fall back to
-        # the select-chain branch (v5e 1M: 15.26 vs 14.47 steps/s)
         return {
             "pallas_stencil": "hybrid",
             "pallas_tile": 128,
+            # STREAMED records lift the per-tile SMEM table budget that
+            # capped desc blocks at 16 (89.3% desc-fit at step 90) — MB=32
+            # moves the misfit subs onto the descriptor path: FULL-step
+            # A/B 56.59→55.31 ms at step 90, 39.06→38.91 at step 30
+            "pallas_stream_desc": True,
+            "pallas_desc_blocks": 32,
             # group doubling (full-trajectory A/B: 21.41 vs 21.26 steps/s;
             # the doubled-capacity candidate buffer still double-buffers
             # inside scoped VMEM at 32768). Lane split measured NEUTRAL at
