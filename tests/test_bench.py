@@ -87,6 +87,10 @@ def test_config_overrides_presets():
         "pallas_query_rank": True, "pallas_slow_unroll": 2,
         "pallas_stream_desc": True, "pallas_desc_blocks": 32,
     }
+    kw2 = config_overrides(2_097_152, {})
+    assert kw2["pallas_stream_desc"] is True
+    assert kw2["pallas_desc_blocks"] == 32  # streamed-records A/B at 2M
+    assert kw2["pallas_col_capacity"] == 65536
     # desc can be forced off (and the unroll preset goes with it)
     kw = config_overrides(262_144, {"TPUSPH_BENCH_DESC": "0"})
     assert kw["pallas_desc"] is False and "pallas_desc_unroll" not in kw

@@ -413,6 +413,11 @@ def tuned_overrides(num_particles: int) -> dict:
             "pallas_force_split": True,
             "pallas_force_split_factor": 4,
             "pallas_stream_desc": True,
+            # streamed records lift the SMEM table budget here too — MB=32
+            # moves misfit pile-up subs onto the descriptor path (FULL-step
+            # A/B at 2M: 152.55→146.55 ms at step 90, neutral at step 30;
+            # 64 measured within noise of 32, mixed sign)
+            "pallas_desc_blocks": 32,
             "pallas_query_rank": True,
             # slow-branch unroll: the random-init 2M run lives in the
             # pile-up regime where 36-45% of subs run the select chain
