@@ -34,6 +34,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 
 def _canon(pos, *fields):
@@ -302,10 +303,22 @@ def main() -> None:
     cfg = default_config(n, **config_overrides(n, os.environ))
     # capacities grown on overflow below
 
+    # TPUSPH_SCOPED_VMEM_KIB raises the TPU compiler's scoped-VMEM stack
+    # budget (default 16 MiB — an exact number from v5e compile errors) via
+    # per-compile options the relay forwards; XLA_FLAGS can't carry the flag
+    # (the client-side parser rejects TPU-only names). 4M-class candidate
+    # buffers (16 rows x 9 windows x 32768 lanes = 18 MiB) need ~24576.
+    copts = None
+    if os.environ.get("TPUSPH_SCOPED_VMEM_KIB"):
+        copts = {
+            "xla_tpu_scoped_vmem_limit_kib":
+                int(os.environ["TPUSPH_SCOPED_VMEM_KIB"])
+        }
+
     def make_run(cfg):
         if backend == "pallas_sorted":
             # fields-native loop: state stays as 1-D field rows across steps
-            @jax.jit
+            @partial(jax.jit, compiler_options=copts)
             def run(state):
                 def body(fs, _):
                     (fs2, _, _, _), aux = step_pallas_fields(fs, cfg)
@@ -317,7 +330,7 @@ def main() -> None:
         else:
             step = BACKENDS[backend]
 
-            @jax.jit
+            @partial(jax.jit, compiler_options=copts)
             def run(state):
                 def body(s, _):
                     s2, aux = step(s, cfg)
@@ -365,6 +378,7 @@ def main() -> None:
             pallas_col_capacity=cfg.pallas_col_capacity * 2,
             pallas_sub_blocks=cfg.pallas_sub_blocks * 2,
             pallas_starts_kcap=cfg.pallas_starts_kcap * 2,
+            pallas_qrank_kcap=cfg.pallas_qrank_kcap * 2,
             tile_cand_capacity=cfg.tile_cand_capacity * 2,
         )
         print(

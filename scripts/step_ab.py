@@ -100,6 +100,10 @@ VARIANTS = {
     # MB-raise at 2M (stream_desc already in that preset)
     "d32": {"pallas_desc_blocks": 32},
     "d64": {"pallas_desc_blocks": 64},
+    # group doubling at 2M (won the 1M trajectory A/B 21.41 vs 21.26; the
+    # 2M preset still runs g=8 — the single-slot candidate buffer is
+    # unchanged by g, only the program count halves)
+    "g16": {"pallas_group": 16},
     # hybrid-at-262k retest under the full round-3 preset (the round-2c
     # negative predates desc/unroll/splits/qrank; late-trajectory pile-ups
     # are hybrid's regime). Needs sub_blocks sized in LANES for the
