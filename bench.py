@@ -221,6 +221,12 @@ def config_overrides(n: int, env) -> dict:
         kw["pallas_desc"] = True
     if env.get("TPUSPH_BENCH_STREAM"):
         kw["pallas_stream_desc"] = env["TPUSPH_BENCH_STREAM"] == "1"
+    # raised scoped-VMEM stack budget (xla_tpu_scoped_vmem_limit_kib,
+    # forwarded per-compile — XLA_FLAGS can't carry TPU-only flag names):
+    # 4M-class candidate buffers (16 rows x 9 windows x 32768 lanes =
+    # 18 MiB) exceed the 16 MiB v5e default
+    if env.get("TPUSPH_SCOPED_VMEM_KIB"):
+        kw["pallas_scoped_vmem_kib"] = int(env["TPUSPH_SCOPED_VMEM_KIB"])
     return kw
 
 
@@ -285,7 +291,7 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
 
-    from tpusph.core.config import default_config
+    from tpusph.core.config import compiler_opts, default_config
     from tpusph.core.init import init_state
     from tpusph.engine.step import (
         BACKENDS,
@@ -303,19 +309,8 @@ def main() -> None:
     cfg = default_config(n, **config_overrides(n, os.environ))
     # capacities grown on overflow below
 
-    # TPUSPH_SCOPED_VMEM_KIB raises the TPU compiler's scoped-VMEM stack
-    # budget (default 16 MiB — an exact number from v5e compile errors) via
-    # per-compile options the relay forwards; XLA_FLAGS can't carry the flag
-    # (the client-side parser rejects TPU-only names). 4M-class candidate
-    # buffers (16 rows x 9 windows x 32768 lanes = 18 MiB) need ~24576.
-    copts = None
-    if os.environ.get("TPUSPH_SCOPED_VMEM_KIB"):
-        copts = {
-            "xla_tpu_scoped_vmem_limit_kib":
-                int(os.environ["TPUSPH_SCOPED_VMEM_KIB"])
-        }
-
     def make_run(cfg):
+        copts = compiler_opts(cfg)
         if backend == "pallas_sorted":
             # fields-native loop: state stays as 1-D field rows across steps
             @partial(jax.jit, compiler_options=copts)

@@ -96,3 +96,36 @@ def test_tuned_presets_enable_query_rank_and_padding_satisfies_gate():
         cfg = tuned_config(n)
         assert cfg.pallas_query_rank
         assert cfg.padded_num_particles % 256 == 0
+
+
+def test_scoped_vmem_budget_field():
+    """pallas_scoped_vmem_kib: compiler_opts forwards the raised budget on
+    TPU only (the option name is TPU-only — CPU rejects it), and
+    _cand_slots' double-buffer threshold tracks the budget (a capacity
+    that single-slots at the 16 MiB default double-buffers at 32 MiB)."""
+    import dataclasses
+
+    import jax
+
+    from tpusph.core.config import compiler_opts, default_config
+    from tpusph.pallas.fused import _cand_slots
+
+    base = default_config(
+        512, chunk_size=512, pallas_col_capacity=49152,
+        pallas_sub_blocks=400, pallas_stencil="slab3",
+        pallas_block_lanes=128,
+    )
+    assert compiler_opts(base) is None  # default budget: no option
+    raised = dataclasses.replace(base, pallas_scoped_vmem_kib=32768)
+    opts = compiler_opts(raised)
+    if jax.default_backend() in ("cpu",):
+        assert opts is None  # TPU-only option dropped off-TPU
+    else:
+        assert opts == {"xla_tpu_scoped_vmem_limit_kib": 32768}
+    # 2x16x(3*49152+128)*4 = 18.1 MiB: >15 MiB default, <31 MiB raised
+    assert _cand_slots(base, 16) == 1
+    assert _cand_slots(raised, 16) == 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        dataclasses.replace(base, pallas_scoped_vmem_kib=0).validate()

@@ -231,6 +231,14 @@ class SimConfig:
     pallas_query_rank: bool = False
     pallas_qrank_chunks: int = 16
     pallas_qrank_kcap: int = 16384
+    # TPU compiler scoped-VMEM stack budget in KiB, forwarded per-compile
+    # as xla_tpu_scoped_vmem_limit_kib (XLA_FLAGS can't carry TPU-only
+    # flag names through the client-side parser). 16384 is the hardware
+    # default on v5e (an exact number from compile errors). Raising it
+    # admits 4M-class candidate buffers (16 rows x 9 windows x 32768
+    # lanes = 18 MiB at col9 pt=64) and lets _cand_slots double-buffer
+    # capacities the default budget forces to a single slot.
+    pallas_scoped_vmem_kib: int = 16384
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192
@@ -292,6 +300,7 @@ class SimConfig:
             "pallas_col_capacity",
             "pallas_sub_blocks",
             "pallas_desc_blocks",
+            "pallas_scoped_vmem_kib",
             "chunk_size",
         ):
             if getattr(self, f) <= 0:
@@ -375,6 +384,22 @@ def default_config(num_particles: int = MAX_PARTICLES_DEFAULT, **kw) -> SimConfi
     cfg = SimConfig(num_particles=num_particles, **kw)
     cfg.validate()
     return cfg
+
+
+def compiler_opts(cfg: SimConfig) -> dict | None:
+    """Per-compile XLA options for jits that wrap the Pallas kernels.
+    None (the common case) keeps compile-cache keys unchanged; a raised
+    scoped-VMEM budget is only requested when the config asks for one.
+    The option name is TPU-only — other backends REJECT it outright
+    ("No such compile option"), so it is dropped off-TPU (where scoped
+    VMEM does not exist and interpret-mode kernels ignore capacity)."""
+    if cfg.pallas_scoped_vmem_kib == 16384:
+        return None
+    import jax
+
+    if jax.default_backend() in ("cpu",):
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": cfg.pallas_scoped_vmem_kib}
 
 
 def tuned_overrides(num_particles: int) -> dict:

@@ -131,9 +131,14 @@ class Simulator:
         self._impulse = make_impulse(cfg)
         self._chunk_cache = {}
         if self.backend in ("cell_list", "pallas"):
+            from tpusph.core.config import compiler_opts
+
             upd = update_phase_pallas if self.backend == "pallas" else update_phase
+            copts = compiler_opts(cfg)
             self._build = jax.jit(lambda s: build_phase(s, cfg))
-            self._update = jax.jit(lambda s, cl: upd(s, cl, cfg))
+            self._update = jax.jit(
+                lambda s, cl: upd(s, cl, cfg), compiler_options=copts
+            )
         else:
             self._build = None
             self._update = None
@@ -256,8 +261,11 @@ class Simulator:
             return fn
         cfg = self.cfg
         step = BACKENDS[self.backend]
+        from functools import partial
 
-        @jax.jit
+        from tpusph.core.config import compiler_opts
+
+        @partial(jax.jit, compiler_options=compiler_opts(cfg))
         def chunk(state, cells, gains):
             def body(s, inp):
                 cell, gain = inp

@@ -371,9 +371,13 @@ BACKENDS = {
 def make_step(cfg: SimConfig, backend: str = "cell_list"):
     """Jitted `state -> (state, aux)` with cfg baked in as a static constant
     (the analog of CUDA __constant__ deviceSettings, simulator.cu:19)."""
+    from functools import partial
+
+    from tpusph.core.config import compiler_opts
+
     fn = BACKENDS[backend]
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=compiler_opts(cfg))
     def step(state: FluidState):
         return fn(state, cfg)
 

@@ -729,14 +729,18 @@ def _stack_cols(rows: list[jnp.ndarray], total_rows: int, col_cap: int, key_row:
 def _cand_slots(cfg: SimConfig, rows: int) -> int:
     """Candidate-buffer slots: 2 (double-buffered across programs — the
     next super-tile streams in while this one computes) unless that would
-    exceed the 16 MB scoped-VMEM budget (measured compile limit on v5e;
-    2M-class window capacities hit it) — then 1, with each program paying
-    its own DMA latency (compute-dominated at those sizes)."""
+    exceed the scoped-VMEM budget (16 MiB by default — the measured
+    compile limit on v5e; 2M-class window capacities hit it) — then 1,
+    with each program paying its own DMA latency (compute-dominated at
+    those sizes). The budget tracks cfg.pallas_scoped_vmem_kib (forwarded
+    to the compiler via compiler_opts), less 1 MiB of headroom for the
+    kernels' other scratch."""
     nbuf = len(_sup_stencil(cfg)[0])
     lanes = nbuf * cfg.pallas_col_capacity + (
         cfg.pallas_block_lanes if cfg.pallas_desc else 0
     )
-    return 1 if 2 * rows * lanes * 4 > 15 * 2**20 else 2
+    budget = (cfg.pallas_scoped_vmem_kib - 1024) * 1024
+    return 1 if 2 * rows * lanes * 4 > budget else 2
 
 
 def _super_dma_pipeline(
