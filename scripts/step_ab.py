@@ -109,6 +109,14 @@ VARIANTS = {
     # are hybrid's regime). Needs sub_blocks sized in LANES for the
     # ranged bound.
     "hyb": {"pallas_stencil": "hybrid", "pallas_sub_blocks": 40},
+    # slim 8-row force candidate layout (p·i2r derived per block): halves
+    # the force window DMA volume and per-block load width; restores
+    # double-buffering at 2M capacities (see config.pallas_force_slim)
+    "slim": {"pallas_force_slim": True},
+    # density narrow block load: only the 4 used rows per dynamic load
+    "dnl": {"pallas_density_narrow_load": True},
+    "slimdnl": {"pallas_force_slim": True,
+                "pallas_density_narrow_load": True},
 }
 
 

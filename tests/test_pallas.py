@@ -292,6 +292,68 @@ def test_density_lane_split_matches_plain():
         )
 
 
+def test_force_slim_matches_plain():
+    """Slim 8-row force candidate layout: the dropped p·1/(2ρ) row is
+    recovered per block as max(0, ½k − kρ₀·i2r). Since ρ·i2r ≡ ½ only to
+    1 ulp, force matches to tight float tolerance (≪ the 1e-4 physics
+    budget); density is untouched and must be bit-identical. Covers the
+    fast path, the slab3 slow path, and the hybrid slab_ranged slow path
+    (sub_fast forced off), with and without the descriptor loop and the
+    split/fold/lane-split machinery on top."""
+    import dataclasses
+
+    for stencil, extra in (
+        ("slab3", {}),
+        ("hybrid", {}),
+        ("slab3", {"pallas_desc": True, "pallas_desc_blocks": 48,
+                   "pallas_desc_unroll": 2}),
+        ("slab3", {"pallas_force_fold": True, "pallas_force_split": True,
+                   "pallas_force_lane_split": True}),
+    ):
+        base = default_config(
+            512, chunk_size=512, pallas_col_capacity=512,
+            pallas_sub_blocks=4, pallas_stencil=stencil,
+            pallas_block_lanes=256, **extra,
+        )
+        st = init_state(base, random_init=True, seed=7)
+        a, _ = jax.jit(lambda s, c=base: step_pallas(s, c, interpret=True))(st)
+        slim = dataclasses.replace(base, pallas_force_slim=True)
+        b, _ = jax.jit(lambda s, c=slim: step_pallas(s, c, interpret=True))(st)
+        np.testing.assert_array_equal(
+            np.asarray(a.density), np.asarray(b.density),
+            err_msg=f"{stencil} {extra} density",
+        )
+        fa, fb = np.asarray(a.force), np.asarray(b.force)
+        scale = np.abs(fa).max() or 1.0
+        np.testing.assert_allclose(
+            fb, fa, atol=2e-5 * scale,
+            err_msg=f"{stencil} {extra} force",
+        )
+
+
+def test_density_narrow_load_matches_plain():
+    """The 4-row narrow block load only drops sublane rows the kernel
+    never reads — bit-identical on every stencil, fast and slow paths."""
+    import dataclasses
+
+    for stencil in ("col9", "slab3", "hybrid"):
+        base = default_config(
+            512, chunk_size=512, pallas_col_capacity=512,
+            pallas_sub_blocks=4, pallas_stencil=stencil,
+            pallas_block_lanes=256,
+        )
+        st = init_state(base, random_init=True, seed=7)
+        a, _ = jax.jit(lambda s, c=base: step_pallas(s, c, interpret=True))(st)
+        nl = dataclasses.replace(base, pallas_density_narrow_load=True)
+        b, _ = jax.jit(lambda s, c=nl: step_pallas(s, c, interpret=True))(st)
+        np.testing.assert_array_equal(
+            np.asarray(a.density), np.asarray(b.density), err_msg=stencil
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.force), np.asarray(b.force), err_msg=stencil
+        )
+
+
 def test_pallas_desc_blocks_fallback_correct():
     """Tiles whose block total exceeds pallas_desc_blocks must fall back to
     the select-chain branch with IDENTICAL physics (MB is a performance

@@ -195,6 +195,24 @@ class SimConfig:
     # two half contributions before the carry add reproduces the fold's
     # exact add tree, so the result is bit-identical.
     pallas_force_lane_split: bool = False
+    # Slim force candidate layout: 8 DMA'd sublane rows
+    # (x, y, z, vx, vy, vz, 1/(2ρ), key) instead of 16 (9 fields padded to
+    # the sublane tile). The dropped p·1/(2ρ) row is recovered ONCE PER
+    # BLOCK from the i2r row as max(0, ½k − kρ₀·i2r) — algebraically
+    # p_j/(2ρ_j) with ρ·i2r ≡ ½ (≤1 ulp; well inside the 1e-4 parity
+    # budget), and the max reproduces the p ≥ 0 clamp exactly. Halves the
+    # force pass's HBM→VMEM window DMA volume AND the per-block wide
+    # dynamic-offset load width, and halves the candidate buffer so
+    # 2M-class capacities double-buffer again (_cand_slots). Padding/
+    # parking lanes stay finite: i2r = 0 ⇒ pi2r = ½k, killed by
+    # hr = 0 exactly as any out-of-support lane.
+    pallas_force_slim: bool = False
+    # Density-kernel narrow block load: load only the 4 used candidate
+    # rows (x, y, z, key) per block instead of the full 8-row sublane
+    # tile. Semantically identical — rows 4..7 are zero padding the
+    # kernel never reads; this only narrows the per-block dynamic-offset
+    # VMEM load.
+    pallas_density_narrow_load: bool = False
     # Density-kernel analog of the split-target experiment: number of
     # sequential target slices per block (1 = off). The density block's
     # live set (dx/dy/dz + the (pt, bl) carry) also brushes the VREG file

@@ -1028,8 +1028,13 @@ def _density_kernel(*refs, cfg, geom):
                 # ONE wide dynamic-offset load per block: (8, bl) brings all
                 # candidate rows; per-row (1, bl) slices of the loaded value
                 # are static sublane extracts (dynamic-offset VMEM slices
-                # cost ~40 ns each on this stack — scripts/loop_probe.py)
-                cblk = cand[slot, :, sl]
+                # cost ~40 ns each on this stack — scripts/loop_probe.py).
+                # narrow_load: only rows 0..3 (x, y, z, key) are ever read —
+                # rows 4..7 are sublane-tile zero padding.
+                if cfg.pallas_density_narrow_load:
+                    cblk = cand[slot, 0:4, sl]
+                else:
+                    cblk = cand[slot, :, sl]
                 cx = cblk[0:1, :]
                 cy = cblk[1:2, :]
                 cz = cblk[2:3, :]
@@ -1207,11 +1212,24 @@ def _prefetch_args(cols_info: TileColumns, cfg: SimConfig):
 _FX, _FY, _FZ, _FVX, _FVY, _FVZ, _FI2R, _FPI2R, _FKEY = range(9)
 
 
+def _force_rows(cfg: SimConfig) -> tuple[int, int]:
+    """(total sublane rows, key row) of the force candidate matrix.
+    Default: 9 fields padded to the next sublane multiple (16). Slim
+    (cfg.pallas_force_slim): the p·1/(2ρ) row is derived per block from
+    the i2r row instead of shipped, leaving exactly 8 rows
+    (x, y, z, vx, vy, vz, i2r, key) — half the window DMA volume and
+    half the per-block load width."""
+    if cfg.pallas_force_slim:
+        return 8, 7
+    return 16, _FKEY
+
+
 def _force_kernel(*refs, cfg, geom):
     i = pl.program_id(0)
     pt, g = geom
+    rows, fkey = _force_rows(cfg)
     tb, sup_start_ref, sup_cnt_ref, tgt_ref, cols_hbm, f_ref, cand, sem = (
-        _unpack_refs(refs, cfg, geom, 16)
+        _unpack_refs(refs, cfg, geom, rows)
     )
     col_cap = cfg.pallas_col_capacity
     h = jnp.float32(cfg.h)
@@ -1221,13 +1239,13 @@ def _force_kernel(*refs, cfg, geom):
     mu = jnp.float32(cfg.viscosity)
     nbuf = len(_sup_stencil(cfg)[0])
     kind = _slot_plan(cfg)[0][3]  # uniform mask kind across slots
-    nslots = _cand_slots(cfg, 16)
+    nslots = _cand_slots(cfg, rows)
     wait, slot = _super_dma_pipeline(
         i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf,
         nslots,
     )
     if cfg.pallas_desc:
-        _init_parking(i, cand, nbuf, col_cap, 16, _FKEY, cfg, nslots)
+        _init_parking(i, cand, nbuf, col_cap, rows, fkey, cfg, nslots)
 
     for c in range(nbuf):
         wait(c)
@@ -1278,9 +1296,23 @@ def _force_kernel(*refs, cfg, geom):
                     )
                     local = b - cb
                     sl = pl.ds(pl.multiple_of(base + local * bl, 128), bl)
-                # one wide (16, bl) dynamic-offset load; rows are static
+                # one wide (rows, bl) dynamic-offset load; rows are static
                 # sublane extracts (see the density-kernel note)
                 cblk = cand[slot, :, sl]
+                if cfg.pallas_force_slim:
+                    # recover the dropped p·1/(2ρ) row ONCE PER BLOCK
+                    # (shared by every target slice / lane half):
+                    # p/(2ρ) = k(ρ−ρ₀)·i2r = ½k − kρ₀·i2r via ρ·i2r ≡ ½
+                    # (≤1 ulp), with the max reproducing the p ≥ 0 clamp.
+                    # i2r = 0 padding/parking lanes give ½k — finite, and
+                    # killed by hr = 0 like any out-of-support lane.
+                    gk = jnp.float32(cfg.gas_constant)
+                    pi2r_blk = jnp.maximum(
+                        0.0,
+                        0.5 * gk
+                        - (gk * jnp.float32(cfg.rest_density))
+                        * cblk[_FI2R : _FI2R + 1, :],
+                    )
 
                 def pair(ts, ls, lw):
                     """(cx, cy, cz) contributions of candidate lanes
@@ -1310,7 +1342,7 @@ def _force_kernel(*refs, cfg, geom):
                         live = r >= eps
                     else:
                         keyhit = _key_mask(
-                            row(_FKEY), tkey[ts] + off, kind, cfg
+                            row(fkey), tkey[ts] + off, kind, cfg
                         )
                         if kind == "slab_ranged":
                             # hybrid: bound lanes to the true range — see
@@ -1333,7 +1365,13 @@ def _force_kernel(*refs, cfg, geom):
                     # deferred-scale the density kernel uses) — one fewer
                     # multiply per pair; rounding changes within the 1e-4
                     # parity budget.
-                    term = tp[ts] * row(_FI2R) + row(_FPI2R)
+                    if cfg.pallas_force_slim:
+                        term = (
+                            tp[ts] * row(_FI2R)
+                            + pi2r_blk[:, ls : ls + lw]
+                        )
+                    else:
+                        term = tp[ts] * row(_FI2R) + row(_FPI2R)
                     s_p = jnp.where(live, term * hr * hr * inv_r, 0.0)
                     # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
                     # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
@@ -1406,18 +1444,17 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
 
     key_f = key_s.astype(jnp.float32)
     inv2rho = 0.5 / rho_s
-    cols = _stack_cols(
-        [
-            x[None, :], y[None, :], z[None, :],
-            vx[None, :], vy[None, :], vz[None, :],
-            inv2rho[None, :],
-            (p_s * inv2rho)[None, :],
-            key_f[None, :],
-        ],
-        16,
-        col_cap,
-        key_row=_FKEY,
-    )
+    rows, fkey = _force_rows(cfg)
+    field_rows = [
+        x[None, :], y[None, :], z[None, :],
+        vx[None, :], vy[None, :], vz[None, :],
+        inv2rho[None, :],
+    ]
+    if not cfg.pallas_force_slim:
+        # p·1/(2ρ) precomputed per particle; slim derives it per block
+        field_rows.append((p_s * inv2rho)[None, :])
+    field_rows.append(key_f[None, :])
+    cols = _stack_cols(field_rows, rows, col_cap, key_row=fkey)
     tgts = jnp.stack([x, y, z, vx, vy, vz, p_s, key_f], axis=1)  # (n, 8)
 
     nbuf = len(_sup_stencil(cfg)[0])
@@ -1429,11 +1466,11 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
     inputs = [tgts, cols]
     scratch = [
         pltpu.VMEM(
-            (_cand_slots(cfg, 16), 16, nbuf * col_cap
+            (_cand_slots(cfg, rows), rows, nbuf * col_cap
              + (cfg.pallas_block_lanes if cfg.pallas_desc else 0)),
             jnp.float32,
         ),
-        pltpu.SemaphoreType.DMA((_cand_slots(cfg, 16), nbuf, 2)),
+        pltpu.SemaphoreType.DMA((_cand_slots(cfg, rows), nbuf, 2)),
     ]
     if cfg.pallas_stream_desc:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
