@@ -117,6 +117,14 @@ VARIANTS = {
     "dnl": {"pallas_density_narrow_load": True},
     "slimdnl": {"pallas_force_slim": True,
                 "pallas_density_narrow_load": True},
+    # force u4 retry under slim: the halved per-block load may be the VREG
+    # relief the earlier u4 attempts (plain, fs4u4, lsu4) lacked
+    "slimu4": {"pallas_force_slim": True, "pallas_desc_unroll_force": 4},
+    # maskless ranged slow path (hybrid): prep-trimmed disjoint ranges
+    # make the slab key mask droppable — ~8 fewer VPU ops/pair on the
+    # 36-45% slow subs of the 1M/2M pile-up regime
+    "rml": {"pallas_ranged_maskless": True},
+    "rmlslim": {"pallas_ranged_maskless": True, "pallas_force_slim": True},
 }
 
 

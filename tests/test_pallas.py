@@ -354,6 +354,104 @@ def test_density_narrow_load_matches_plain():
         )
 
 
+def test_ranged_maskless_matches_masked():
+    """Maskless ranged slow path (hybrid): with prep-trimmed pairwise-
+    disjoint ranges the per-lane [lead, cnt) bound alone counts every
+    stencil pair exactly once, and the distance cutoffs supply exact
+    physics for whatever else the ranges scan. Forced all-slow so the
+    slow branch actually runs. Dense (grid) init keeps tile spans below
+    the slab-overlap threshold → the trim is a no-op and results are
+    BIT-identical; sparse (random) init at 512 particles in 10³ cells
+    produces tile spans > C²−2C−3 → the trim actively moves lanes
+    between plane windows (summation order changes), so compare to tight
+    float tolerance AND against the untrimmed masked path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpusph.neighbors.cell_list import build_sorted_fields
+    from tpusph.pallas.fused import (
+        density_pallas,
+        force_pallas,
+        supertile_columns,
+    )
+    from tpusph.physics.kernels import pressure_from_density
+
+    for init_random, exact in ((False, True), (True, False)):
+        base = default_config(
+            512, chunk_size=512, pallas_col_capacity=1024,
+            pallas_sub_blocks=8, pallas_stencil="hybrid",
+            pallas_block_lanes=128,
+        )
+        st = init_state(base, random_init=init_random, seed=11)
+        sf = jax.jit(
+            lambda s, cfg=base: build_sorted_fields(
+                s.position, s.velocity, s.valid, cfg
+            )
+        )(st)
+        outs = {}
+        for ml in (False, True):
+            cfg = dataclasses.replace(base, pallas_ranged_maskless=ml)
+            cols = jax.jit(
+                lambda sf, cfg=cfg: supertile_columns(
+                    sf.key_sorted, sf.valid_sorted, sf.starts, cfg
+                )
+            )(sf)
+            assert int(cols.overflow) == 0
+            cols = cols._replace(sub_fast=jnp.zeros_like(cols.sub_fast))
+            xyz = (sf.x, sf.y, sf.z)
+            rho = density_pallas(xyz, sf.key_sorted, cols, cfg,
+                                 interpret=True)
+            rho_c, p_c = pressure_from_density(rho, cfg)
+            rho_c = jnp.where(sf.valid_sorted, rho_c, 1.0)
+            p_c = jnp.where(sf.valid_sorted, p_c, 0.0)
+            f = force_pallas(
+                xyz, (sf.vx, sf.vy, sf.vz), rho_c, p_c, sf.key_sorted,
+                cols, cfg, interpret=True,
+            )
+            outs[ml] = (np.asarray(rho), np.asarray(f))
+        tag = "grid" if not init_random else "random"
+        if exact:
+            np.testing.assert_array_equal(outs[True][0], outs[False][0],
+                                          err_msg=f"{tag} density")
+            np.testing.assert_array_equal(outs[True][1], outs[False][1],
+                                          err_msg=f"{tag} force")
+        else:
+            np.testing.assert_allclose(outs[True][0], outs[False][0],
+                                       rtol=1e-6, err_msg=f"{tag} density")
+            fscale = np.abs(outs[False][1]).max() or 1.0
+            np.testing.assert_allclose(
+                outs[True][1], outs[False][1], atol=2e-5 * fscale,
+                err_msg=f"{tag} force",
+            )
+
+
+def test_ranged_maskless_full_step_matches_cell_list():
+    """Ground truth: a full maskless-hybrid step (natural fast/slow mix)
+    must match the independent XLA cell-list step within the physics
+    parity budget, on both dense and sparse inits."""
+    import dataclasses
+
+    for init_random in (False, True):
+        cfg = default_config(
+            512, chunk_size=512, pallas_col_capacity=1024,
+            pallas_sub_blocks=8, pallas_stencil="hybrid",
+            pallas_block_lanes=128, pallas_ranged_maskless=True,
+        )
+        st = init_state(cfg, random_init=init_random, seed=3)
+        ref, _ = jax.jit(lambda s, c=cfg: step_cell_list(s, c))(st)
+        got, aux = jax.jit(
+            lambda s, c=cfg: step_pallas(s, c, interpret=True)
+        )(st)
+        assert int(aux.window_overflow) == 0
+        np.testing.assert_allclose(
+            np.asarray(got.density), np.asarray(ref.density), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.position), np.asarray(ref.position), atol=1e-4
+        )
+
+
 def test_pallas_desc_blocks_fallback_correct():
     """Tiles whose block total exceeds pallas_desc_blocks must fall back to
     the select-chain branch with IDENTICAL physics (MB is a performance

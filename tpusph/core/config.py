@@ -207,6 +207,23 @@ class SimConfig:
     # parking lanes stay finite: i2r = 0 ⇒ pi2r = ½k, killed by
     # hr = 0 exactly as any out-of-support lane.
     pallas_force_slim: bool = False
+    # Maskless ranged slow path (hybrid stencil only): drop the in-kernel
+    # slab key mask from the slow branch, relying on EXACT, PAIRWISE-
+    # DISJOINT per-slot lane ranges instead. Correctness argument: a
+    # scanned pair's contribution is exact physics through the folded
+    # r ≤ h cutoffs whatever window scanned it (out-of-stencil lanes are
+    # ≥ 2 cells away on some axis → r ≥ h → exactly 0), so the key mask's
+    # ONLY job is preventing the same candidate lane being scanned twice
+    # per sub. col-mode ranges are disjoint by the span ≤ C−3 mode gate;
+    # slab plane ranges can only overlap at tile spans > C²−2C−3
+    # (ultra-sparse tiles), which prep resolves by TRIMMING each plane's
+    # lead to the previous plane's end (union — and thus coverage — is
+    # unchanged; the pair moves to the earlier window's scan). Saves ~8
+    # VPU ops/pair on the slow branch — the 1M/2M pile-up regime runs
+    # 36–45% of subs slow. The trim is coupled to the flag: with the key
+    # mask ON, a pair is accepted only in the window matching its key
+    # diff, so trimming would LOSE pairs; maskless REQUIRES the trim.
+    pallas_ranged_maskless: bool = False
     # Density-kernel narrow block load: load only the 4 used candidate
     # rows (x, y, z, key) per block instead of the full 8-row sublane
     # tile. Semantically identical — rows 4..7 are zero padding the

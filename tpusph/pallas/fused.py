@@ -653,6 +653,23 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig,
     slab_cnt, slab_excess = _clamp_sub(slab_base, slab_cnt, cfg)
     col_cnt, col_excess = _clamp_sub(col_base, col_cnt, cfg)
 
+    if cfg.pallas_ranged_maskless:
+        # Maskless slow path: per-slot scan ranges must be pairwise
+        # DISJOINT so no candidate lane is scanned twice per sub (see
+        # config.pallas_ranged_maskless). col ranges are disjoint by the
+        # span ≤ C−3 mode gate; slab plane ranges only overlap at tile
+        # spans > C²−2C−3 — trim each plane's lead to the previous
+        # plane's scan end (coverage unchanged: trimmed lanes are exactly
+        # the ones the previous plane already scans).
+        run = slab_start[:, 0] + slab_cnt[:, 0]
+        leads = [slab_lead[:, 0]]
+        for w in (1, 2):
+            leads.append(
+                jnp.maximum(slab_lead[:, w], run - slab_start[:, w])
+            )
+            run = jnp.maximum(run, slab_start[:, w] + slab_cnt[:, w])
+        slab_lead = jnp.stack(leads, axis=1)
+
     span_ok = (kmax - kmin) <= (c - 3)
     blocks_slab = jnp.sum(-(-slab_cnt // bl), axis=1)
     blocks_col = jnp.sum(-(-col_cnt // bl), axis=1)
@@ -1063,20 +1080,28 @@ def _density_kernel(*refs, cfg, geom):
                     # lead-in lanes carry keys below the accepted set,
                     # beyond-window lanes carry keys above it or KEY_PAD —
                     # the key mask rejects all.
-                    keyhit = _key_mask(
-                        ck[:, ls : ls + lw], tkey[ts] + off, kind, cfg
-                    )
                     if kind == "slab_ranged":
-                        # hybrid: the plane-wide slab mask cannot separate
-                        # a col window from its neighbors' lead-in/tail
-                        # lanes — bound lanes to the true range [lead, cnt)
+                        # hybrid: bound lanes to the true range [lead, cnt)
+                        # (the plane-wide slab mask cannot separate a col
+                        # window from its neighbors' lead-in/tail lanes)
                         li = (
                             local * bl + ls
                             + jax.lax.broadcasted_iota(
                                 jnp.int32, (1, lw), 1
                             )
                         )
-                        keyhit = keyhit & (li >= lead) & (li < cnt)
+                        keyhit = (li >= lead) & (li < cnt)
+                        if not cfg.pallas_ranged_maskless:
+                            # with prep-trimmed disjoint ranges the bound
+                            # alone is exact (config.pallas_ranged_maskless)
+                            keyhit = keyhit & _key_mask(
+                                ck[:, ls : ls + lw], tkey[ts] + off, kind,
+                                cfg,
+                            )
+                    else:
+                        keyhit = _key_mask(
+                            ck[:, ls : ls + lw], tkey[ts] + off, kind, cfg
+                        )
                     return jnp.where(keyhit, w, 0.0)
 
                 out = []
@@ -1341,9 +1366,6 @@ def _force_kernel(*refs, cfg, geom):
                     if fast:
                         live = r >= eps
                     else:
-                        keyhit = _key_mask(
-                            row(fkey), tkey[ts] + off, kind, cfg
-                        )
                         if kind == "slab_ranged":
                             # hybrid: bound lanes to the true range — see
                             # the density kernel note
@@ -1353,7 +1375,15 @@ def _force_kernel(*refs, cfg, geom):
                                     jnp.int32, (1, lw), 1
                                 )
                             )
-                            keyhit = keyhit & (li >= lead) & (li < cnt)
+                            keyhit = (li >= lead) & (li < cnt)
+                            if not cfg.pallas_ranged_maskless:
+                                keyhit = keyhit & _key_mask(
+                                    row(fkey), tkey[ts] + off, kind, cfg
+                                )
+                        else:
+                            keyhit = _key_mask(
+                                row(fkey), tkey[ts] + off, kind, cfg
+                            )
                         live = keyhit & (r >= eps)
                     hr = jnp.maximum(h - r, 0.0)
                     # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the
