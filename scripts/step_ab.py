@@ -125,6 +125,12 @@ VARIANTS = {
     # 36-45% slow subs of the 1M/2M pile-up regime
     "rml": {"pallas_ranged_maskless": True},
     "rmlslim": {"pallas_ranged_maskless": True, "pallas_force_slim": True},
+    # slow-branch unroll 4 for density (force stays 2, like the desc-path
+    # unroll split) on top of the adopted rml+slim
+    "rmlslimsu4": {
+        "pallas_ranged_maskless": True, "pallas_force_slim": True,
+        "pallas_slow_unroll": 4, "pallas_slow_unroll_force": 2,
+    },
 }
 
 

@@ -86,6 +86,7 @@ def test_config_overrides_presets():
         "pallas_force_split": True, "pallas_force_split_factor": 4,
         "pallas_query_rank": True, "pallas_slow_unroll": 2,
         "pallas_stream_desc": True, "pallas_desc_blocks": 32,
+        "pallas_ranged_maskless": True, "pallas_force_slim": True,
     }
     kw2 = config_overrides(2_097_152, {})
     assert kw2["pallas_stream_desc"] is True

@@ -75,6 +75,9 @@ def test_tuned_config_presets_and_overrides():
     assert big.pallas_slow_unroll == 2
     assert tuned_config(2_097_152).pallas_slow_unroll == 2
     assert small.pallas_slow_unroll == 1
+    # 1M adopts the maskless ranged slow path + slim force layout
+    # (full-trajectory A/B 22.87->23.73 steps/s)
+    assert big.pallas_ranged_maskless and big.pallas_force_slim
     # explicit kwargs always win over the preset
     over = tuned_config(65536, pallas_desc=False, pallas_desc_unroll=1,
                         pallas_desc_unroll_force=0, pallas_force_fold=False,

@@ -788,8 +788,14 @@ def test_slow_unroll_matches_plain():
             )
         )(st)
         outs = {}
-        for su in (1, 2):
-            cfg = dataclasses.replace(base, pallas_slow_unroll=su)
+        # (shared unroll, force override): 4/2 exercises the multi-parking-
+        # row chain pad AND per-kernel asymmetric factors
+        for su in (1, 2, 4, (4, 2)):
+            shared, fsu = su if isinstance(su, tuple) else (su, 0)
+            cfg = dataclasses.replace(
+                base, pallas_slow_unroll=shared,
+                pallas_slow_unroll_force=fsu,
+            )
             cols = jax.jit(
                 lambda sf, cfg=cfg: supertile_columns(
                     sf.key_sorted, sf.valid_sorted, sf.starts, cfg
@@ -807,7 +813,8 @@ def test_slow_unroll_matches_plain():
                 cfg, interpret=True,
             )
             outs[su] = (np.asarray(rho), np.asarray(f))
-        np.testing.assert_array_equal(outs[2][0], outs[1][0],
-                                      err_msg=f"{stencil} density")
-        np.testing.assert_array_equal(outs[2][1], outs[1][1],
-                                      err_msg=f"{stencil} force")
+        for su in (2, 4, (4, 2)):
+            np.testing.assert_array_equal(outs[su][0], outs[1][0],
+                                          err_msg=f"{stencil} {su} density")
+            np.testing.assert_array_equal(outs[su][1], outs[1][1],
+                                          err_msg=f"{stencil} {su} force")

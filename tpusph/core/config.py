@@ -153,6 +153,10 @@ class SimConfig:
     # pile-up regime (fast coverage 63.5% at 1M step 90, 100% at 262k —
     # scripts/fast_frac.py). Factor 2 only (one parking block).
     pallas_slow_unroll: int = 1
+    # Force-kernel slow-unroll override (0 = same as pallas_slow_unroll),
+    # mirroring pallas_desc_unroll_force: the force kernel is VREG-bound
+    # and u4 measured worse there in every desc-path combination.
+    pallas_slow_unroll_force: int = 0
     # Starts-table rank kernel (pallas/starts.py): replaces the bincount
     # scatter-add (≈7 ns/particle on this stack — the whole build-phase
     # cost at 1M) with a no-scatter Pallas outer-compare over the sorted
@@ -288,6 +292,12 @@ class SimConfig:
         return self.pallas_desc_unroll_force or self.pallas_desc_unroll
 
     @property
+    def slow_unroll_force(self) -> int:
+        """Force-kernel slow-branch unroll (falls back to the shared
+        factor)."""
+        return self.pallas_slow_unroll_force or self.pallas_slow_unroll
+
+    @property
     def max_desc_unroll(self) -> int:
         """Descriptor-padding granularity: a padded count divisible by the
         larger factor is divisible by the smaller (both are powers of 2)."""
@@ -353,10 +363,14 @@ class SimConfig:
             raise ValueError("pallas_desc_unroll_force must be 0, 1, 2 or 4")
         if self.pallas_desc_unroll > 1 and not self.pallas_desc:
             raise ValueError("pallas_desc_unroll needs pallas_desc=True")
-        if self.pallas_slow_unroll not in (1, 2):
+        if self.pallas_slow_unroll not in (1, 2, 4):
             raise ValueError(
-                "pallas_slow_unroll must be 1 or 2 (one parking block "
-                "absorbs at most one pad block per sub)"
+                "pallas_slow_unroll must be 1, 2 or 4 (the chain pads "
+                "with slow_unroll-1 parking rows)"
+            )
+        if self.pallas_slow_unroll_force not in (0, 1, 2, 4):
+            raise ValueError(
+                "pallas_slow_unroll_force must be 0, 1, 2 or 4"
             )
         if self.pallas_slow_unroll > 1 and not self.pallas_desc:
             raise ValueError(
@@ -518,6 +532,14 @@ def tuned_overrides(num_particles: int) -> dict:
             # subs run slow at step 90 (fast_frac probe) — FULL-step A/B
             # 60.81→56.62 ms there, 39.17→38.82 at step 30; bit-identical
             "pallas_slow_unroll": 2,
+            # maskless ranged slow path + slim force layout (round 3,
+            # session 2): full-trajectory A/B 22.87→23.73 steps/s (rml
+            # alone 23.69, slim alone 22.92; step-90 FULL 54.30→50.38 ms,
+            # bit-identical densities) — maskless drops ~8 VPU ops/pair
+            # from the 44%-slow pile-up subs, slim halves the force
+            # window DMA volume and per-block load width
+            "pallas_ranged_maskless": True,
+            "pallas_force_slim": True,
         }
     return {
         # 64x32 geometry: halving the program count at doubled column

@@ -896,7 +896,7 @@ def _slot_plan(cfg: SimConfig):
 
 # ---------------------------------------------------------------- density
 
-def _slot_scalars(sub, tb, cfg):
+def _slot_scalars(sub, tb, cfg, su=None):
     """Per-sub scalar descriptors for the FLAT block loop: each kernel runs
     ONE fori_loop over the concatenation of every slot's blocks instead of
     one fori_loop per slot. Threading a large accumulator carry through
@@ -924,17 +924,24 @@ def _slot_scalars(sub, tb, cfg):
         starts_blk.append(cb)
         rows.append((base, lead, cnt, cb, jnp.float32(off)))
         cb = cb + blocks
-    if cfg.pallas_slow_unroll > 1:
-        # parking row: flat block `cb` (the unroll pad — at most one block
-        # for factor 2) resolves here and scans the zeroed parking block
-        # appended after the DMA windows. Its contribution is exactly zero
-        # through the distance cutoffs regardless of the key mask (parked
-        # positions sit ≥ 0.17 from any valid target); lead=0/cnt=bl keep
-        # the slab_ranged lane bound from excluding what is already zero.
+    if su is None:
+        su = cfg.pallas_slow_unroll
+    if su > 1:
+        # parking rows: flat blocks cb..cb+su−2 (the unroll pad — at most
+        # su−1 blocks) each resolve to their OWN row (so `local` is always
+        # 0) and scan the zeroed parking block appended after the DMA
+        # windows. A pad block's contribution is exactly zero through the
+        # distance cutoffs regardless of the key mask (parked positions
+        # sit ≥ 0.17 from any valid target); lead=0/cnt=bl keep the
+        # slab_ranged lane bound from excluding what is already zero.
         nbuf = len(_sup_stencil(cfg)[0])
         park = jnp.int32(nbuf * cfg.pallas_col_capacity)
-        starts_blk.append(cb)
-        rows.append((park, jnp.int32(0), jnp.int32(bl), cb, jnp.float32(0)))
+        for k in range(su - 1):
+            cbk = cb + jnp.int32(k)
+            starts_blk.append(cbk)
+            rows.append(
+                (park, jnp.int32(0), jnp.int32(bl), cbk, jnp.float32(0))
+            )
     return starts_blk, rows, cb
 
 
@@ -1128,8 +1135,8 @@ def _density_kernel(*refs, cfg, geom):
             if use_desc:
                 return _unrolled_fori(total, blk, init, cfg.pallas_desc_unroll)
             if cfg.pallas_slow_unroll > 1:
-                # pad the chain trip count onto the parking row (one pad
-                # block max — see _slot_scalars) so the slow branch gets
+                # pad the chain trip count onto the parking rows (su−1 pad
+                # blocks max — see _slot_scalars) so the slow branch gets
                 # the same dead-block unroll the descriptor loop has
                 su = cfg.pallas_slow_unroll
                 return _unrolled_fori(pl.cdiv(total, su) * su, blk, init, su)
@@ -1284,7 +1291,7 @@ def _force_kernel(*refs, cfg, geom):
         tvz = tgt_ref[t0 : t0 + pt, 5:6]
         tp = tgt_ref[t0 : t0 + pt, 6:7]
         tkey = tgt_ref[t0 : t0 + pt, 7:8]
-        chain = _slot_scalars(sub, tb, cfg)
+        chain = _slot_scalars(sub, tb, cfg, su=cfg.slow_unroll_force)
 
         def sub_force(fast, tx=tx, ty=ty, tz=tz, tvx=tvx, tvy=tvy, tvz=tvz,
                       tp=tp, tkey=tkey, sub=sub, chain=chain):
@@ -1438,9 +1445,9 @@ def _force_kernel(*refs, cfg, geom):
             init = (zero,) * (3 * len(halves))
             if use_desc:
                 return _unrolled_fori(total, blk, init, cfg.force_unroll)
-            if cfg.pallas_slow_unroll > 1:
-                # slow-branch unroll via the parking row (see _slot_scalars)
-                su = cfg.pallas_slow_unroll
+            if cfg.slow_unroll_force > 1:
+                # slow-branch unroll via the parking rows (_slot_scalars)
+                su = cfg.slow_unroll_force
                 return _unrolled_fori(pl.cdiv(total, su) * su, blk, init, su)
             return jax.lax.fori_loop(0, total, blk, init)
 
