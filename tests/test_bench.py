@@ -92,6 +92,8 @@ def test_config_overrides_presets():
     assert kw2["pallas_stream_desc"] is True
     assert kw2["pallas_desc_blocks"] == 32  # streamed-records A/B at 2M
     assert kw2["pallas_col_capacity"] == 65536
+    # -15% FULL-step A/B at both probes; slim re-enables double-buffering
+    assert kw2["pallas_ranged_maskless"] and kw2["pallas_force_slim"]
     # desc can be forced off (and the unroll preset goes with it)
     kw = config_overrides(262_144, {"TPUSPH_BENCH_DESC": "0"})
     assert kw["pallas_desc"] is False and "pallas_desc_unroll" not in kw

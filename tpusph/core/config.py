@@ -496,6 +496,15 @@ def tuned_overrides(num_particles: int) -> dict:
             # slow-branch unroll: the random-init 2M run lives in the
             # pile-up regime where 36-45% of subs run the select chain
             "pallas_slow_unroll": 2,
+            # maskless ranged slow path + slim force layout: FULL-step
+            # A/B 126.75→107.49 ms at step 30, 146.05→123.24 at step 90
+            # (−15%, bit-identical densities) — besides the maskless
+            # op savings, slim HALVES the force candidate buffer so the
+            # col=65536 capacity double-buffers inside scoped VMEM again
+            # (the single-slot fallback was costing every program its
+            # own DMA latency). slow-unroll 4 measured neutral (122.90)
+            "pallas_ranged_maskless": True,
+            "pallas_force_slim": True,
         }
     if num_particles >= 1_000_000:
         return {
