@@ -131,6 +131,10 @@ VARIANTS = {
         "pallas_ranged_maskless": True, "pallas_force_slim": True,
         "pallas_slow_unroll": 4, "pallas_slow_unroll_force": 2,
     },
+    # 1M group-doubling retry: the old g1Mb (g=32, col=65536) forced the
+    # 16-row force buffer to a single slot past scoped VMEM — slim halves
+    # it, so both kernels double-buffer at col=65536 now (12.6 MiB each)
+    "g32c64": {"pallas_group": 32, "pallas_col_capacity": 65536},
 }
 
 
