@@ -75,7 +75,7 @@ def test_config_overrides_presets():
         "pallas_desc_unroll": 4, "pallas_desc_unroll_force": 2,
         "pallas_force_fold": True, "pallas_force_split": True,
         "pallas_force_split_factor": 4, "pallas_force_lane_split": True,
-        "pallas_query_rank": True,
+        "pallas_query_rank": True, "pallas_force_slim": True,
     }
     kw = config_overrides(1_048_576, {})
     assert kw == {

@@ -573,6 +573,11 @@ def tuned_overrides(num_particles: int) -> dict:
         # candidate-lane split: half-width temps, bit-identical (262k
         # full-trajectory A/B 118.29 vs 117.17 steps/s)
         "pallas_force_lane_split": True,
+        # slim force layout: twice-positive on the full 262k trajectory
+        # (120.00 vs 119.89, 120.45 vs 120.11) and strictly less window
+        # DMA; decisive at the ≥1M tiers. Density narrow-load measured
+        # mixed-sign — left off.
+        "pallas_force_slim": True,
         # query-rank kernel over the prep lookups (pallas/qrank.py): FULL
         # step 7.91→7.08 ms at 262k step 0, 9.01→8.43 at 60, 11.07→10.38
         # at 90 (scripts/step_ab.py; bit-identical densities, 0 overflow)
