@@ -78,6 +78,12 @@ def test_tuned_config_presets_and_overrides():
     # 1M adopts the maskless ranged slow path + slim force layout
     # (full-trajectory A/B 22.87->23.73 steps/s)
     assert big.pallas_ranged_maskless and big.pallas_force_slim
+    # 4M-class: slim halves the candidate buffer so col=131072 fits scoped
+    # VMEM; the raised budget restores double-buffering (see _cand_slots)
+    huge = tuned_config(4_194_304)
+    assert huge.pallas_col_capacity == 131072
+    assert huge.pallas_force_slim and huge.pallas_stream_desc
+    assert huge.pallas_scoped_vmem_kib == 32768
     # explicit kwargs always win over the preset
     over = tuned_config(65536, pallas_desc=False, pallas_desc_unroll=1,
                         pallas_desc_unroll_force=0, pallas_force_fold=False,
@@ -95,7 +101,7 @@ def test_tuned_presets_enable_query_rank_and_padding_satisfies_gate():
     path otherwise, so the preset would silently not apply)."""
     from tpusph.core.config import tuned_config
 
-    for n in (1, 1000, 65536, 262_144, 1_048_576, 2_097_152):
+    for n in (1, 1000, 65536, 262_144, 1_048_576, 2_097_152, 4_194_304):
         cfg = tuned_config(n)
         assert cfg.pallas_query_rank
         assert cfg.padded_num_particles % 256 == 0

@@ -464,6 +464,38 @@ def tuned_overrides(num_particles: int) -> dict:
 
     Used by bench.py (plus TPUSPH_BENCH_* env on top) and the CLI (flags
     win), so `sph -n 1048576 -m time` gets the known-good config."""
+    if num_particles >= 4_000_000:
+        # 4M-class single chip (random init — the 0.9h lattice caps at
+        # 1.29M): the SLIM 8-row force layout halves the candidate buffer,
+        # so the col=131072 capacity the 4M pile-ups need fits the 16 MiB
+        # scoped-VMEM budget single-slot (8 rows × (3·131072+256) lanes ×
+        # 4 B ≈ 12.6 MiB; the 16-row layout's 25 MiB was the documented
+        # 4M blocker). Streamed per-program records keep SMEM O(1) in N.
+        return {
+            "pallas_stencil": "hybrid",
+            "pallas_tile": 128,
+            "pallas_group": 8,
+            "pallas_col_capacity": 131072,
+            "pallas_sub_blocks": 640,
+            "pallas_desc": True,
+            "pallas_desc_unroll": 4,
+            "pallas_desc_unroll_force": 2,
+            "pallas_force_fold": True,
+            "pallas_force_split": True,
+            "pallas_force_split_factor": 4,
+            "pallas_stream_desc": True,
+            "pallas_desc_blocks": 32,
+            "pallas_query_rank": True,
+            "pallas_qrank_kcap": 32768,
+            "pallas_slow_unroll": 2,
+            "pallas_ranged_maskless": True,
+            "pallas_force_slim": True,
+            # raised scoped-VMEM budget (v5e has 128 MiB VMEM; 16 MiB is
+            # only the compiler's default ceiling): lets the 12.6 MiB
+            # buffers double-buffer (2 slots ≈ 25 MiB) so programs don't
+            # serialize on their own window DMAs
+            "pallas_scoped_vmem_kib": 32768,
+        }
     if num_particles >= 2_000_000:
         # 2M-class single chip: the hybrid stencil's 9-slot SMEM tables no
         # longer fit the 1.00 MB SMEM budget at 16384+ tiles (measured:
