@@ -339,12 +339,9 @@ def main() -> None:
     # lattice caps at 1.29M particles in the 10^3 box — reference
     # simulator.cu:438-453 semantics); past the ceiling the fallback is
     # automatic so `TPUSPH_BENCH_N=2097152 python bench.py` just works
-    import numpy as _np
+    from tpusph.core.init import lattice_capacity
 
-    lattice_cap = (
-        int(_np.floor((_np.float32(cfg.box_dim) - 2 * _np.float32(cfg.h))
-                      / (_np.float32(0.9) * _np.float32(cfg.h)))) + 1
-    ) ** 3
+    lattice_cap = lattice_capacity(cfg)
     random_init = os.environ.get("TPUSPH_BENCH_INIT") == "random"
     if n > lattice_cap and not random_init:
         print(f"bench: N={n} exceeds the {lattice_cap} grid-lattice ceiling "

@@ -41,3 +41,18 @@ def test_init_state_padding_and_zeros():
     assert int(st.valid.sum()) == 1000
     assert float(np.abs(np.asarray(st.velocity)).max()) == 0.0
     assert float(np.abs(np.asarray(st.density)).max()) == 0.0
+
+
+def test_lattice_capacity_is_the_grid_init_boundary():
+    """lattice_capacity is exactly where grid_positions stops fitting — the
+    CLI/bench random-init fallback threshold (simulator.cu:438-453 math)."""
+    import pytest
+
+    from tpusph.core.init import lattice_capacity
+
+    cap = lattice_capacity(default_config(1000))
+    assert cap == 109**3  # 0.9h lattice in the 10^3 box
+    pos = grid_positions(default_config(cap))
+    assert pos.shape == (cap, 3)
+    with pytest.raises(ValueError):
+        grid_positions(default_config(cap + 1))

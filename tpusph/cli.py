@@ -145,6 +145,21 @@ def main(argv: list[str] | None = None) -> int:
     # e.g. `sph -n 1048576 -m time` lands on the known-good 1M config
     cfg = tuned_config(args.num_particles, **kw)
 
+    # grid init caps at the 0.9h lattice ceiling (~1.29M in the 10³ box);
+    # past it fall back to random init with a note, like bench.py does
+    random_init = args.init_mode == "random"
+    if not random_init:
+        from tpusph.core.init import lattice_capacity
+
+        cap = lattice_capacity(cfg)
+        if args.num_particles > cap:
+            print(
+                f"sph: N={args.num_particles} exceeds the {cap} grid-lattice "
+                "ceiling — using random init",
+                file=sys.stderr,
+            )
+            random_init = True
+
     if args.mesh is not None:
         from tpusph.dist.simulator import DistSimulator
 
@@ -158,7 +173,7 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
         sim = DistSimulator(
             cfg,
-            random_init=(args.init_mode == "random"),
+            random_init=random_init,
             seed=args.seed,
             mesh_shape=mesh_shape,
         )
@@ -168,7 +183,7 @@ def main(argv: list[str] | None = None) -> int:
         sim = Simulator(
             cfg,
             backend=args.backend,
-            random_init=(args.init_mode == "random"),
+            random_init=random_init,
             seed=args.seed,
         )
     sim.setup()

@@ -38,6 +38,16 @@ def grid_positions(cfg: SimConfig) -> np.ndarray:
     return (h + spacing * pos).astype(np.float32)
 
 
+def lattice_capacity(cfg: SimConfig) -> int:
+    """Particles the 0.9h grid lattice holds in the box (nx³ with the exact
+    grid_positions spacing math, simulator.cu:438-453). N above this must
+    use random init — the CLI and bench fall back automatically."""
+    h = np.float32(cfg.h)
+    spacing = np.float32(0.9) * h
+    nx = int(np.floor((np.float32(cfg.box_dim) - 2 * h) / spacing)) + 1
+    return nx**3
+
+
 def random_positions(
     cfg: SimConfig, seed: int = 0, reference_rng: bool = False
 ) -> np.ndarray:
