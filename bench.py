@@ -150,9 +150,16 @@ def verify_headline(cfg, state0, backend: str) -> str:
     import numpy as np
     import jax
 
+    from tpusph.core.config import compiler_opts
     from tpusph.engine.step import step_cell_list, step_pallas_sorted
 
-    a, aux_a = jax.jit(lambda s: step_pallas_sorted(s, cfg))(state0)
+    # forward the config's compiler options (raised scoped-VMEM budget at
+    # the 4M tier) exactly like the timed make_run does — without them the
+    # gate compile OOMs scoped VMEM at capacities the preset raised the
+    # budget for
+    a, aux_a = jax.jit(
+        lambda s: step_pallas_sorted(s, cfg), compiler_options=compiler_opts(cfg)
+    )(state0)
     a, aux_a = jax.device_get((a, aux_a))
     if int(aux_a.window_overflow):
         print("headline parity FAIL: pallas overflow", file=sys.stderr)
