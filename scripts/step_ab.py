@@ -135,6 +135,9 @@ VARIANTS = {
     # 16-row force buffer to a single slot past scoped VMEM — slim halves
     # it, so both kernels double-buffer at col=65536 now (12.6 MiB each)
     "g32c64": {"pallas_group": 32, "pallas_col_capacity": 65536},
+    # monotone-runs qrank (round 4): per-window query columns ship as
+    # pre-sorted runs — the Q-query value sort and unsort disappear
+    "runsq": {"pallas_qrank_runs": True},
 }
 
 

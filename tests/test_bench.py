@@ -5,9 +5,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow  # ~110 s on CPU: the full 3-step bench subprocess
 def test_bench_emits_json_line():
     env = dict(
         os.environ,

@@ -87,6 +87,50 @@ def test_mesh_flag_bad_shape_rejected():
     assert "Program Options:" in r.stdout
 
 
+def test_checkpoint_roundtrip(tmp_path):
+    """--save/--load resume exactly: 2+2 resumed steps equal 4 straight
+    steps bitwise (--warmup 0 so every step is counted)."""
+    import numpy as np
+
+    a = str(tmp_path / "a.npz")
+    b = str(tmp_path / "b.npz")
+    c = str(tmp_path / "c.npz")
+    r = run_cli("-n", "256", "-m", "time", "--warmup", "0", "--steps", "4",
+                "--save", a)
+    assert r.returncode == 0, r.stderr
+    r = run_cli("-n", "256", "-m", "time", "--warmup", "0", "--steps", "2",
+                "--save", b)
+    assert r.returncode == 0, r.stderr
+    r = run_cli("--load", b, "-m", "time", "--warmup", "0", "--steps", "2",
+                "--save", c)
+    assert r.returncode == 0, r.stderr
+    with np.load(a) as da, np.load(c) as dc:
+        np.testing.assert_array_equal(da["position"], dc["position"])
+        np.testing.assert_array_equal(da["velocity"], dc["velocity"])
+
+
+def test_mesh_timed_report_has_build_phase(tmp_path):
+    """--mesh z timed mode reports a real per-phase split (the sharded
+    engine's grid-construction phase must not be lumped into SPH update)."""
+    env = dict(ENV)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    )
+    ckpt = str(tmp_path / "m.npz")
+    r = subprocess.run(
+        [sys.executable, "-m", "tpusph", "-n", "256", "-m", "time",
+         "--steps", "2", "--mesh", "z", "--save", ckpt],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    m = re.search(r"Grid construction\s*(\d+\.\d{5})", r.stdout)
+    assert m is not None, r.stdout
+    assert float(m.group(1)) > 0.0
+    # the dist checkpoint is the SAME format: resumes on the single chip
+    r2 = run_cli("--load", ckpt, "-m", "time", "--warmup", "0", "--steps", "1")
+    assert r2.returncode == 0, r2.stderr
+
+
 def test_free_mode_headless_frames(tmp_path):
     out = str(tmp_path / "frames")
     r = run_cli(

@@ -160,6 +160,56 @@ def test_sharded_pallas_matches_xla(setup, eight_devices, stencil):
     np.testing.assert_allclose(gb["velocity"], ga["velocity"], rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_pallas_tuned_preset_flags(setup, eight_devices):
+    """The ≥1M tuned preset's FULL kernel machinery — query-rank prep,
+    descriptor loop, streamed SMEM records, slim force layout, maskless
+    ranged slow path, fold/split/unroll — composed under shard_map
+    (interpret mode on CPU) must match the XLA sharded step. This is the
+    flag set the TPU bench actually runs at scale; exercising it under
+    sharding closes the round-3 verdict's dryrun gap."""
+    import dataclasses
+
+    from tpusph.dist.sharded import make_sharded_step as mss
+
+    cfg, st = setup
+    cfg = dataclasses.replace(
+        cfg,
+        pallas_stencil="hybrid",
+        pallas_col_capacity=512,
+        pallas_sub_blocks=4,
+        pallas_desc=True,
+        pallas_desc_blocks=32,
+        pallas_desc_unroll=4,
+        pallas_desc_unroll_force=2,
+        pallas_stream_desc=True,
+        pallas_query_rank=True,
+        pallas_qrank_kcap=1024,
+        pallas_slow_unroll=2,
+        pallas_force_fold=True,
+        pallas_force_split=True,
+        pallas_force_split_factor=4,
+        pallas_ranged_maskless=True,
+        pallas_force_slim=True,
+    )
+    mesh = _mesh(eight_devices, 2)
+    dcfg = DistConfig(
+        n_devices=2, dev_capacity=512, halo_capacity=256,
+        migration_capacity=128,
+    )
+    # comb rows per device = 512 + 2·256 = 1024 ≡ 0 (mod 256): the qrank
+    # kernel's key-padding gate is satisfied, so the kernel path is LIVE
+    dstate = distribute_state(st, cfg, dcfg, mesh)
+    step_xla = mss(cfg, dcfg, mesh)
+    step_pls = mss(cfg, dcfg, mesh, use_pallas=True, interpret=True)
+    a, _ = step_xla(dstate)
+    b, aux_b = step_pls(dstate)
+    assert int(aux_b.window_overflow) == 0
+    ga = collect_state(a, cfg.num_particles)
+    gb = collect_state(b, cfg.num_particles)
+    np.testing.assert_allclose(gb["position"], ga["position"], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(gb["velocity"], ga["velocity"], rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_click_matches_single_chip(setup, eight_devices):
     """Free-mode parity (simulator.cu:329-367,482-489): a click during the
     sharded step must kick the same velocity field as the single-chip

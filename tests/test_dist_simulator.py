@@ -27,12 +27,27 @@ def test_dist_simulator_matches_single(eight_devices):
 
 
 def test_dist_simulate_and_time(eight_devices):
+    """The sharded timed path decomposes into the reference's three phases
+    (grid construction / SPH update / data transfer, times.h:12-36) AND
+    advances the same physics as the fused simulate() step."""
     cfg = default_config(512, chunk_size=512)
-    dsim = DistSimulator(cfg, devices=eight_devices[:4])
+    dsim = DistSimulator(cfg, devices=eight_devices[:4], random_init=True,
+                         seed=7)
     dsim.setup()
+    ref = DistSimulator(cfg, devices=eight_devices[:4], random_init=True,
+                        seed=7)
+    ref.setup()
     times = Times()
-    dsim.simulate_and_time(times)
-    assert times.iters == 1 and times.sph_update > 0
+    for _ in range(3):
+        dsim.simulate_and_time(times)
+        ref.simulate()
+    assert times.iters == 3
+    assert times.build_grid > 0  # halo exchange + payload sort, fenced
+    assert times.sph_update > 0  # kernels + integrate + migrate, fenced
+    assert times.memcpy > 0  # sharded→host position collect
+    np.testing.assert_allclose(
+        dsim.get_position(), ref.get_position(), rtol=0, atol=1e-6
+    )
 
 
 def test_dist_capacity_growth(eight_devices):

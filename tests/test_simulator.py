@@ -1,6 +1,7 @@
 """Simulator driver tests (class Simulator parity + Times report)."""
 
 import numpy as np
+import pytest
 
 from tpusph.bench.times import Times, format_times
 from tpusph.core.config import default_config
@@ -33,6 +34,7 @@ def test_simulate_and_time_accumulates():
     assert "Grid construction" in report and "SPH update" in report
 
 
+@pytest.mark.slow  # ~28 s: repeated re-traces while capacity doubles
 def test_capacity_growth_on_overflow():
     """Start with a deliberately tiny window capacity; the driver must grow it
     transparently rather than drop interactions."""

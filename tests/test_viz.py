@@ -1,0 +1,58 @@
+"""Interactive free-mode window tests — the _run_interactive path the
+headless frame/GIF tests never touch (round-3 verdict Weak #6): the
+no-display fallback branch, and a real FuncAnimation tick driven under the
+matplotlib Agg backend (simulate → render → click consumption)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpusph.core.config import default_config
+from tpusph.engine.simulator import Simulator
+
+
+def _make_sim(n=128):
+    cfg = default_config(n, chunk_size=128)
+    sim = Simulator(cfg, backend="cell_list", random_init=True, seed=3)
+    sim.setup()
+    return sim
+
+
+def test_interactive_fallback_without_display(monkeypatch, capsys):
+    """Headless host (no DISPLAY): _run_interactive must print the
+    use---frames hint and return instead of crashing."""
+    from tpusph.viz.render import _run_interactive
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    _run_interactive(_make_sim())
+    out = capsys.readouterr().out
+    assert "No interactive display" in out
+    assert "--frames" in out
+
+
+def test_interactive_tick_under_agg():
+    """One real FuncAnimation tick under Agg: the callback must advance the
+    simulation, consume the queued click exactly once (mouseClicked-global
+    parity, display.cpp:59-61), and refresh the image artist."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    import matplotlib.pyplot as plt
+
+    from tpusph.viz.render import _build_interactive
+
+    sim = _make_sim()
+    p0 = sim.get_position().copy()
+    fig, tick, pending = _build_interactive(sim)
+    try:
+        pending["click"] = (400, 300)  # inside the click box
+        (im,) = tick(0)
+        assert pending["click"] is None  # consumed (cleared like cu:488)
+        p1 = sim.get_position()
+        assert np.abs(p1 - p0).max() > 0  # the sim actually stepped
+        assert im.get_array().shape[:2] == (600, 800)
+        tick(1)  # second tick: no click queued → plain step
+        assert np.abs(sim.get_position() - p1).max() > 0
+    finally:
+        plt.close(fig)

@@ -100,6 +100,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="timed mode: dump a jax.profiler trace to DIR",
     )
     p.add_argument(
+        "--save",
+        type=str,
+        default=None,
+        metavar="PATH",
+        help="checkpoint the final state to PATH (.npz, self-describing; "
+        "works for both the single-chip and --mesh engines)",
+    )
+    p.add_argument(
+        "--load",
+        type=str,
+        default=None,
+        metavar="PATH",
+        help="resume from a checkpoint written by --save (restores N and "
+        "the physics config; -n/-i are ignored with a note)",
+    )
+    p.add_argument(
         "--viz-chunk",
         type=int,
         default=None,
@@ -141,24 +157,43 @@ def main(argv: list[str] | None = None) -> int:
         kw["pallas_col_capacity"] = args.pallas_col_capacity
     if args.pallas_sub_blocks is not None:
         kw["pallas_sub_blocks"] = args.pallas_sub_blocks
-    # measured per-N presets (tuned_overrides) under the explicit flags, so
-    # e.g. `sph -n 1048576 -m time` lands on the known-good 1M config
-    cfg = tuned_config(args.num_particles, **kw)
+    loaded_state = None
+    if args.load is not None:
+        # resume: the checkpoint's SimConfig (N, physics, capacities) is
+        # authoritative; explicit perf flags still apply on top
+        import dataclasses
 
-    # grid init caps at the 0.9h lattice ceiling (~1.29M in the 10³ box);
-    # past it fall back to random init with a note, like bench.py does
-    random_init = args.init_mode == "random"
-    if not random_init:
-        from tpusph.core.init import lattice_capacity
+        from tpusph.core.io import load_state
 
-        cap = lattice_capacity(cfg)
-        if args.num_particles > cap:
+        loaded_state, cfg = load_state(args.load)
+        if kw:
+            cfg = dataclasses.replace(cfg, **kw)
+        if args.num_particles != 1000 and args.num_particles != cfg.num_particles:
             print(
-                f"sph: N={args.num_particles} exceeds the {cap} grid-lattice "
-                "ceiling — using random init",
+                f"sph: --load restores N={cfg.num_particles}; -n "
+                f"{args.num_particles} ignored",
                 file=sys.stderr,
             )
-            random_init = True
+        random_init = False  # -i is irrelevant when resuming
+    else:
+        # measured per-N presets (tuned_overrides) under the explicit flags,
+        # so e.g. `sph -n 1048576 -m time` lands on the known-good 1M config
+        cfg = tuned_config(args.num_particles, **kw)
+
+        # grid init caps at the 0.9h lattice ceiling (~1.29M in the 10³
+        # box); past it fall back to random init with a note, like bench.py
+        random_init = args.init_mode == "random"
+        if not random_init:
+            from tpusph.core.init import lattice_capacity
+
+            cap = lattice_capacity(cfg)
+            if args.num_particles > cap:
+                print(
+                    f"sph: N={args.num_particles} exceeds the {cap} "
+                    "grid-lattice ceiling — using random init",
+                    file=sys.stderr,
+                )
+                random_init = True
 
     if args.mesh is not None:
         from tpusph.dist.simulator import DistSimulator
@@ -186,7 +221,7 @@ def main(argv: list[str] | None = None) -> int:
             random_init=random_init,
             seed=args.seed,
         )
-    sim.setup()
+    sim.setup(loaded_state)
 
     if args.exec_mode == "time":
         import contextlib
@@ -223,6 +258,15 @@ def main(argv: list[str] | None = None) -> int:
 
             frames_to_gif(args.out, args.gif)
             print(f"wrote {args.gif}")
+
+    if args.save is not None:
+        from tpusph.core.io import save_state
+
+        # ONE checkpoint format across engines: the sharded engine collects
+        # to a host FluidState first (mesh-shape-independent resume)
+        state = sim.to_host_state() if args.mesh is not None else sim.state
+        save_state(args.save, state, sim.cfg)
+        print(f"saved checkpoint: {args.save}", file=sys.stderr)
     return 0
 
 

@@ -19,21 +19,33 @@ from tpusph.core.config import SimConfig
 from tpusph.core.state import FluidState, make_state, pad_state
 
 
+def _lattice_nx(cfg: SimConfig) -> int:
+    """Lattice points per axis: nx = floor((box-2h)/0.9h)+1 in f32, the exact
+    reference arithmetic (simulator.cu:441-443). Single source of truth for
+    grid_positions AND lattice_capacity, so the CLI/bench fallback threshold
+    can never drift from the actual ValueError boundary."""
+    h = np.float32(cfg.h)
+    spacing = np.float32(0.9) * h
+    return int(np.floor((np.float32(cfg.box_dim) - 2 * h) / spacing)) + 1
+
+
 def grid_positions(cfg: SimConfig) -> np.ndarray:
     """Lattice exactly as simulator.cu:438-453: spacing = 0.9h;
     nx = floor((box-2h)/spacing)+1 per axis; position = h + spacing*(x,y,z);
     filled z-fastest (x outer, y middle, z inner) until count == N."""
     h = np.float32(cfg.h)
     spacing = np.float32(0.9) * h
-    nx = int(np.floor((np.float32(cfg.box_dim) - 2 * h) / spacing)) + 1
+    nx = _lattice_nx(cfg)
     n = cfg.num_particles
+    if n > lattice_capacity(cfg):
+        raise ValueError(
+            f"num_particles={n} exceeds lattice capacity {lattice_capacity(cfg)}"
+        )
     idx = np.arange(n, dtype=np.int64)
     # z-fastest: count = x*(ny*nz) + y*nz + z
     x = idx // (nx * nx)
     y = (idx // nx) % nx
     z = idx % nx
-    if n > nx**3:
-        raise ValueError(f"num_particles={n} exceeds lattice capacity {nx**3}")
     pos = np.stack([x, y, z], axis=1).astype(np.float32)
     return (h + spacing * pos).astype(np.float32)
 
@@ -42,10 +54,7 @@ def lattice_capacity(cfg: SimConfig) -> int:
     """Particles the 0.9h grid lattice holds in the box (nx³ with the exact
     grid_positions spacing math, simulator.cu:438-453). N above this must
     use random init — the CLI and bench fall back automatically."""
-    h = np.float32(cfg.h)
-    spacing = np.float32(0.9) * h
-    nx = int(np.floor((np.float32(cfg.box_dim) - 2 * h) / spacing)) + 1
-    return nx**3
+    return _lattice_nx(cfg) ** 3
 
 
 def random_positions(

@@ -6,19 +6,31 @@ scaling layer the survey specifies: the 10×10×10 box is split into z-slabs
 across a 1-D `jax.sharding.Mesh`; each device owns the particles resident in
 its slab in fixed-capacity padded arrays. Per step, under `shard_map`:
 
-  1. **Halo exchange (round 1)** — each device packs the particles within one
-     smoothing radius h of its slab faces and `lax.ppermute`s position+velocity
-     to the adjacent devices over ICI (the boundary reads the reference does
-     freely through HBM, simulator.cu:163-185, become explicit neighbor
-     collectives).
-  2. **Density pass** — local cell-list + windowed gather over local ∪ halo
-     sources (identical physics to the single-chip path).
-  3. **Halo exchange (round 2)** — densities/pressures of the *same* halo
-     particles, computed by their home device, replace the locally-(wrongly-)
-     computed values on the halo copies, so the force pass sees exact ρ/p.
-  4. **Force pass + integration** — local targets only.
-  5. **Migration** — particles whose new z crossed a slab face are packed,
-     `ppermute`d one hop, and merged into free slots on the receiving device.
+  1. **Halo exchange** — each device packs the particles within **2h** of its
+     slab faces and `lax.ppermute`s position+velocity to the adjacent devices
+     over ICI (the boundary reads the reference does freely through HBM,
+     simulator.cu:163-185, become explicit neighbor collectives). The ghost
+     layer is TWO smoothing radii deep so that every halo copy within h of
+     the boundary sees ALL of its own neighbors locally (they live within 2h
+     of the boundary) — its locally-computed density/pressure is exact, and
+     the round-2 "authoritative ρ/p" exchange of the earlier design
+     disappears: one collective round instead of two, and nothing downstream
+     ever needs results in pre-sort particle order. Halo rows deeper than h
+     get wrong densities but are never read: force targets are local rows
+     only, and their sources lie within h of the boundary. Requires
+     slab_width ≥ 2h (checked at step-build time).
+  2. **Physics, fields-native** — the SAME hot path as the tuned single-chip
+     engine (engine/step.py:step_pallas_fields): ONE stable payload
+     `lax.sort` carries the six field rows plus a pid/ownership tag with the
+     cell keys; the fused Pallas density+force megakernels (with the full
+     tuned-preset machinery — qrank prep, descriptor loops, streamed
+     records, slim force layout) run per device inside `shard_map`, each
+     chip on its own kernel grid. No argsort, no (N,3) gathers, no
+     histogram starts table (rank prep makes it dead code).
+  3. **Integration + click impulse** — local targets only, in sorted order.
+  4. **Migration** — particles whose new z crossed a slab face are packed
+     (one category payload sort yields both direction buffers), `ppermute`d
+     one hop, and merged into the free tail of the kept-compacted state.
 
 All buffers are fixed-capacity with overflow *detection* (never silent drop),
 matching the engine's capacity philosophy. Non-periodic edges: `ppermute`
@@ -37,12 +49,14 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpusph.core.config import SimConfig
+from tpusph.core.config import SimConfig, compiler_opts
 from tpusph.core.state import FluidState
 from tpusph.engine.step import _density_pass_sorted, _force_pass_sorted
-from tpusph.interact.impulse import click_kick
-from tpusph.neighbors.cell_list import build_cell_list
-from tpusph.physics.integrate import integrate
+from tpusph.interact.impulse import click_kick_fields
+from tpusph.neighbors.cell_list import build_cell_list, starts_from_sorted
+from tpusph.neighbors.grid import compute_keys_fields
+from tpusph.physics.integrate import integrate_fields
+from tpusph.physics.kernels import pressure_from_density
 
 try:  # jax ≥ 0.6 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -56,7 +70,7 @@ class DistConfig:
 
     n_devices: int
     dev_capacity: int  # particle slots per device
-    halo_capacity: int  # per-direction halo buffer rows
+    halo_capacity: int  # per-direction halo buffer rows (2h-deep layer)
     migration_capacity: int  # per-direction migration buffer rows
     axis_name: str = "z"
 
@@ -65,6 +79,18 @@ class DistConfig:
             v = getattr(self, f)
             if v <= 0 or v % 8:
                 raise ValueError(f"{f} must be a positive multiple of 8, got {v}")
+
+
+def _check_slab_width(cfg: SimConfig, dcfg: DistConfig) -> None:
+    """The 2h ghost layer needs slabs at least 2h wide (a halo copy's
+    neighborhood must close inside the adjacent device's slab; see module
+    docstring)."""
+    if cfg.box_dim / dcfg.n_devices < 2 * cfg.h:
+        raise ValueError(
+            f"slab width {cfg.box_dim / dcfg.n_devices:.4f} < 2h = "
+            f"{2 * cfg.h:.4f}: at most "
+            f"{int(cfg.box_dim // (2 * cfg.h))} z-slab devices for this scene"
+        )
 
 
 class DistState(NamedTuple):
@@ -99,17 +125,15 @@ def _compact(mask: jnp.ndarray, fields: tuple, cap: int):
 
 
 def _local_physics(comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret):
-    """Density/pressure/force over the local∪halo particle set. Returns
-    (rho, prs, force_local_order_fn) pieces in *unsorted* (comb) order via the
-    cell-list machinery; `use_pallas` swaps the XLA tile passes for the fused
-    Pallas megakernels (per-device, inside shard_map — each chip runs its own
-    kernel grid)."""
+    """Density/pressure/force over the local∪halo particle set, via the
+    cell-list machinery (argsort + perm-gathers). Kept for the 3-D brick
+    mesh (dist/mesh3d.py), which still runs the two-round halo design; the
+    1-D slab step below uses the fields-native payload-sort path instead."""
     cl = build_cell_list(comb_pos, comb_valid, cfg, interpret=interpret)
     sp = comb_pos[cl.perm]
     sv = comb_vel[cl.perm]
     if use_pallas:
         from tpusph.pallas.fused import density_pallas, supertile_columns
-        from tpusph.physics.kernels import pressure_from_density
 
         cols_info = supertile_columns(
             cl.key_sorted, cl.valid_sorted, cl.starts, cfg, interpret
@@ -131,19 +155,73 @@ def _local_physics(comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret):
     return cl, sp, sv, rho_s, p_s, ovf + cl.starts_overflow, extra
 
 
-def _device_step(
-    pos, vel, valid, pid, click_cell, click_active, cfg: SimConfig,
-    dcfg: DistConfig, use_pallas: bool = False, interpret: bool = False,
-):
-    """One timestep on one device's slab (runs under shard_map)."""
-    ax = dcfg.axis_name
-    d_count = dcfg.n_devices
-    c_dev = dcfg.dev_capacity
-    h_cap = dcfg.halo_capacity
-    m_cap = dcfg.migration_capacity
-    h = jnp.float32(cfg.h)
+def _sort_comb_fields(comb_pos, comb_vel, comb_valid, tag, cfg: SimConfig):
+    """Payload sort of the local∪halo rows by cell key — the per-device
+    "grid construction" phase. ONE stable lax.sort carries the six field
+    rows plus the ownership tag with the keys (the fields-native fast path;
+    no argsort, no (N,3) gathers). Returns
+    (key_s, x, y, z, vx, vy, vz, tag_s, oob_count)."""
+    cx, cy, cz = comb_pos[:, 0], comb_pos[:, 1], comb_pos[:, 2]
+    cvx, cvy, cvz = comb_vel[:, 0], comb_vel[:, 1], comb_vel[:, 2]
+    key, oob_count = compute_keys_fields(cx, cy, cz, comb_valid, cfg)
+    key_s, sx, sy, sz, svx, svy, svz, tag_s = lax.sort(
+        (key, cx, cy, cz, cvx, cvy, cvz, tag), num_keys=1, is_stable=True
+    )
+    return key_s, sx, sy, sz, svx, svy, svz, tag_s, oob_count
 
-    d = lax.axis_index(ax)
+
+def _compute_sorted_fields(
+    key_s, sx, sy, sz, svx, svy, svz, cfg: SimConfig, use_pallas: bool,
+    interpret: bool,
+):
+    """Fields-native density+force over cell-sorted rows — the tuned
+    single-chip hot path (qrank prep → fused megakernels, with every tuned
+    preset flag engaging via cfg) running per device. Returns
+    (rho_s, p_s, (fx, fy, fz), valid_s, window_overflow)."""
+    valid_s = key_s < cfg.num_cells
+    # dead in the production Pallas step when pallas_rank_prep is on (the
+    # prep resolves every lookup by rank; XLA DCEs the histogram) — live
+    # only for the XLA tile fallback. key_s works for the histogram too
+    # (same key multiset as the unsorted keys).
+    starts, s_ovf = starts_from_sorted(key_s, key_s, cfg, interpret)
+    if use_pallas:
+        from tpusph.pallas.fused import (
+            density_pallas,
+            force_pallas,
+            supertile_columns,
+        )
+
+        cols_info = supertile_columns(key_s, valid_s, starts, cfg, interpret)
+        raw = density_pallas(
+            (sx, sy, sz), key_s, cols_info, cfg, interpret=interpret
+        )
+        rho_s, p_s = pressure_from_density(raw, cfg)
+        rho_s = jnp.where(valid_s, rho_s, 1.0)
+        p_s = jnp.where(valid_s, p_s, 0.0)
+        f_rows = force_pallas(
+            (sx, sy, sz), (svx, svy, svz), rho_s, p_s, key_s, cols_info, cfg,
+            interpret=interpret,
+        )
+        fx = jnp.where(valid_s, f_rows[0], 0.0)
+        fy = jnp.where(valid_s, f_rows[1], 0.0)
+        fz = jnp.where(valid_s, f_rows[2], 0.0)
+        ovf_w = cols_info.overflow + s_ovf
+    else:
+        sp = jnp.stack([sx, sy, sz], axis=1)
+        sv = jnp.stack([svx, svy, svz], axis=1)
+        rho_s, p_s, ovf = _density_pass_sorted(sp, key_s, valid_s, starts, cfg)
+        f_s = _force_pass_sorted(
+            sp, sv, rho_s, p_s, key_s, valid_s, starts, cfg
+        )
+        fx, fy, fz = f_s[:, 0], f_s[:, 1], f_s[:, 2]
+        ovf_w = ovf + s_ovf
+    return rho_s, p_s, (fx, fy, fz), valid_s, ovf_w
+
+
+def _slab_geometry(cfg: SimConfig, dcfg: DistConfig):
+    """(z_lo, z_hi, slab_w, pshift) for this device's slab."""
+    d_count = dcfg.n_devices
+    d = lax.axis_index(dcfg.axis_name)
     slab_w = jnp.float32(cfg.box_dim) / d_count
     z_lo = d.astype(jnp.float32) * slab_w
     z_hi = z_lo + slab_w
@@ -151,29 +229,45 @@ def _device_step(
     perm_up = [(i, i + 1) for i in range(d_count - 1)]  # data flows d → d+1
     perm_dn = [(i + 1, i) for i in range(d_count - 1)]  # data flows d → d−1
 
-    def pshift(x, perm):
+    def pshift(x, up: bool):
+        perm = perm_up if up else perm_dn
         if not perm:  # single device: nothing to exchange
             return jnp.zeros_like(x)
-        return lax.ppermute(x, ax, perm)
+        return lax.ppermute(x, dcfg.axis_name, perm)
 
-    # ---- 1. halo selection + exchange round 1 (positions, velocities)
+    return z_lo, z_hi, slab_w, pshift
+
+
+def _device_build(pos, vel, valid, pid, cfg: SimConfig, dcfg: DistConfig):
+    """Phase 1 on one device's slab: 2h halo exchange + cell-key payload
+    sort — the sharded "grid construction" phase (the reference's timed
+    kernelBuildGrid bracket, simulator.cu:505-513, plus the boundary
+    collective that replaces its free HBM reads). Returns the sorted comb
+    rows + per-device (halo_overflow, oob_count) scalars (not yet psummed).
+    """
+    c_dev = dcfg.dev_capacity
+    h_cap = dcfg.halo_capacity
+    halo_w = jnp.float32(2.0 * cfg.h)  # 2h ghost layer (module docstring)
+    z_lo, z_hi, _slab_w, pshift = _slab_geometry(cfg, dcfg)
+
+    # ---- halo selection (2h layer) + exchange (positions, velocities)
     z = pos[:, 2]
-    send_dn = valid & (z < z_lo + h)
-    send_up = valid & (z >= z_hi - h)
-    (dn_pos, dn_vel), dn_valid, take_dn, ovf_dn = _compact(
+    send_dn = valid & (z < z_lo + halo_w)
+    send_up = valid & (z >= z_hi - halo_w)
+    (dn_pos, dn_vel), dn_valid, _, ovf_dn = _compact(
         send_dn, (pos, vel), h_cap
     )
-    (up_pos, up_vel), up_valid, take_up, ovf_up = _compact(
+    (up_pos, up_vel), up_valid, _, ovf_up = _compact(
         send_up, (pos, vel), h_cap
     )
-    lo_pos = pshift(up_pos, perm_up)  # halo from the device below
-    lo_vel = pshift(up_vel, perm_up)
-    lo_valid = pshift(up_valid, perm_up)
-    hi_pos = pshift(dn_pos, perm_dn)  # halo from the device above
-    hi_vel = pshift(dn_vel, perm_dn)
-    hi_valid = pshift(dn_valid, perm_dn)
+    lo_pos = pshift(up_pos, True)  # halo from the device below
+    lo_vel = pshift(up_vel, True)
+    lo_valid = pshift(up_valid, True)
+    hi_pos = pshift(dn_pos, False)  # halo from the device above
+    hi_vel = pshift(dn_vel, False)
+    hi_valid = pshift(dn_valid, False)
 
-    # ---- 2. density over local ∪ halo sources
+    # ---- combined local ∪ halo set
     comb_pos = jnp.concatenate([pos, lo_pos, hi_pos])
     comb_vel = jnp.concatenate([vel, lo_vel, hi_vel])
     comb_valid = jnp.concatenate([valid, lo_valid, hi_valid])
@@ -181,104 +275,174 @@ def _device_step(
     # coincidentally match sentinel-keyed rows, and only the ≥0.17 gap from
     # any clamped-valid position makes them physically inert
     comb_pos = jnp.where(comb_valid[:, None], comb_pos, 0.0)
-    cl, sp, sv, rho_s, p_s, ovf_w, cols_info = _local_physics(
-        comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret
+    # ownership tag travels with the sort: local valid rows carry their pid
+    # (≥ 0), local invalid slots −1, halo copies −2 — `tag ≥ 0` is the
+    # "live local" mask in sorted space
+    tag = jnp.concatenate([
+        jnp.where(valid, pid, jnp.int32(-1)),
+        jnp.full((h_cap,), -2, jnp.int32),
+        jnp.full((h_cap,), -2, jnp.int32),
+    ])
+    key_s, sx, sy, sz, svx, svy, svz, tag_s, oob_count = _sort_comb_fields(
+        comb_pos, comb_vel, comb_valid, tag, cfg
     )
-    nc = comb_pos.shape[0]
-    rho = jnp.ones((nc,), jnp.float32).at[cl.perm].set(rho_s)
-    prs = jnp.zeros((nc,), jnp.float32).at[cl.perm].set(p_s)
+    return key_s, sx, sy, sz, svx, svy, svz, tag_s, ovf_dn + ovf_up, oob_count
 
-    # ---- 3. exchange round 2: authoritative ρ/p of the same halo sets
-    rho_loc, prs_loc = rho[:c_dev], prs[:c_dev]
-    lo_rho = pshift(rho_loc[take_up], perm_up)
-    lo_prs = pshift(prs_loc[take_up], perm_up)
-    hi_rho = pshift(rho_loc[take_dn], perm_dn)
-    hi_prs = pshift(prs_loc[take_dn], perm_dn)
-    rho = rho.at[c_dev : c_dev + h_cap].set(jnp.maximum(lo_rho, cfg.eps))
-    rho = rho.at[c_dev + h_cap :].set(jnp.maximum(hi_rho, cfg.eps))
-    prs = prs.at[c_dev : c_dev + h_cap].set(lo_prs)
-    prs = prs.at[c_dev + h_cap :].set(hi_prs)
 
-    # ---- 4. forces for local targets, integrate
-    if use_pallas:
-        from tpusph.pallas.fused import force_pallas
+def _device_update(
+    key_s, sx, sy, sz, svx, svy, svz, tag_s, click_cell, click_active,
+    cfg: SimConfig, dcfg: DistConfig, use_pallas: bool, interpret: bool,
+):
+    """Phase 2 on one device's slab: fused density/force megakernels +
+    integration + click impulse + migration + state repacking (the sharded
+    "SPH update" phase). Consumes _device_build's sorted rows; returns
+    (x, v, valid_new, pid_new, (window_ovf, migration_ovf, misrouted,
+    n_valid)) with the scalars not yet psummed."""
+    c_dev = dcfg.dev_capacity
+    m_cap = dcfg.migration_capacity
+    z_lo, z_hi, slab_w, pshift = _slab_geometry(cfg, dcfg)
 
-        f_s = force_pallas(
-            (sp[:, 0], sp[:, 1], sp[:, 2]), (sv[:, 0], sv[:, 1], sv[:, 2]),
-            rho[cl.perm], prs[cl.perm], cl.key_sorted, cols_info, cfg,
-            interpret=interpret,
-        ).T
-        f_s = jnp.where(cl.valid_sorted[:, None], f_s, 0.0)
-    else:
-        f_s = _force_pass_sorted(
-            sp, sv, rho[cl.perm], prs[cl.perm], cl.key_sorted, cl.valid_sorted,
-            cl.starts, cfg,
-        )
-    force = jnp.zeros((nc, 3), jnp.float32).at[cl.perm].set(f_s)[:c_dev]
-    x, v = integrate(pos, vel, force, rho_loc, cfg)
-    x = jnp.where(valid[:, None], x, pos)
-    v = jnp.where(valid[:, None], v, vel)
+    # ---- density + forces (fields-native; halo densities within h of the
+    # boundary are exact thanks to the 2h layer — no second exchange round)
+    rho_s, p_s, (fx, fy, fz), _valid_s, ovf_w = _compute_sorted_fields(
+        key_s, sx, sy, sz, svx, svy, svz, cfg, use_pallas, interpret
+    )
+
+    # ---- integrate live local rows; freeze halo copies and padding
+    live = tag_s >= 0
+    nx, ny, nz, nvx, nvy, nvz = integrate_fields(
+        sx, sy, sz, svx, svy, svz, fx, fy, fz, rho_s, cfg
+    )
+    nx = jnp.where(live, nx, sx)
+    ny = jnp.where(live, ny, sy)
+    nz = jnp.where(live, nz, sz)
+    nvx = jnp.where(live, nvx, svx)
+    nvy = jnp.where(live, nvy, svy)
+    nvz = jnp.where(live, nvz, svz)
 
     # ---- 4b. click impulse (free-mode parity, simulator.cu:482-489):
     # applied after integration from PRE-step cells, exactly like the
     # single-chip engine; elementwise per particle, before migration so
     # kicked slab-crossers carry their kick to the new owner.
-    kick = click_kick(pos, valid, click_cell, cfg)
-    v = v + kick * click_active.astype(jnp.float32)
+    kx, ky, kz = click_kick_fields(sx, sy, sz, live, click_cell, cfg)
+    ca = click_active.astype(jnp.float32)
+    nvx = nvx + kx * ca
+    nvy = nvy + ky * ca
+    nvz = nvz + kz * ca
 
-    # ---- 5. migration of slab-crossers (one hop)
-    zn = x[:, 2]
-    mig_dn = valid & (zn < z_lo)
-    mig_up = valid & (zn >= z_hi)
+    # ---- 5. migration of slab-crossers (one hop). A particle cannot cross
+    # both faces, so ONE stable category sort packs both direction buffers:
+    # dn-senders to the front, up-senders to the back.
+    mig_dn = live & (nz < z_lo)
+    mig_up = live & (nz >= z_hi)
     misrouted = jnp.sum(
-        valid & ((zn < z_lo - slab_w) | (zn >= z_hi + slab_w))
+        live & ((nz < z_lo - slab_w) | (nz >= z_hi + slab_w))
     ).astype(jnp.int32)
-    (mdn_x, mdn_v, mdn_pid), mdn_valid, _, ovf_mdn = _compact(
-        mig_dn, (x, v, pid), m_cap
-    )
-    (mup_x, mup_v, mup_pid), mup_valid, _, ovf_mup = _compact(
-        mig_up, (x, v, pid), m_cap
-    )
-    valid_kept = valid & ~mig_dn & ~mig_up
+    kept = live & ~mig_dn & ~mig_up
+    n_dn = jnp.sum(mig_dn).astype(jnp.int32)
+    n_up = jnp.sum(mig_up).astype(jnp.int32)
+    ovf_mdn = jnp.maximum(n_dn - m_cap, 0)
+    ovf_mup = jnp.maximum(n_up - m_cap, 0)
 
-    in_lo_x = pshift(mup_x, perm_up)  # arrivals from below
-    in_lo_v = pshift(mup_v, perm_up)
-    in_lo_pid = pshift(mup_pid, perm_up)
-    in_lo_valid = pshift(mup_valid, perm_up)
-    in_hi_x = pshift(mdn_x, perm_dn)  # arrivals from above
-    in_hi_v = pshift(mdn_v, perm_dn)
-    in_hi_pid = pshift(mdn_pid, perm_dn)
-    in_hi_valid = pshift(mdn_valid, perm_dn)
+    cat = jnp.where(mig_dn, 0, jnp.where(mig_up, 2, 1)).astype(jnp.int32)
+    _, mx, my, mz, mvx, mvy, mvz, mtag = lax.sort(
+        (cat, nx, ny, nz, nvx, nvy, nvz, tag_s), num_keys=1, is_stable=True
+    )
+    lane = jnp.arange(m_cap, dtype=jnp.int32)
+    mdn = jnp.stack(
+        [mx[:m_cap], my[:m_cap], mz[:m_cap],
+         mvx[:m_cap], mvy[:m_cap], mvz[:m_cap]], axis=1
+    )
+    mdn_tag = mtag[:m_cap]
+    mdn_valid = lane < n_dn
+    ncomb = nx.shape[0]
+    t0 = ncomb - m_cap
+    mup = jnp.stack(
+        [mx[t0:], my[t0:], mz[t0:], mvx[t0:], mvy[t0:], mvz[t0:]], axis=1
+    )
+    mup_tag = mtag[t0:]
+    mup_valid = lane >= (m_cap - jnp.minimum(n_up, m_cap))
 
+    in_lo = pshift(mup, True)  # arrivals from below
+    in_lo_tag = pshift(mup_tag, True)
+    in_lo_valid = pshift(mup_valid, True)
+    in_hi = pshift(mdn, False)  # arrivals from above
+    in_hi_tag = pshift(mdn_tag, False)
+    in_hi_valid = pshift(mdn_valid, False)
+
+    inc = jnp.concatenate([in_lo, in_hi])
+    inc_tag = jnp.concatenate([in_lo_tag, in_hi_tag])
     inc_valid = jnp.concatenate([in_lo_valid, in_hi_valid])
-    inc_x = jnp.concatenate([in_lo_x, in_hi_x])
-    inc_v = jnp.concatenate([in_lo_v, in_hi_v])
-    inc_pid = jnp.concatenate([in_lo_pid, in_hi_pid])
-    # globally pack arrivals so arrival j pairs with the j-th free slot
-    (inc_x, inc_v, inc_pid), inc_valid, _, _ = _compact(
-        inc_valid, (inc_x, inc_v, inc_pid), 2 * m_cap
+    # pack arrivals so arrival j pairs with the j-th free slot (tiny sort)
+    (inc, inc_tag), inc_valid, _, _ = _compact(
+        inc_valid, (inc, inc_tag), 2 * m_cap
     )
 
-    free_order = jnp.argsort(valid_kept, stable=True).astype(jnp.int32)
-    slots = free_order[: 2 * m_cap]
-    slot_free = ~valid_kept[slots]
-    write = inc_valid & slot_free
-    dev_overflow = jnp.sum(inc_valid & ~slot_free).astype(jnp.int32)
+    # ---- 6. new local state: kept rows compacted to the front (one stable
+    # payload sort), arrivals scattered into the free tail at n_kept
+    skey = jnp.where(kept, 0, 1).astype(jnp.int32)
+    _, ox, oy, oz, ovx, ovy, ovz, otag = lax.sort(
+        (skey, nx, ny, nz, nvx, nvy, nvz, tag_s), num_keys=1, is_stable=True
+    )
+    ox, oy, oz = ox[:c_dev], oy[:c_dev], oz[:c_dev]
+    ovx, ovy, ovz = ovx[:c_dev], ovy[:c_dev], ovz[:c_dev]
+    otag = otag[:c_dev]
+    n_kept = jnp.sum(kept).astype(jnp.int32)
+    valid_new = jnp.arange(c_dev, dtype=jnp.int32) < n_kept
 
-    x = x.at[slots].set(jnp.where(write[:, None], inc_x, x[slots]))
-    v = v.at[slots].set(jnp.where(write[:, None], inc_v, v[slots]))
-    pid = pid.at[slots].set(jnp.where(write, inc_pid, pid[slots]))
-    valid_new = valid_kept.at[slots].set(valid_kept[slots] | write)
+    idx = n_kept + jnp.arange(2 * m_cap, dtype=jnp.int32)
+    write = inc_valid & (idx < c_dev)
+    dev_overflow = jnp.sum(inc_valid & (idx >= c_dev)).astype(jnp.int32)
+    widx = jnp.where(write, idx, c_dev)  # OOB → dropped by mode="drop"
+    put = lambda row, val: row.at[widx].set(val, mode="drop")
+    ox = put(ox, inc[:, 0])
+    oy = put(oy, inc[:, 1])
+    oz = put(oz, inc[:, 2])
+    ovx = put(ovx, inc[:, 3])
+    ovy = put(ovy, inc[:, 4])
+    ovz = put(ovz, inc[:, 5])
+    otag = put(otag, inc_tag)
+    valid_new = valid_new.at[widx].set(True, mode="drop")
 
+    x = jnp.stack([ox, oy, oz], axis=1)
+    v = jnp.stack([ovx, ovy, ovz], axis=1)
+    pid_new = jnp.where(valid_new, otag, jnp.int32(-1))
+
+    scalars = (
+        ovf_w,
+        ovf_mdn + ovf_mup + dev_overflow,
+        misrouted,
+        jnp.sum(valid_new).astype(jnp.int32),
+    )
+    return x, v, valid_new, pid_new, scalars
+
+
+def _device_step(
+    pos, vel, valid, pid, click_cell, click_active, cfg: SimConfig,
+    dcfg: DistConfig, use_pallas: bool = False, interpret: bool = False,
+):
+    """One timestep on one device's slab (runs under shard_map):
+    _device_build (halo exchange + sort) composed with _device_update
+    (kernels + integrate + migration), counters psummed into a DistAux."""
+    ax = dcfg.axis_name
+    key_s, sx, sy, sz, svx, svy, svz, tag_s, halo_ovf, oob = _device_build(
+        pos, vel, valid, pid, cfg, dcfg
+    )
+    x, v, valid_new, pid_new, (ovf_w, mig_ovf, misrouted, n_valid) = (
+        _device_update(
+            key_s, sx, sy, sz, svx, svy, svz, tag_s, click_cell,
+            click_active, cfg, dcfg, use_pallas, interpret,
+        )
+    )
     aux = DistAux(
-        halo_overflow=lax.psum(ovf_dn + ovf_up, ax),
-        migration_overflow=lax.psum(ovf_mdn + ovf_mup + dev_overflow, ax),
+        halo_overflow=lax.psum(halo_ovf, ax),
+        migration_overflow=lax.psum(mig_ovf, ax),
         window_overflow=lax.psum(ovf_w, ax),
-        oob_count=lax.psum(cl.oob_count, ax),
+        oob_count=lax.psum(oob, ax),
         misrouted=lax.psum(misrouted, ax),
-        num_particles=lax.psum(jnp.sum(valid_new).astype(jnp.int32), ax),
+        num_particles=lax.psum(n_valid, ax),
     )
-    return x, v, valid_new, pid, aux
+    return x, v, valid_new, pid_new, aux
 
 
 def make_sharded_step(
@@ -288,6 +452,7 @@ def make_sharded_step(
     """Jitted sharded `DistState -> (DistState, DistAux)`. use_pallas runs the
     fused megakernels per device (the TPU multi-chip production path)."""
     dcfg.validate()
+    _check_slab_width(cfg, dcfg)
     ax = dcfg.axis_name
     spec = P(ax)
 
@@ -305,7 +470,7 @@ def make_sharded_step(
         check_vma=False,
     )
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=compiler_opts(cfg))
     def _step(state: DistState, click_cell, click_active):
         x, v, valid, pid, aux = sharded(
             state.position, state.velocity, state.valid, state.pid,
@@ -333,6 +498,86 @@ def make_sharded_step(
     return step
 
 
+def make_sharded_timed(
+    cfg: SimConfig, dcfg: DistConfig, mesh: Mesh,
+    use_pallas: bool = False, interpret: bool = False,
+):
+    """Two-stage jitted step for the TIMED protocol (the reference's
+    per-phase report, times.h:12-36, applied to the sharded engine):
+
+      build(state)  -> (sorted-rows intermediate, halo_ovf, oob)
+          — halo exchange + payload sort, the "grid construction" phase
+      update(inter, state, click_cell, click_active) -> (DistState, DistAux)
+          — kernels + integrate + click + migration, the "SPH update" phase
+
+    The production loop (make_sharded_step / make_sharded_run) fuses both in
+    one dispatch; this split exists so DistSimulator.simulate_and_time can
+    fence each phase separately, exactly like the single-chip
+    Simulator.simulate_and_time. Returns (build_fn, update_fn)."""
+    dcfg.validate()
+    _check_slab_width(cfg, dcfg)
+    ax = dcfg.axis_name
+    spec = P(ax)
+
+    def dev_build(pos, vel, valid, pid):
+        key_s, sx, sy, sz, svx, svy, svz, tag_s, halo_ovf, oob = (
+            _device_build(pos, vel, valid, pid, cfg, dcfg)
+        )
+        return (
+            key_s, sx, sy, sz, svx, svy, svz, tag_s,
+            lax.psum(halo_ovf, ax), lax.psum(oob, ax),
+        )
+
+    def dev_update(key_s, sx, sy, sz, svx, svy, svz, tag_s, cc, ca):
+        x, v, valid_new, pid_new, (ovf_w, mig_ovf, misrouted, n_valid) = (
+            _device_update(
+                key_s, sx, sy, sz, svx, svy, svz, tag_s, cc, ca, cfg, dcfg,
+                use_pallas, interpret,
+            )
+        )
+        return x, v, valid_new, pid_new, (
+            lax.psum(ovf_w, ax), lax.psum(mig_ovf, ax),
+            lax.psum(misrouted, ax), lax.psum(n_valid, ax),
+        )
+
+    build_sharded = shard_map(
+        dev_build, mesh=mesh,
+        in_specs=(spec,) * 4,
+        out_specs=(spec,) * 8 + (P(), P()),
+        check_vma=False,
+    )
+    update_sharded = shard_map(
+        dev_update, mesh=mesh,
+        in_specs=(spec,) * 8 + (P(), P()),
+        out_specs=(spec,) * 4 + (P(),),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, compiler_options=compiler_opts(cfg))
+    def build(state: DistState):
+        out = build_sharded(
+            state.position, state.velocity, state.valid, state.pid
+        )
+        return out[:8], out[8], out[9]
+
+    @partial(jax.jit, compiler_options=compiler_opts(cfg))
+    def update(inter, halo_ovf, oob, click_cell, click_active):
+        x, v, valid, pid, (ovf_w, mig_ovf, misrouted, n_valid) = (
+            update_sharded(*inter, click_cell, click_active)
+        )
+        aux = DistAux(
+            halo_overflow=halo_ovf,
+            migration_overflow=mig_ovf,
+            window_overflow=ovf_w,
+            oob_count=oob,
+            misrouted=misrouted,
+            num_particles=n_valid,
+        )
+        return DistState(x, v, valid, pid), aux
+
+    return build, update
+
+
 def make_sharded_run(
     cfg: SimConfig, dcfg: DistConfig, mesh: Mesh, steps: int,
     use_pallas: bool = False, interpret: bool = False,
@@ -345,6 +590,7 @@ def make_sharded_run(
     overflow/misrouting/oob summed over the chain, num_particles from the
     final step. Returns jitted `DistState -> (DistState, DistAux)`."""
     dcfg.validate()
+    _check_slab_width(cfg, dcfg)
     ax = dcfg.axis_name
     spec = P(ax)
     zero_cell = jnp.zeros((2,), jnp.int32)
@@ -377,7 +623,7 @@ def make_sharded_run(
         check_vma=False,
     )
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=compiler_opts(cfg))
     def run(state: DistState):
         x, v, valid, pid, aux = sharded(
             state.position, state.velocity, state.valid, state.pid

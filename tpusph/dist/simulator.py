@@ -19,12 +19,14 @@ from jax.sharding import Mesh
 from tpusph.bench.times import Times
 from tpusph.core.config import SimConfig
 from tpusph.core.init import init_state
+from tpusph.core.state import FluidState
 from tpusph.dist.sharded import (
     DistConfig,
     DistState,
     collect_state,
     distribute_state,
     make_sharded_step,
+    make_sharded_timed,
 )
 
 
@@ -33,12 +35,17 @@ def default_dist_config(
 ) -> DistConfig:
     """Capacity heuristics: each slab gets `slack`× the uniform share (the
     fluid clusters under gravity along y, and slabs are along z, so z-density
-    stays near-uniform; overflow is detected regardless). Halo ≈ one cell
-    layer of a slab's share; migration ≈ a few percent per step."""
+    stays near-uniform; overflow is detected regardless). Halo ≈ the 2h ghost
+    layer's share of a slab (sharded.py exchanges a TWO-radius layer so halo
+    densities are exact without a second round); migration ≈ a few percent
+    per step."""
     share = -(-cfg.num_particles // n_devices)
     rnd = lambda x: max(256, -(-int(x) // 256) * 256)
     dev_cap = rnd(share * slack)
-    halo = min(rnd(max(share * cfg.h / (cfg.box_dim / n_devices), 256) * slack), dev_cap)
+    halo = min(
+        rnd(max(share * 2 * cfg.h / (cfg.box_dim / n_devices), 256) * slack),
+        dev_cap,
+    )
     mig = min(rnd(max(share * 0.05, 128)), dev_cap // 2)
     return DistConfig(
         n_devices=n_devices,
@@ -103,6 +110,7 @@ class DistSimulator:
         self.seed = seed
         self.state: DistState | None = None
         self.last_aux = None
+        self._timed = None  # lazy (build_fn, update_fn) for simulate_and_time
         self.use_pallas = jax.default_backend() not in ("cpu",)
         self.mesh_shape = mesh_shape
         if mesh_shape is None:
@@ -129,8 +137,13 @@ class DistSimulator:
                 cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
             )
 
-    def setup(self) -> None:
-        host_state = init_state(self.cfg, self.random_init, self.seed)
+    def setup(self, state: FluidState | None = None) -> None:
+        """Distribute initial (or checkpoint-restored) state onto the mesh."""
+        host_state = (
+            state
+            if state is not None
+            else init_state(self.cfg, self.random_init, self.seed)
+        )
         if self.mesh_shape is None:
             self.state = distribute_state(
                 host_state, self.cfg, self.dcfg, self.mesh
@@ -197,8 +210,10 @@ class DistSimulator:
                 pallas_col_capacity=self.cfg.pallas_col_capacity * 2,
                 pallas_sub_blocks=self.cfg.pallas_sub_blocks * 2,
                 pallas_starts_kcap=self.cfg.pallas_starts_kcap * 2,
+                pallas_qrank_kcap=self.cfg.pallas_qrank_kcap * 2,
             )
         self.dcfg = d
+        self._timed = None  # capacities changed: re-trace the timed phases
         if self.mesh_shape is None:
             self._step = make_sharded_step(
                 self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
@@ -263,18 +278,108 @@ class DistSimulator:
             done += k
 
     def simulate_and_time(self, times: Times) -> None:
-        """Whole-step timing (the sharded step fuses build+update; the
-        reference's per-phase split doesn't decompose across the collectives).
-        """
+        """Per-phase timed step — the reference's three-phase protocol
+        (times.h:12-36) applied to the sharded engine:
+          grid construction = halo exchange + cell-key payload sort,
+          SPH update       = megakernels + integrate + migration,
+          data transfer    = sharded→host position collect.
+        Each phase is fenced with block_until_ready + a small device_get
+        (block alone does not sync through the axon relay). Overflow-retry
+        seconds are rolled back like the single-chip engine's. The 3-D
+        brick mesh keeps whole-step timing (its step isn't phase-split)."""
         assert self.state is not None
+        if self.mesh_shape is not None:
+            t0 = time.perf_counter()
+            self.simulate()
+            t1 = time.perf_counter()
+            times.sph_update += t1 - t0
+            pos = self.get_position()
+            times.memcpy += time.perf_counter() - t1
+            del pos
+            times.iters += 1
+            return
+
+        build0, update0, memcpy0 = (
+            times.build_grid, times.sph_update, times.memcpy
+        )
+        if self._timed is None:
+            self._timed = make_sharded_timed(
+                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
+            )
+        build_fn, update_fn = self._timed
+        cell = np.zeros((2,), np.int32)
+        inactive = np.zeros((), bool)
+
         t0 = time.perf_counter()
-        self.simulate()
+        inter, halo_ovf, oob = build_fn(self.state)
+        jax.block_until_ready(inter)
+        jax.device_get(halo_ovf)
         t1 = time.perf_counter()
-        times.sph_update += t1 - t0
+        times.build_grid += t1 - t0
+
+        new_state, aux = update_fn(inter, halo_ovf, oob, cell, inactive)
+        jax.block_until_ready(new_state)
+        aux_host = jax.device_get(aux)
+        t2 = time.perf_counter()
+        times.sph_update += t2 - t1
+
+        if (
+            int(aux_host.halo_overflow)
+            or int(aux_host.migration_overflow)
+            or int(aux_host.window_overflow)
+        ):
+            # re-trace with doubled capacities and replay, rolling back the
+            # failed attempt's seconds (a re-trace is a compilation event,
+            # not a steady-state cost — same policy as the single-chip
+            # Simulator.simulate_and_time)
+            times.build_grid, times.sph_update, times.memcpy = (
+                build0, update0, memcpy0
+            )
+            self._grow(aux_host)
+            self.simulate_and_time(times)
+            return
+        if int(aux_host.misrouted) > 0:
+            raise RuntimeError(
+                f"{int(aux_host.misrouted)} particle(s) crossed more than "
+                "one slab in a single step"
+            )
+        self.state = new_state
+        self.last_aux = aux_host
+
         pos = self.get_position()
-        times.memcpy += time.perf_counter() - t1
         del pos
+        times.memcpy += time.perf_counter() - t2
         times.iters += 1
+
+    def to_host_state(self) -> FluidState:
+        """Collect the sharded state into a single-chip FluidState on host —
+        the shared checkpoint surface (CLI --save writes ONE format for both
+        engines; core/io.save_state embeds the SimConfig)."""
+        assert self.state is not None, "call setup() first"
+        import jax.numpy as jnp
+
+        got = collect_state(self.state, self.cfg.num_particles)
+        if np.isnan(got["position"]).any():
+            raise RuntimeError(
+                "checkpoint collect incomplete: particle ids missing "
+                "(conservation broken)"
+            )
+        n = self.cfg.num_particles
+        npad = self.cfg.padded_num_particles
+
+        def pad(a):
+            out = np.zeros((npad,) + a.shape[1:], a.dtype)
+            out[:n] = a
+            return out
+
+        return FluidState(
+            position=jnp.asarray(pad(got["position"])),
+            velocity=jnp.asarray(pad(got["velocity"])),
+            force=jnp.zeros((npad, 3), jnp.float32),
+            density=jnp.ones((npad,), jnp.float32),
+            pressure=jnp.zeros((npad,), jnp.float32),
+            valid=jnp.asarray(np.arange(npad) < n),
+        )
 
     def get_position(self) -> np.ndarray:
         assert self.state is not None

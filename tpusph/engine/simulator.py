@@ -143,9 +143,15 @@ class Simulator:
             self._build = None
             self._update = None
 
-    def setup(self) -> None:
-        """Initialize particle state (Simulator::setup, cu:411-460)."""
-        self.state = init_state(self.cfg, self.random_init, self.seed)
+    def setup(self, state: FluidState | None = None) -> None:
+        """Initialize particle state (Simulator::setup, cu:411-460). Pass a
+        FluidState (e.g. from core/io.load_state) to resume a checkpoint
+        instead of initializing fresh."""
+        self.state = (
+            state
+            if state is not None
+            else init_state(self.cfg, self.random_init, self.seed)
+        )
         self._position_host = None
 
     # ------------------------------------------------------------- stepping

@@ -33,7 +33,6 @@ from tpusph.core.config import (
     SimConfig,
 )
 from tpusph.core.state import FluidState
-from tpusph.neighbors.grid import cell_coords
 
 
 def click_in_box(px: int, py: int) -> bool:
@@ -67,6 +66,47 @@ def click_cell_from_px(px: int, py: int, cfg: SimConfig) -> tuple[int, int]:
     return cx, cy
 
 
+def click_kick_fields(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    z: jnp.ndarray,
+    valid: jnp.ndarray,
+    click_cell: jnp.ndarray,
+    cfg: SimConfig,
+):
+    """click_kick on 1-D field rows (f32[N] each): velocity-delta rows
+    (kx, ky, kz) for a click at grid cell click_cell (int32[2], from
+    click_cell_from_px), from pre-step cells. Identical per-component
+    arithmetic to the (N,3) variant — the fields-native hot loops (single-
+    chip free mode and the sharded per-device step) use this to avoid
+    materializing an (N,3) array."""
+    c = cfg.num_cells_per_dim
+    ccx = click_cell[0]
+    ccy = click_cell[1]
+    inv = jnp.float32(cfg.h)
+
+    pcx = jnp.clip((x / inv).astype(jnp.int32), 0, c - 1)
+    pcy = jnp.clip((y / inv).astype(jnp.int32), 0, c - 1)
+    pcz = jnp.clip((z / inv).astype(jnp.int32), 0, c - 1)
+    dx = pcx - ccx
+    dy = pcy - ccy
+    mult = _slab_multiplicity(cfg)[pcz].astype(jnp.float32)
+
+    hit = (jnp.abs(dx) <= 2) & (jnp.abs(dy) <= 2) & valid
+    push = jnp.float32(PUSH_STRENGTH)
+    fdx = dx.astype(jnp.float32)
+    fdy = dy.astype(jnp.float32)
+    kick_x = jnp.where(dx != 0, push / jnp.where(dx != 0, fdx, 1.0), 0.0)
+    kick_y = jnp.where(dy != 0, push / jnp.where(dy != 0, fdy, 1.0), 0.0)
+    kick_z = jnp.where((dx == 0) & (dy == 0), -push, 0.0)
+    zero = jnp.float32(0.0)
+    return (
+        jnp.where(hit, kick_x * mult, zero),
+        jnp.where(hit, kick_y * mult, zero),
+        jnp.where(hit, kick_z * mult, zero),
+    )
+
+
 def click_kick(
     pre_step_position: jnp.ndarray,
     valid: jnp.ndarray,
@@ -76,26 +116,16 @@ def click_kick(
     """Velocity delta f32[N,3] for a click at grid cell click_cell (int32[2],
     from click_cell_from_px), from pre-step cells. Pure and elementwise per
     particle — usable both on the single-chip state and per-device under
-    shard_map."""
-    c = cfg.num_cells_per_dim
-    cx = click_cell[0]
-    cy = click_cell[1]
-
-    pcell = cell_coords(pre_step_position, cfg)  # pre-step grid, like cu:482-489
-    pcell = jnp.clip(pcell, 0, c - 1)
-    dx = pcell[:, 0] - cx
-    dy = pcell[:, 1] - cy
-    mult = _slab_multiplicity(cfg)[pcell[:, 2]].astype(jnp.float32)
-
-    hit = (jnp.abs(dx) <= 2) & (jnp.abs(dy) <= 2) & valid
-    push = jnp.float32(PUSH_STRENGTH)
-    fdx = dx.astype(jnp.float32)
-    fdy = dy.astype(jnp.float32)
-    kick_x = jnp.where(dx != 0, push / jnp.where(dx != 0, fdx, 1.0), 0.0)
-    kick_y = jnp.where(dy != 0, push / jnp.where(dy != 0, fdy, 1.0), 0.0)
-    kick_z = jnp.where((dx == 0) & (dy == 0), -push, 0.0)
-    kick = jnp.stack([kick_x, kick_y, kick_z], axis=-1) * mult[:, None]
-    return jnp.where(hit[:, None], kick, 0.0)
+    shard_map. (N,3) wrapper around click_kick_fields."""
+    kx, ky, kz = click_kick_fields(
+        pre_step_position[:, 0],
+        pre_step_position[:, 1],
+        pre_step_position[:, 2],
+        valid,
+        click_cell,
+        cfg,
+    )
+    return jnp.stack([kx, ky, kz], axis=-1)
 
 
 def apply_click_impulse(

@@ -255,6 +255,31 @@ def _resolve_starts(key_s, starts, queries, cfg: SimConfig,
     zero = jnp.int32(0)
     if not cfg.pallas_rank_prep:
         return [starts[q] for q in queries], zero
+    if (
+        cfg.pallas_query_rank
+        and cfg.pallas_qrank_runs
+        and key_s.shape[0] % 256 == 0
+        and all(q.ndim == 2 for q in queries)
+    ):
+        # monotone-runs layout: each query COLUMN is non-decreasing in
+        # tile index (sorted keys ⇒ non-decreasing per-tile kmin/kmax;
+        # prep overrides empty tiles to num_cells+1 so the sentinel
+        # suffix stays monotone), so the kernel's value sort and unsort
+        # are skipped — columns ship as pre-sorted runs.
+        from tpusph.pallas.qrank import rank_query_runs_pallas
+
+        runs = []
+        for q in queries:
+            qt = q.T  # (ns, rows): row j is window-slot j's monotone run
+            runs.extend(qt[j] for j in range(qt.shape[0]))
+        r, ovf = rank_query_runs_pallas(key_s, runs, cfg,
+                                        interpret=interpret)
+        out, k = [], 0
+        for q in queries:
+            ns = q.shape[1]
+            out.append(jnp.stack(r[k : k + ns], axis=1))
+            k += ns
+        return out, ovf
     flat = jnp.concatenate([q.reshape(-1) for q in queries])
     if cfg.pallas_query_rank and key_s.shape[0] % 256 == 0:
         # (the % 256 gate is the qrank kernel's key-padding contract;
@@ -541,6 +566,18 @@ def supertile_columns(
     sub_lo, sub_hi = _geom_queries(kmin, kmax, cfg, geom)
     sup_lo, sup_hi = _geom_queries(skmin, skmax, cfg, geom)
     prev_i, next_i = _fast_queries(kmin, kmax, cfg, geom, period)
+    if cfg.pallas_qrank_runs:
+        # monotone-runs contract: all-sentinel (empty) tiles form a SUFFIX
+        # of the sorted tiles, but their kmax = −1 dips the query columns;
+        # overriding every empty-tile query to num_cells+1 keeps each
+        # column non-decreasing and the resolved windows empty either way
+        # (start = end = rank(num_cells+1), cnt = 0).
+        big = jnp.int32(cfg.num_cells + 1)
+        fix = lambda a, m: jnp.where(m[:, None], big, a)
+        empty, sempty = kmax < 0, skmax < 0
+        sub_lo, sub_hi = fix(sub_lo, empty), fix(sub_hi, empty)
+        prev_i, next_i = fix(prev_i, empty), fix(next_i, empty)
+        sup_lo, sup_hi = fix(sup_lo, sempty), fix(sup_hi, sempty)
     (sub_s, sub_e, sup_s, sup_e, prev_end, next_start), rq_ovf = (
         _resolve_starts(
             key_s, starts,
@@ -554,6 +591,11 @@ def supertile_columns(
         jnp.int32
     )
     sub_base = sub_start - jnp.repeat(sup_start, g, axis=0)  # ≥0, 128-aligned
+    # empty (cnt = 0) sub windows of a non-empty program can start past the
+    # super window (their queries resolve near/at the array end); clip the
+    # never-scanned base so the flat block offset stays inside _sub_dtype's
+    # int16 budget
+    sub_base = jnp.clip(sub_base, 0, cap)
     sub_cnt, excess = _clamp_sub(sub_base, sub_cnt, cfg)
     overflow = overflow + jnp.sum(excess).astype(jnp.int32)
 
@@ -630,6 +672,16 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig,
     col_lo, col_hi = _geom_queries(kmin, kmax, cfg, col_geom)
     sprev_i, snext_i = _fast_queries(kmin, kmax, cfg, slab_geom, c * c)
     cprev_i, cnext_i = _fast_queries(kmin, kmax, cfg, col_geom, c)
+    if cfg.pallas_qrank_runs:
+        # empty-tile override — see the non-hybrid prep for the argument
+        big = jnp.int32(cfg.num_cells + 1)
+        fix = lambda a, m: jnp.where(m[:, None], big, a)
+        empty, sempty = kmax < 0, skmax < 0
+        slab_lo, slab_hi = fix(slab_lo, empty), fix(slab_hi, empty)
+        col_lo, col_hi = fix(col_lo, empty), fix(col_hi, empty)
+        sprev_i, snext_i = fix(sprev_i, empty), fix(snext_i, empty)
+        cprev_i, cnext_i = fix(cprev_i, empty), fix(cnext_i, empty)
+        sup_lo, sup_hi = fix(sup_lo, sempty), fix(sup_hi, sempty)
     (
         sup_s, sup_e, slab_s, slab_e, col_s, col_e,
         sprev_end, snext_start, cprev_end, cnext_start,
@@ -650,6 +702,10 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig,
     slab_base = slab_start - sup_rep  # ≥0, bl-aligned
     # column (dy, dz) indexes into its dz plane's slab buffer (slot s → s//3)
     col_base = col_start - sup_rep[:, jnp.arange(9) // 3]
+    # clip never-scanned empty-window bases into the int16 budget (see the
+    # non-hybrid prep)
+    slab_base = jnp.clip(slab_base, 0, cap)
+    col_base = jnp.clip(col_base, 0, cap)
     slab_cnt, slab_excess = _clamp_sub(slab_base, slab_cnt, cfg)
     col_cnt, col_excess = _clamp_sub(col_base, col_cnt, cfg)
 

@@ -120,61 +120,64 @@ def _qrank_kernel(
         ).astype(jnp.int32)
 
 
-def rank_queries_pallas(
-    key_sorted: jnp.ndarray, queries: jnp.ndarray, cfg: SimConfig, *,
-    interpret: bool = False,
-):
-    """ranks[i] = #{keys < queries[i]} as int32[Q], from SORTED keys and an
-    arbitrary flat int32 query array. Returns (ranks, overflow): overflow
-    > 0 means some program's key span exceeded its 2·pallas_qrank_kcap
-    window (drivers regrow and re-trace). len(key_sorted) % 256 == 0."""
+def _clamp_sentinel(queries, cfg: SimConfig):
+    """Collapse the sentinel rank cliff: invalid rows all carry key ==
+    num_cells, so every query value in (max_real_key, num_cells] has the
+    SAME rank (#valid keys) and only q ≥ num_cells+1 ranks past the
+    sentinel tail — to exactly n, statically. Clamping queries to
+    num_cells and post-correcting the ≥ num_cells+1 ones keeps every
+    chunk's key span inside the REAL keys; without this, a chunk mixing
+    a low query with an nc+1 guard query (prep's next_start bound) spans
+    the whole real→sentinel rank gap — at sharded-engine occupancies
+    (dev_capacity ≫ valid rows) that gap exceeds any sane kcap window.
+    Returns (clamped queries, over-mask)."""
+    nc_sentinel = jnp.int32(cfg.num_cells)
+    return jnp.minimum(queries, nc_sentinel), queries > nc_sentinel
+
+
+def _rank_sorted_chunks(key_sorted, qv_p, cfg: SimConfig, interpret: bool):
+    """Core rank computation over a query array that is sorted WITHIN each
+    QS-chunk (globally sorted is a special case; the runs path feeds
+    per-chunk-sorted values directly). len(qv_p) must be a multiple of
+    S·QS. Returns (ranks aligned to qv_p, overflow)."""
     n = key_sorted.shape[0]
-    nq = queries.shape[0]
     S = cfg.pallas_qrank_chunks
     kcap = cfg.pallas_qrank_kcap
     bl = 256
     assert n % bl == 0, "qrank needs 256-lane-padded keys (see module doc)"
-
-    # 1. sort queries by value, remember the origin index
-    qv, qi = jax.lax.sort(
-        (queries, jnp.arange(nq, dtype=jnp.int32)), num_keys=1,
-        is_stable=True,
-    )
-
-    # pad the sorted array to a whole number of programs with copies of the
-    # LAST (largest) value so padding never widens a key span
     per_prog = S * QS
-    nprog = -(-nq // per_prog)
-    npad = nprog * per_prog - nq
-    qv_p = jnp.concatenate([qv, jnp.broadcast_to(qv[-1:], (npad,))])
+    assert qv_p.shape[0] % per_prog == 0
+    nprog = qv_p.shape[0] // per_prog
 
-    # 2. coarse chunk-edge rank BOUNDS, gather-free: one fused
-    # outer-compare of the edge queries against the bl-subsampled keys.
+    # coarse chunk rank BOUNDS, gather-free: one fused outer-compare of
+    # each chunk's FIRST and LAST query against the bl-subsampled keys.
     # ss[j] is the LAST key of key block j, so cnt = #{ss < q} bounds
     # rank(q) in [bl·cnt, bl·(cnt+1)): keys before block cnt are < q,
     # keys from block cnt+1 on are ≥ ss[cnt] ≥ q. The kernel stays EXACT
     # on these bounds — lanes below the aligned base are counted via the
     # base, lanes at/after the end bound self-mask (kv ≥ q is false).
-    nchunk = nprog * S
-    edge_q = jnp.concatenate([qv_p[:: QS], qv_p[-1:]])  # (nchunk + 1,)
-    m = n // bl
-    ss = key_sorted[bl - 1 :: bl]  # (m,) last key of each block
-    cnt = jnp.sum(
-        ss[None, :] < edge_q[:, None], axis=1, dtype=jnp.int32
-    )
-    c_aligned = cnt[:-1] * bl
-    c_end = (cnt[1:] + 1) * bl  # may exceed n by one block; clamped below
+    # Using the chunk's own first/last (not the next chunk's edge) keeps
+    # the bounds valid for ANY per-chunk-sorted layout.
+    first_q = qv_p[:: QS]
+    last_q = qv_p[QS - 1 :: QS]
+    ss = key_sorted[bl - 1 :: bl]  # last key of each block
+    cnt_f = jnp.sum(ss[None, :] < first_q[:, None], axis=1, dtype=jnp.int32)
+    cnt_l = jnp.sum(ss[None, :] < last_q[:, None], axis=1, dtype=jnp.int32)
+    c_aligned = cnt_f * bl
+    c_end = (cnt_l + 1) * bl  # may exceed n by one block; clamped below
 
     # per-program key window: W consecutive lanes of key_sorted itself
     # (NO padded copy — see the stability note in the module docstring),
     # gathered at R-lane row granularity with the start clamped so the
     # window never leaves the array. R must be a multiple of bl so
-    # window starts stay block-aligned.
+    # window starts stay block-aligned. The window covers the MIN..MAX of
+    # the program's chunk bounds (== first..last when globally sorted).
     R = 1024 if n % 1024 == 0 else bl
     nrows = n // R
     wrows = min(2 * kcap // R, nrows)
     W = wrows * R  # static window width (== whole array when n ≤ 2·kcap)
-    p_row = jnp.minimum(c_aligned[:: S] // R, nrows - wrows)  # (nprog,)
+    p_base = jnp.min(c_aligned.reshape(nprog, S), axis=1)
+    p_row = jnp.minimum(p_base // R, nrows - wrows)  # (nprog,)
     win_start = p_row * R
     win_end = win_start + W
     # c_end is capped at n (the real array) before the overflow test: the
@@ -182,17 +185,23 @@ def rank_queries_pallas(
     # ending at n has, by construction, every key ≥ its start available
     c_end = jnp.minimum(c_end, n)
     overflow = jnp.sum(
-        jnp.maximum(c_end[S - 1 :: S] - win_end, 0)
+        jnp.maximum(jnp.max(c_end.reshape(nprog, S), axis=1) - win_end, 0)
     ).astype(jnp.int32)
     # an overflowing program must never scan past its window: clamp each
     # chunk's scan to the window end (ranks go wrong there, but the
-    # overflow count above makes the driver regrow and re-trace)
+    # overflow count above makes the driver regrow and re-trace). A chunk
+    # can also start BELOW the window when the program's chunks are not
+    # globally sorted (runs path): clamp its base up (same regrow story).
+    ws = jnp.repeat(win_start, S)
     we = jnp.repeat(win_end, S)
-    lo = jnp.minimum(c_aligned, we)
-    c_nblk = (jnp.minimum(c_end, we) - lo) // bl
-    c_off = (lo - jnp.repeat(win_start, S)) // bl  # in-window block offset
+    overflow = overflow + jnp.sum(
+        jnp.maximum(ws - c_aligned, 0)
+    ).astype(jnp.int32)
+    lo = jnp.clip(c_aligned, ws, we)
+    c_nblk = (jnp.clip(c_end, ws, we) - lo) // bl
+    c_off = (lo - ws) // bl  # in-window block offset
 
-    # 3. queries one-per-sublane: (nprog, S, QS) -> (nprog, QS, S)
+    # queries one-per-sublane: (nprog, S, QS) -> (nprog, QS, S)
     qin = qv_p.reshape(nprog, S, QS).transpose(0, 2, 1)
 
     # window gather: one row-granular take straight out of key_sorted.
@@ -218,8 +227,84 @@ def rank_queries_pallas(
         grid_spec=grid_spec,
         interpret=interpret,
     )(c_off, c_nblk, c_aligned, kwin, qin)
+    return out.transpose(0, 2, 1).reshape(nprog * per_prog), overflow
 
-    # 4. undo the sublane layout and the value sort
-    ranks_sorted = out.transpose(0, 2, 1).reshape(nprog * per_prog)[:nq]
+
+def rank_queries_pallas(
+    key_sorted: jnp.ndarray, queries: jnp.ndarray, cfg: SimConfig, *,
+    interpret: bool = False,
+):
+    """ranks[i] = #{keys < queries[i]} as int32[Q], from SORTED keys and an
+    arbitrary flat int32 query array. Returns (ranks, overflow): overflow
+    > 0 means some program's key span exceeded its 2·pallas_qrank_kcap
+    window (drivers regrow and re-trace). len(key_sorted) % 256 == 0."""
+    n = key_sorted.shape[0]
+    nq = queries.shape[0]
+    S = cfg.pallas_qrank_chunks
+
+    queries, q_over = _clamp_sentinel(queries, cfg)
+
+    # 1. sort queries by value, remember the origin index
+    qv, qi = jax.lax.sort(
+        (queries, jnp.arange(nq, dtype=jnp.int32)), num_keys=1,
+        is_stable=True,
+    )
+
+    # pad the sorted array to a whole number of programs with copies of the
+    # LAST (largest) value so padding never widens a key span
+    per_prog = S * QS
+    nprog = -(-nq // per_prog)
+    npad = nprog * per_prog - nq
+    qv_p = jnp.concatenate([qv, jnp.broadcast_to(qv[-1:], (npad,))])
+
+    ranks_flat, overflow = _rank_sorted_chunks(
+        key_sorted, qv_p, cfg, interpret
+    )
+
+    # undo the value sort, then restore the clamped ≥ num_cells+1 guard
+    # queries (rank past the sentinel tail = n)
+    ranks_sorted = ranks_flat[:nq]
     _, ranks = jax.lax.sort((qi, ranks_sorted), num_keys=1, is_stable=True)
+    ranks = jnp.where(q_over, jnp.int32(n), ranks)
     return ranks, overflow
+
+
+def rank_query_runs_pallas(
+    key_sorted: jnp.ndarray, runs: list, cfg: SimConfig, *,
+    interpret: bool = False,
+):
+    """ranks for a list of PRE-SORTED query runs (each a 1-D non-decreasing
+    int32 array) — the monotone-columns fast path: prep's per-window query
+    columns are non-decreasing in tile index (sorted keys ⇒ non-decreasing
+    per-tile kmin/kmax), so the value sort AND the unsort of
+    rank_queries_pallas are skipped entirely. Each run is padded to a whole
+    number of QS-chunks with copies of its last value, so every chunk stays
+    internally sorted (the kernel's self-masking contract); program windows
+    span the min..max of their chunks' bounds, so a program may mix chunks
+    from different runs. Returns (list of rank arrays matching `runs`,
+    overflow)."""
+    n = key_sorted.shape[0]
+    S = cfg.pallas_qrank_chunks
+    per_prog = S * QS
+
+    padded = []
+    for r in runs:
+        rq, _ = _clamp_sentinel(r, cfg)
+        pad = -(-r.shape[0] // QS) * QS - r.shape[0]
+        if pad:
+            rq = jnp.concatenate([rq, jnp.broadcast_to(rq[-1:], (pad,))])
+        padded.append(rq)
+    qv = jnp.concatenate(padded)
+    npad = -(-qv.shape[0] // per_prog) * per_prog - qv.shape[0]
+    if npad:
+        qv = jnp.concatenate([qv, jnp.broadcast_to(qv[-1:], (npad,))])
+
+    ranks_flat, overflow = _rank_sorted_chunks(key_sorted, qv, cfg, interpret)
+
+    out, o = [], 0
+    for r in runs:
+        run_len = -(-r.shape[0] // QS) * QS
+        rr = ranks_flat[o : o + r.shape[0]]
+        out.append(jnp.where(r > cfg.num_cells, jnp.int32(n), rr))
+        o += run_len
+    return out, overflow

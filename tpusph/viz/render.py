@@ -281,24 +281,19 @@ def _render_to(positions: np.ndarray, k: int, out_dir: str) -> None:
     save_png(render_frame(positions), os.path.join(out_dir, f"frame_{k:05d}.png"))
 
 
-def _run_interactive(sim) -> None:
-    try:
-        import matplotlib
-
-        if not os.environ.get("DISPLAY") and os.name == "posix":
-            raise RuntimeError("no display")
-        import matplotlib.pyplot as plt
-    except Exception:
-        print(
-            "No interactive display available; use --frames N to dump frames "
-            "headlessly (e.g. sph -m free --frames 100 --out frames/)."
-        )
-        return
-
+def _build_interactive(sim):
+    """Construct the interactive window pieces: (fig, tick, pending).
+    `tick` is the per-frame FuncAnimation callback (simulate → render, with
+    the queued click consumed exactly like the reference's mouseClicked
+    global, display.cpp:59-61); `pending["click"]` injects a click the way
+    the mpl button_press_event handler does. Split from _run_interactive so
+    a headless test (matplotlib Agg) can drive real ticks without a
+    display."""
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(8, 6))
-    fig.canvas.manager.set_window_title("SPH Simulation")  # display.cpp:73
+    if fig.canvas.manager is not None:  # Agg has no window manager
+        fig.canvas.manager.set_window_title("SPH Simulation")  # display.cpp:73
     im = ax.imshow(render_frame(sim.get_position()))
     ax.set_axis_off()
     pending = {"click": None}
@@ -315,7 +310,26 @@ def _run_interactive(sim) -> None:
         im.set_data(render_frame(sim.get_position()))
         return (im,)
 
+    return fig, tick, pending
+
+
+def _run_interactive(sim) -> None:
+    try:
+        import matplotlib
+
+        if not os.environ.get("DISPLAY") and os.name == "posix":
+            raise RuntimeError("no display")
+        import matplotlib.pyplot as plt
+    except Exception:
+        print(
+            "No interactive display available; use --frames N to dump frames "
+            "headlessly (e.g. sph -m free --frames 100 --out frames/)."
+        )
+        return
+
+    import matplotlib.pyplot as plt
     from matplotlib.animation import FuncAnimation
 
+    fig, tick, _pending = _build_interactive(sim)
     _anim = FuncAnimation(fig, tick, interval=1, blit=True, cache_frame_data=False)
     plt.show()
