@@ -112,75 +112,3 @@ def test_starts_table_semantics():
         [np.sum(np.asarray(key) < k) for k in range(cfg.num_cells + 2)]
     )
     np.testing.assert_array_equal(a, ref)
-
-
-def test_starts_table_pallas_matches_hist():
-    """The rank kernel (pallas/starts.py, interpret mode) must reproduce the
-    bincount histogram's starts table exactly — collisions, empty cells,
-    empty chunks, sentinel keys, and chunk-edge lead-in alignment."""
-    import dataclasses
-
-    import jax
-
-    from tpusph.neighbors.cell_list import starts_table
-    from tpusph.pallas.starts import starts_table_pallas
-
-    # small grid so interpret mode is tractable (nc+2 = 1002, 8 programs)
-    cfg = default_config(
-        512, num_cells_per_dim=10, pallas_starts=True,
-        pallas_starts_chunk=128, pallas_starts_kcap=1024,
-    )
-    rng = np.random.default_rng(3)
-    for dist in ("uniform", "clustered", "empty_tail"):
-        if dist == "uniform":
-            key = rng.integers(0, cfg.num_cells + 1, size=640)
-        elif dist == "clustered":
-            key = np.minimum(
-                (rng.gamma(2.0, 40.0, size=640)).astype(np.int64),
-                cfg.num_cells,
-            )
-        else:  # leaves whole chunks empty
-            key = rng.integers(0, 64, size=640)
-        key = jnp.asarray(np.sort(key), jnp.int32)
-        ref = np.asarray(jax.jit(lambda k: starts_table(k, cfg))(key))
-        got, ovf = jax.jit(
-            lambda k: starts_table_pallas(k, cfg, interpret=True)
-        )(key)
-        assert int(ovf) == 0
-        np.testing.assert_array_equal(np.asarray(got), ref, err_msg=dist)
-
-    # kcap overflow is DETECTED, never silently miscounted
-    tiny = dataclasses.replace(cfg, pallas_starts_kcap=512)
-    key = jnp.asarray(np.sort(rng.integers(0, 4, size=640)), jnp.int32)
-    _, ovf = jax.jit(
-        lambda k: starts_table_pallas(k, tiny, interpret=True)
-    )(key)
-    assert int(ovf) > 0
-
-
-def test_build_cell_list_with_pallas_starts():
-    """End-to-end: build_cell_list with the rank kernel equals the histogram
-    path (same keys, same table), small grid for interpret mode."""
-    import dataclasses
-
-    import jax
-
-    from tpusph.core.init import init_state
-    from tpusph.neighbors.cell_list import build_cell_list
-
-    base = default_config(256, chunk_size=256, num_cells_per_dim=10, h=1.0,
-                          box_dim=10.0)
-    on = dataclasses.replace(
-        base, pallas_starts=True, pallas_starts_chunk=128,
-        pallas_starts_kcap=512,
-    )
-    st = init_state(base, random_init=True, seed=5)
-    a = jax.jit(lambda s: build_cell_list(s.position, s.valid, base))(st)
-    b = jax.jit(
-        lambda s: build_cell_list(s.position, s.valid, on, interpret=True)
-    )(st)
-    assert int(b.starts_overflow) == 0
-    np.testing.assert_array_equal(np.asarray(a.starts), np.asarray(b.starts))
-    np.testing.assert_array_equal(
-        np.asarray(a.key_sorted), np.asarray(b.key_sorted)
-    )

@@ -157,15 +157,6 @@ class SimConfig:
     # mirroring pallas_desc_unroll_force: the force kernel is VREG-bound
     # and u4 measured worse there in every desc-path combination.
     pallas_slow_unroll_force: int = 0
-    # Starts-table rank kernel (pallas/starts.py): replaces the bincount
-    # scatter-add (≈7 ns/particle on this stack — the whole build-phase
-    # cost at 1M) with a no-scatter Pallas outer-compare over the sorted
-    # keys. chunk = table cells per grid program (work = chunk × N
-    # compare-adds total; fewer programs ↔ more compute per program);
-    # kcap = per-chunk key-slice capacity (overflow detected, regrown).
-    pallas_starts: bool = False
-    pallas_starts_chunk: int = 2048
-    pallas_starts_kcap: int = 16384
     # STREAMED descriptor records: instead of scalar-prefetching the whole
     # per-tile table set into SMEM (O(ntiles) entries — hybrid at 16384+
     # tiles needs 1.8 MB vs the 1.00 MB budget), pack each PROGRAM's slice
@@ -389,15 +380,6 @@ class SimConfig:
         if self.pallas_desc_blocks % self.max_desc_unroll:
             raise ValueError(
                 "pallas_desc_blocks must be a multiple of the unroll factors"
-            )
-        if self.pallas_starts_chunk % 64 or self.pallas_starts_chunk <= 0:
-            raise ValueError(
-                "pallas_starts_chunk must be a positive multiple of 64"
-            )
-        if self.pallas_starts_kcap % 512 or self.pallas_starts_kcap <= 0:
-            raise ValueError(
-                "pallas_starts_kcap must be a positive multiple of 512 "
-                "(4-part conditional DMA alignment)"
             )
         if self.pallas_qrank_kcap % 1024 or self.pallas_qrank_kcap <= 0:
             raise ValueError(

@@ -209,7 +209,6 @@ class DistSimulator:
                 tile_cand_capacity=self.cfg.tile_cand_capacity * 2,
                 pallas_col_capacity=self.cfg.pallas_col_capacity * 2,
                 pallas_sub_blocks=self.cfg.pallas_sub_blocks * 2,
-                pallas_starts_kcap=self.cfg.pallas_starts_kcap * 2,
                 pallas_qrank_kcap=self.cfg.pallas_qrank_kcap * 2,
             )
         self.dcfg = d

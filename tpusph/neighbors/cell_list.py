@@ -58,14 +58,15 @@ def starts_table(key, cfg: SimConfig) -> jnp.ndarray:
 
 
 def starts_from_sorted(key, key_sorted, cfg: SimConfig, interpret=False):
-    """(starts, overflow): the rank kernel (pallas/starts.py) when
-    cfg.pallas_starts — no scatter, ~4× cheaper at 1M — else the measured
-    XLA bincount histogram. overflow counts chunk key slices beyond
-    pallas_starts_kcap (drivers regrow)."""
-    if cfg.pallas_starts:
-        from tpusph.pallas.starts import starts_table_pallas
-
-        return starts_table_pallas(key_sorted, cfg, interpret=interpret)
+    """(starts, overflow) for API symmetry with the retired table-rank
+    kernel. The histogram is DEAD CODE in the tuned production step —
+    pallas_rank_prep resolves every lookup by rank and XLA DCEs the table
+    — and live only for the XLA tile fallback. (A Pallas table-rank
+    kernel, the old pallas/starts.py, measured NEGATIVE here: 0.13 ms
+    @262k for the nearly-sorted production scatter vs the kernel's 2.4+;
+    its chunked outer-compare design lives on as pallas/qrank.py, which
+    ranks the ~0.3·N explicit window queries instead of all table cells.)
+    """
     return starts_table(key, cfg), jnp.int32(0)
 
 
