@@ -747,6 +747,36 @@ def test_rank_query_runs_pallas_exact():
             np.asarray(r), np.searchsorted(keys, r_np, side="left")
         )
 
+    # n >> 2·kcap with full-range runs: consecutive chunks of ONE run span
+    # the whole rank range, so a program's shared key window only works
+    # after the chunk reorder (this exact case overflowed 2.7M and
+    # misranked on the real TPU before the fix — windows must stay
+    # interior AND exact)
+    import dataclasses
+
+    small = dataclasses.replace(cfg, pallas_qrank_kcap=2048)
+    keys = np.sort(rng.integers(0, nc, 16384)).astype(np.int32)
+    runs_np = [
+        np.sort(rng.integers(0, nc + 2, ln)).astype(np.int32)
+        for ln in (4096, 4096, 1024, 640)
+    ]
+    ranks, ovf = rank_query_runs_pallas(
+        jnp.asarray(keys), [jnp.asarray(r) for r in runs_np], small,
+        interpret=True,
+    )
+    assert int(ovf) == 0
+    for r_np, r in zip(runs_np, ranks):
+        np.testing.assert_array_equal(
+            np.asarray(r), np.searchsorted(keys, r_np, side="left")
+        )
+    # a genuinely undersized window must be DETECTED, never misranked
+    tiny = dataclasses.replace(cfg, pallas_qrank_kcap=512)
+    _, ovf = rank_query_runs_pallas(
+        jnp.asarray(keys), [jnp.asarray(r) for r in runs_np], tiny,
+        interpret=True,
+    )
+    assert int(ovf) > 0
+
 
 def test_qrank_runs_prep_matches_flat():
     """pallas_qrank_runs must reproduce the flat qrank prep: identical

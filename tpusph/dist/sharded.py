@@ -155,21 +155,6 @@ def _local_physics(comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret):
     return cl, sp, sv, rho_s, p_s, ovf + cl.starts_overflow, extra
 
 
-def _sort_comb_fields(comb_pos, comb_vel, comb_valid, tag, cfg: SimConfig):
-    """Payload sort of the local∪halo rows by cell key — the per-device
-    "grid construction" phase. ONE stable lax.sort carries the six field
-    rows plus the ownership tag with the keys (the fields-native fast path;
-    no argsort, no (N,3) gathers). Returns
-    (key_s, x, y, z, vx, vy, vz, tag_s, oob_count)."""
-    cx, cy, cz = comb_pos[:, 0], comb_pos[:, 1], comb_pos[:, 2]
-    cvx, cvy, cvz = comb_vel[:, 0], comb_vel[:, 1], comb_vel[:, 2]
-    key, oob_count = compute_keys_fields(cx, cy, cz, comb_valid, cfg)
-    key_s, sx, sy, sz, svx, svy, svz, tag_s = lax.sort(
-        (key, cx, cy, cz, cvx, cvy, cvz, tag), num_keys=1, is_stable=True
-    )
-    return key_s, sx, sy, sz, svx, svy, svz, tag_s, oob_count
-
-
 def _compute_sorted_fields(
     key_s, sx, sy, sz, svx, svy, svz, cfg: SimConfig, use_pallas: bool,
     interpret: bool,
@@ -238,6 +223,50 @@ def _slab_geometry(cfg: SimConfig, dcfg: DistConfig):
     return z_lo, z_hi, slab_w, pshift
 
 
+def _halo_buffers(x, y, z, vx, vy, vz, send_dn, send_up, h_cap: int,
+                  disjoint: bool):
+    """Pack the two 2h face layers into (h_cap, 6) send matrices. When the
+    slab is ≥ 4h wide the dn/up sets are DISJOINT, so ONE stable category
+    payload sort yields both buffers (dn rows sort to the front, up rows to
+    the back) — replacing two argsort+gather compacts with one sort.
+    Narrower slabs (< 4h, only at ≥ 25 z-devices in the reference scene)
+    fall back to the two compacts. Returns
+    (dn6, dn_valid, up6, up_valid, overflow)."""
+    n_dn = jnp.sum(send_dn).astype(jnp.int32)
+    n_up = jnp.sum(send_up).astype(jnp.int32)
+    overflow = jnp.maximum(n_dn - h_cap, 0) + jnp.maximum(n_up - h_cap, 0)
+    lane = jnp.arange(h_cap, dtype=jnp.int32)
+    if disjoint:
+        cat = jnp.where(send_dn, 0, jnp.where(send_up, 2, 1)).astype(
+            jnp.int32
+        )
+        _, hx, hy, hz, hvx, hvy, hvz = lax.sort(
+            (cat, x, y, z, vx, vy, vz), num_keys=1, is_stable=True
+        )
+        dn6 = jnp.stack(
+            [hx[:h_cap], hy[:h_cap], hz[:h_cap],
+             hvx[:h_cap], hvy[:h_cap], hvz[:h_cap]], axis=1
+        )
+        t0 = x.shape[0] - h_cap
+        up6 = jnp.stack(
+            [hx[t0:], hy[t0:], hz[t0:], hvx[t0:], hvy[t0:], hvz[t0:]],
+            axis=1,
+        )
+        dn_valid = lane < n_dn
+        up_valid = lane >= (h_cap - jnp.minimum(n_up, h_cap))
+        return dn6, dn_valid, up6, up_valid, overflow
+    (dn_rows), dn_valid, _, _ = _compact(
+        send_dn, (x, y, z, vx, vy, vz), h_cap
+    )
+    (up_rows), up_valid, _, _ = _compact(
+        send_up, (x, y, z, vx, vy, vz), h_cap
+    )
+    return (
+        jnp.stack(dn_rows, axis=1), dn_valid,
+        jnp.stack(up_rows, axis=1), up_valid, overflow,
+    )
+
+
 def _device_build(pos, vel, valid, pid, cfg: SimConfig, dcfg: DistConfig):
     """Phase 1 on one device's slab: 2h halo exchange + cell-key payload
     sort — the sharded "grid construction" phase (the reference's timed
@@ -245,53 +274,56 @@ def _device_build(pos, vel, valid, pid, cfg: SimConfig, dcfg: DistConfig):
     collective that replaces its free HBM reads). Returns the sorted comb
     rows + per-device (halo_overflow, oob_count) scalars (not yet psummed).
     """
-    c_dev = dcfg.dev_capacity
     h_cap = dcfg.halo_capacity
     halo_w = jnp.float32(2.0 * cfg.h)  # 2h ghost layer (module docstring)
     z_lo, z_hi, _slab_w, pshift = _slab_geometry(cfg, dcfg)
 
-    # ---- halo selection (2h layer) + exchange (positions, velocities)
-    z = pos[:, 2]
+    # ---- halo selection (2h layer) + exchange (positions, velocities),
+    # fields-native: state is sliced to 1-D rows ONCE here and never
+    # re-materialized as (N, 3) downstream
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+    vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
     send_dn = valid & (z < z_lo + halo_w)
     send_up = valid & (z >= z_hi - halo_w)
-    (dn_pos, dn_vel), dn_valid, _, ovf_dn = _compact(
-        send_dn, (pos, vel), h_cap
+    disjoint = cfg.box_dim / dcfg.n_devices >= 4 * cfg.h  # static
+    dn6, dn_valid, up6, up_valid, halo_ovf = _halo_buffers(
+        x, y, z, vx, vy, vz, send_dn, send_up, h_cap, disjoint
     )
-    (up_pos, up_vel), up_valid, _, ovf_up = _compact(
-        send_up, (pos, vel), h_cap
-    )
-    lo_pos = pshift(up_pos, True)  # halo from the device below
-    lo_vel = pshift(up_vel, True)
+    lo6 = pshift(up6, True)  # halo from the device below
     lo_valid = pshift(up_valid, True)
-    hi_pos = pshift(dn_pos, False)  # halo from the device above
-    hi_vel = pshift(dn_vel, False)
+    hi6 = pshift(dn6, False)  # halo from the device above
     hi_valid = pshift(dn_valid, False)
 
-    # ---- combined local ∪ halo set
-    comb_pos = jnp.concatenate([pos, lo_pos, hi_pos])
-    comb_vel = jnp.concatenate([vel, lo_vel, hi_vel])
+    # ---- combined local ∪ halo rows
     comb_valid = jnp.concatenate([valid, lo_valid, hi_valid])
+    rows = [
+        jnp.concatenate([r, lo6[:, j], hi6[:, j]])
+        for j, r in enumerate((x, y, z, vx, vy, vz))
+    ]
     # stale/invalid slots must sit at the origin: the Pallas key mask can
     # coincidentally match sentinel-keyed rows, and only the ≥0.17 gap from
     # any clamped-valid position makes them physically inert
-    comb_pos = jnp.where(comb_valid[:, None], comb_pos, 0.0)
+    for j in range(3):
+        rows[j] = jnp.where(comb_valid, rows[j], 0.0)
     # ownership tag travels with the sort: local valid rows carry their pid
     # (≥ 0), local invalid slots −1, halo copies −2 — `tag ≥ 0` is the
     # "live local" mask in sorted space
     tag = jnp.concatenate([
         jnp.where(valid, pid, jnp.int32(-1)),
-        jnp.full((h_cap,), -2, jnp.int32),
-        jnp.full((h_cap,), -2, jnp.int32),
+        jnp.full((2 * h_cap,), -2, jnp.int32),
     ])
-    key_s, sx, sy, sz, svx, svy, svz, tag_s, oob_count = _sort_comb_fields(
-        comb_pos, comb_vel, comb_valid, tag, cfg
+    key, oob_count = compute_keys_fields(rows[0], rows[1], rows[2],
+                                         comb_valid, cfg)
+    key_s, sx, sy, sz, svx, svy, svz, tag_s = lax.sort(
+        (key, *rows, tag), num_keys=1, is_stable=True
     )
-    return key_s, sx, sy, sz, svx, svy, svz, tag_s, ovf_dn + ovf_up, oob_count
+    return key_s, sx, sy, sz, svx, svy, svz, tag_s, halo_ovf, oob_count
 
 
 def _device_update(
     key_s, sx, sy, sz, svx, svy, svz, tag_s, click_cell, click_active,
     cfg: SimConfig, dcfg: DistConfig, use_pallas: bool, interpret: bool,
+    with_click: bool = True,
 ):
     """Phase 2 on one device's slab: fused density/force megakernels +
     integration + click impulse + migration + state repacking (the sharded
@@ -323,12 +355,17 @@ def _device_update(
     # ---- 4b. click impulse (free-mode parity, simulator.cu:482-489):
     # applied after integration from PRE-step cells, exactly like the
     # single-chip engine; elementwise per particle, before migration so
-    # kicked slab-crossers carry their kick to the new owner.
-    kx, ky, kz = click_kick_fields(sx, sy, sz, live, click_cell, cfg)
-    ca = click_active.astype(jnp.float32)
-    nvx = nvx + kx * ca
-    nvy = nvy + ky * ca
-    nvz = nvz + kz * ca
+    # kicked slab-crossers carry their kick to the new owner. The
+    # scan-chained production run (with_click=False) skips it STATICALLY:
+    # the slab-multiplicity table gather costs ~50 ns/row through this
+    # stack's gather path, and XLA cannot fold `kick * 0` away (x·0 is not
+    # an identity under NaN/Inf semantics).
+    if with_click:
+        kx, ky, kz = click_kick_fields(sx, sy, sz, live, click_cell, cfg)
+        ca = click_active.astype(jnp.float32)
+        nvx = nvx + kx * ca
+        nvy = nvy + ky * ca
+        nvz = nvz + kz * ca
 
     # ---- 5. migration of slab-crossers (one hop). A particle cannot cross
     # both faces, so ONE stable category sort packs both direction buffers:
@@ -420,6 +457,7 @@ def _device_update(
 def _device_step(
     pos, vel, valid, pid, click_cell, click_active, cfg: SimConfig,
     dcfg: DistConfig, use_pallas: bool = False, interpret: bool = False,
+    with_click: bool = True,
 ):
     """One timestep on one device's slab (runs under shard_map):
     _device_build (halo exchange + sort) composed with _device_update
@@ -432,6 +470,7 @@ def _device_step(
         _device_update(
             key_s, sx, sy, sz, svx, svy, svz, tag_s, click_cell,
             click_active, cfg, dcfg, use_pallas, interpret,
+            with_click=with_click,
         )
     )
     aux = DistAux(
@@ -533,6 +572,9 @@ def make_sharded_timed(
             _device_update(
                 key_s, sx, sy, sz, svx, svy, svz, tag_s, cc, ca, cfg, dcfg,
                 use_pallas, interpret,
+                # the reference's simulateAndTime runs the step minus mouse
+                # handling (simulator.cu:499-546) — same here, statically
+                with_click=False,
             )
         )
         return x, v, valid_new, pid_new, (
@@ -602,6 +644,7 @@ def make_sharded_run(
             x, v, valid2, pid2, aux = _device_step(
                 pos, vel, valid, pid, zero_cell, inactive, cfg, dcfg,
                 use_pallas=use_pallas, interpret=interpret,
+                with_click=False,  # production chain: no click surface
             )
             return (x, v, valid2, pid2), aux
         carry, auxs = lax.scan(body, (pos, vel, valid, pid), None, length=steps)

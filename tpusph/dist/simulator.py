@@ -111,6 +111,7 @@ class DistSimulator:
         self.state: DistState | None = None
         self.last_aux = None
         self._timed = None  # lazy (build_fn, update_fn) for simulate_and_time
+        self._runners: dict[int, object] = {}  # run(k) jit cache
         self.use_pallas = jax.default_backend() not in ("cpu",)
         self.mesh_shape = mesh_shape
         if mesh_shape is None:
@@ -213,6 +214,7 @@ class DistSimulator:
             )
         self.dcfg = d
         self._timed = None  # capacities changed: re-trace the timed phases
+        self._runners.clear()
         if self.mesh_shape is None:
             self._step = make_sharded_step(
                 self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
@@ -241,7 +243,11 @@ class DistSimulator:
 
         chunk = steps if chunk is None else max(1, chunk)
         done = 0
-        runners: dict[int, object] = {}
+        # runner cache lives on the instance: a repeated run(k) must reuse
+        # the jitted callable (re-tracing a 100-step scan chain and
+        # re-loading its executable costs tens of seconds through the
+        # remote-compile relay). _grow invalidates it.
+        runners = self._runners
         while done < steps:
             k = min(chunk, steps - done)
             for _ in range(8):

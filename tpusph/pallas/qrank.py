@@ -135,11 +135,21 @@ def _clamp_sentinel(queries, cfg: SimConfig):
     return jnp.minimum(queries, nc_sentinel), queries > nc_sentinel
 
 
-def _rank_sorted_chunks(key_sorted, qv_p, cfg: SimConfig, interpret: bool):
+def _rank_sorted_chunks(key_sorted, qv_p, cfg: SimConfig, interpret: bool,
+                        reorder_chunks: bool = False):
     """Core rank computation over a query array that is sorted WITHIN each
     QS-chunk (globally sorted is a special case; the runs path feeds
     per-chunk-sorted values directly). len(qv_p) must be a multiple of
-    S·QS. Returns (ranks aligned to qv_p, overflow)."""
+    S·QS. Returns (ranks aligned to qv_p, overflow).
+
+    reorder_chunks (the runs path): a program's S chunks share ONE key
+    window, so they must be RANK-adjacent — true for globally sorted
+    queries, false for concatenated monotone runs (consecutive chunks of
+    one run span the run's whole rank range, far past any sane window).
+    Sorting the CHUNKS by their coarse rank before grouping restores
+    adjacency for a tiny sort of nchunk keys + two row-granular QS-wide
+    permutes (the whole point of the runs path is skipping the Q-element
+    value sort, which this does not reintroduce)."""
     n = key_sorted.shape[0]
     S = cfg.pallas_qrank_chunks
     kcap = cfg.pallas_qrank_kcap
@@ -148,6 +158,7 @@ def _rank_sorted_chunks(key_sorted, qv_p, cfg: SimConfig, interpret: bool):
     per_prog = S * QS
     assert qv_p.shape[0] % per_prog == 0
     nprog = qv_p.shape[0] // per_prog
+    nchunk = nprog * S
 
     # coarse chunk rank BOUNDS, gather-free: one fused outer-compare of
     # each chunk's FIRST and LAST query against the bl-subsampled keys.
@@ -165,6 +176,15 @@ def _rank_sorted_chunks(key_sorted, qv_p, cfg: SimConfig, interpret: bool):
     cnt_l = jnp.sum(ss[None, :] < last_q[:, None], axis=1, dtype=jnp.int32)
     c_aligned = cnt_f * bl
     c_end = (cnt_l + 1) * bl  # may exceed n by one block; clamped below
+
+    chunk_order = None
+    if reorder_chunks:
+        c_aligned, chunk_order = jax.lax.sort(
+            (c_aligned, jnp.arange(nchunk, dtype=jnp.int32)), num_keys=1,
+            is_stable=True,
+        )
+        c_end = c_end[chunk_order]
+        qv_p = qv_p.reshape(nchunk, QS)[chunk_order].reshape(-1)
 
     # per-program key window: W consecutive lanes of key_sorted itself
     # (NO padded copy — see the stability note in the module docstring),
@@ -227,7 +247,15 @@ def _rank_sorted_chunks(key_sorted, qv_p, cfg: SimConfig, interpret: bool):
         grid_spec=grid_spec,
         interpret=interpret,
     )(c_off, c_nblk, c_aligned, kwin, qin)
-    return out.transpose(0, 2, 1).reshape(nprog * per_prog), overflow
+    ranks = out.transpose(0, 2, 1).reshape(nprog * per_prog)
+    if chunk_order is not None:
+        # undo the chunk permutation (row-granular, QS-wide)
+        _, inv = jax.lax.sort(
+            (chunk_order, jnp.arange(nchunk, dtype=jnp.int32)), num_keys=1,
+            is_stable=True,
+        )
+        ranks = ranks.reshape(nchunk, QS)[inv].reshape(-1)
+    return ranks, overflow
 
 
 def rank_queries_pallas(
@@ -299,7 +327,9 @@ def rank_query_runs_pallas(
     if npad:
         qv = jnp.concatenate([qv, jnp.broadcast_to(qv[-1:], (npad,))])
 
-    ranks_flat, overflow = _rank_sorted_chunks(key_sorted, qv, cfg, interpret)
+    ranks_flat, overflow = _rank_sorted_chunks(
+        key_sorted, qv, cfg, interpret, reorder_chunks=True
+    )
 
     out, o = [], 0
     for r in runs:
