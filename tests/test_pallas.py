@@ -716,126 +716,6 @@ def test_rank_queries_pallas_exact():
     )
     assert int(ovf) > 0
 
-
-def test_rank_query_runs_pallas_exact():
-    """The monotone-runs entry point (rank_query_runs_pallas) must equal
-    searchsorted left-ranks for pre-sorted runs of mixed lengths, including
-    non-QS-multiple lengths and sentinel-tail values (num_cells, +1)."""
-    import jax.numpy as jnp
-
-    from tpusph.pallas.qrank import rank_query_runs_pallas
-
-    rng = np.random.default_rng(9)
-    cfg = default_config(4096, pallas_qrank_chunks=4, pallas_qrank_kcap=2048)
-    nc = cfg.num_cells
-    # keys with a sentinel tail, exactly like production sorted fields
-    real = np.sort(rng.integers(0, nc, 2900)).astype(np.int32)
-    keys = np.concatenate([real, np.full(3072 - 2900, nc, np.int32)])
-    runs_np = [
-        np.sort(rng.integers(0, nc + 2, ln)).astype(np.int32)
-        for ln in (96, 64, 7, 500, 130)
-    ]
-    runs_np.append(np.full(40, nc + 1, np.int32))  # all-sentinel suffix run
-    ranks, ovf = rank_query_runs_pallas(
-        jnp.asarray(keys), [jnp.asarray(r) for r in runs_np], cfg,
-        interpret=True,
-    )
-    assert int(ovf) == 0
-    assert len(ranks) == len(runs_np)
-    for r_np, r in zip(runs_np, ranks):
-        np.testing.assert_array_equal(
-            np.asarray(r), np.searchsorted(keys, r_np, side="left")
-        )
-
-    # n >> 2·kcap with full-range runs: consecutive chunks of ONE run span
-    # the whole rank range, so a program's shared key window only works
-    # after the chunk reorder (this exact case overflowed 2.7M and
-    # misranked on the real TPU before the fix — windows must stay
-    # interior AND exact)
-    import dataclasses
-
-    small = dataclasses.replace(cfg, pallas_qrank_kcap=2048)
-    keys = np.sort(rng.integers(0, nc, 16384)).astype(np.int32)
-    runs_np = [
-        np.sort(rng.integers(0, nc + 2, ln)).astype(np.int32)
-        for ln in (4096, 4096, 1024, 640)
-    ]
-    ranks, ovf = rank_query_runs_pallas(
-        jnp.asarray(keys), [jnp.asarray(r) for r in runs_np], small,
-        interpret=True,
-    )
-    assert int(ovf) == 0
-    for r_np, r in zip(runs_np, ranks):
-        np.testing.assert_array_equal(
-            np.asarray(r), np.searchsorted(keys, r_np, side="left")
-        )
-    # a genuinely undersized window must be DETECTED, never misranked
-    tiny = dataclasses.replace(cfg, pallas_qrank_kcap=512)
-    _, ovf = rank_query_runs_pallas(
-        jnp.asarray(keys), [jnp.asarray(r) for r in runs_np], tiny,
-        interpret=True,
-    )
-    assert int(ovf) > 0
-
-
-def test_qrank_runs_prep_matches_flat():
-    """pallas_qrank_runs must reproduce the flat qrank prep: identical
-    TileColumns when every tile is live (no empty-tile override in play),
-    and bit-identical full-step physics when sentinel padding creates
-    empty tiles (where the override legitimately changes never-scanned
-    window bases)."""
-    import dataclasses
-
-    import jax.numpy as jnp
-
-    from tpusph.engine.step import step_pallas_sorted
-    from tpusph.neighbors.cell_list import build_sorted_fields
-    from tpusph.pallas.fused import supertile_columns
-
-    # --- all-live tiles: exact TileColumns equality, every stencil
-    for stencil in ("slab3", "col9", "hybrid"):
-        base = default_config(
-            512, chunk_size=512, pallas_col_capacity=512,
-            pallas_sub_blocks=4, pallas_stencil=stencil,
-            pallas_block_lanes=128, pallas_qrank_chunks=4,
-            pallas_qrank_kcap=2048, pallas_query_rank=True,
-        )
-        st = init_state(base, random_init=True, seed=12)
-        sf = build_sorted_fields(st.position, st.velocity, st.valid, base)
-        cols = {}
-        for runs in (False, True):
-            cfg = dataclasses.replace(base, pallas_qrank_runs=runs)
-            cols[runs] = supertile_columns(
-                sf.key_sorted, sf.valid_sorted, sf.starts, cfg, True
-            )
-        for field in cols[False]._fields:
-            a, b = getattr(cols[False], field), getattr(cols[True], field)
-            if a is None:
-                assert b is None, field
-                continue
-            np.testing.assert_array_equal(
-                np.asarray(a), np.asarray(b), err_msg=f"{stencil}.{field}"
-            )
-
-    # --- sentinel-padded tail (N=3840 pads to 4096 → empty tiles): full
-    # Pallas step must be bit-identical across the two layouts
-    for stencil in ("slab3", "hybrid"):
-        cfg0 = default_config(
-            3840, chunk_size=4096, pallas_stencil=stencil,
-            pallas_col_capacity=8192, pallas_sub_blocks=48,
-            pallas_desc=True, pallas_desc_blocks=64, pallas_desc_unroll=2,
-            pallas_query_rank=True, pallas_qrank_kcap=4096,
-        )
-        cfg1 = dataclasses.replace(cfg0, pallas_qrank_runs=True)
-        st = init_state(cfg0, random_init=False)
-        a, aux_a = step_pallas_sorted(st, cfg0, interpret=True)
-        b, aux_b = step_pallas_sorted(st, cfg1, interpret=True)
-        assert int(aux_a.window_overflow) == 0
-        assert int(aux_b.window_overflow) == 0
-        assert bool(jnp.all(a.density == b.density)), stencil
-        assert bool(jnp.all(a.position == b.position)), stencil
-
-
 def test_query_rank_prep_equals_sort_prep():
     """pallas_query_rank must reproduce the rank-sort TileColumns EXACTLY
     (both compute integer left-ranks) for every stencil."""

@@ -157,6 +157,16 @@ class SimConfig:
     # mirroring pallas_desc_unroll_force: the force kernel is VREG-bound
     # and u4 measured worse there in every desc-path combination.
     pallas_slow_unroll_force: int = 0
+    # STATIC-TRIP descriptor loop: the fast branch scans ALL
+    # pallas_desc_blocks descriptor slots with a COMPILE-TIME trip count
+    # instead of the tile's dynamic count (dead slots point at the zeroed
+    # parking block — exactly zero contribution). Trades wasted VPU blocks
+    # (MB vs the tile's live count) for statically-schedulable control
+    # flow: the per-block gap vs the unrolled-probe floor (~195-230 ns vs
+    # 48.7, scripts/loop_probe.py) is loop/trip-count dynamics, which a
+    # static bound removes entirely. Worth it only when MB is close to
+    # the mean live count.
+    pallas_desc_static_trip: bool = False
     # STREAMED descriptor records: instead of scalar-prefetching the whole
     # per-tile table set into SMEM (O(ntiles) entries — hybrid at 16384+
     # tiles needs 1.8 MB vs the 1.00 MB budget), pack each PROGRAM's slice
@@ -261,15 +271,6 @@ class SimConfig:
     pallas_query_rank: bool = False
     pallas_qrank_chunks: int = 16
     pallas_qrank_kcap: int = 16384
-    # Monotone-runs qrank (the round-3 "per-query-column monotonicity is
-    # unexploited" lead): prep's per-window query columns are non-
-    # decreasing in tile index (sorted keys ⇒ non-decreasing per-tile
-    # kmin/kmax), so each column ships to the qrank kernel as a PRE-SORTED
-    # run — the Q-query value sort and the unsort (two 2-lane payload
-    # sorts of ~0.3·N) disappear from prep entirely. Prep overrides the
-    # all-sentinel (empty) tiles' queries to num_cells+1 so the suffix
-    # stays monotone; resolved ranks are integer-exact either way.
-    pallas_qrank_runs: bool = False
     # TPU compiler scoped-VMEM stack budget in KiB, forwarded per-compile
     # as xla_tpu_scoped_vmem_limit_kib (XLA_FLAGS can't carry TPU-only
     # flag names through the client-side parser). 16384 is the hardware
@@ -388,11 +389,6 @@ class SimConfig:
             )
         if self.pallas_qrank_chunks <= 0:
             raise ValueError("pallas_qrank_chunks must be positive")
-        if self.pallas_qrank_runs and not self.pallas_query_rank:
-            raise ValueError(
-                "pallas_qrank_runs needs pallas_query_rank=True (it is a "
-                "layout mode of the query-rank kernel)"
-            )
         if self.pallas_density_split < 1 or (
             self.pallas_density_split & (self.pallas_density_split - 1)
         ):

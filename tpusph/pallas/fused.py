@@ -255,31 +255,6 @@ def _resolve_starts(key_s, starts, queries, cfg: SimConfig,
     zero = jnp.int32(0)
     if not cfg.pallas_rank_prep:
         return [starts[q] for q in queries], zero
-    if (
-        cfg.pallas_query_rank
-        and cfg.pallas_qrank_runs
-        and key_s.shape[0] % 256 == 0
-        and all(q.ndim == 2 for q in queries)
-    ):
-        # monotone-runs layout: each query COLUMN is non-decreasing in
-        # tile index (sorted keys ⇒ non-decreasing per-tile kmin/kmax;
-        # prep overrides empty tiles to num_cells+1 so the sentinel
-        # suffix stays monotone), so the kernel's value sort and unsort
-        # are skipped — columns ship as pre-sorted runs.
-        from tpusph.pallas.qrank import rank_query_runs_pallas
-
-        runs = []
-        for q in queries:
-            qt = q.T  # (ns, rows): row j is window-slot j's monotone run
-            runs.extend(qt[j] for j in range(qt.shape[0]))
-        r, ovf = rank_query_runs_pallas(key_s, runs, cfg,
-                                        interpret=interpret)
-        out, k = [], 0
-        for q in queries:
-            ns = q.shape[1]
-            out.append(jnp.stack(r[k : k + ns], axis=1))
-            k += ns
-        return out, ovf
     flat = jnp.concatenate([q.reshape(-1) for q in queries])
     if cfg.pallas_query_rank and key_s.shape[0] % 256 == 0:
         # (the % 256 gate is the qrank kernel's key-padding contract;
@@ -566,18 +541,6 @@ def supertile_columns(
     sub_lo, sub_hi = _geom_queries(kmin, kmax, cfg, geom)
     sup_lo, sup_hi = _geom_queries(skmin, skmax, cfg, geom)
     prev_i, next_i = _fast_queries(kmin, kmax, cfg, geom, period)
-    if cfg.pallas_qrank_runs:
-        # monotone-runs contract: all-sentinel (empty) tiles form a SUFFIX
-        # of the sorted tiles, but their kmax = −1 dips the query columns;
-        # overriding every empty-tile query to num_cells+1 keeps each
-        # column non-decreasing and the resolved windows empty either way
-        # (start = end = rank(num_cells+1), cnt = 0).
-        big = jnp.int32(cfg.num_cells + 1)
-        fix = lambda a, m: jnp.where(m[:, None], big, a)
-        empty, sempty = kmax < 0, skmax < 0
-        sub_lo, sub_hi = fix(sub_lo, empty), fix(sub_hi, empty)
-        prev_i, next_i = fix(prev_i, empty), fix(next_i, empty)
-        sup_lo, sup_hi = fix(sup_lo, sempty), fix(sup_hi, sempty)
     (sub_s, sub_e, sup_s, sup_e, prev_end, next_start), rq_ovf = (
         _resolve_starts(
             key_s, starts,
@@ -672,16 +635,6 @@ def _supertile_columns_hybrid(key_s, valid_s, starts, cfg: SimConfig,
     col_lo, col_hi = _geom_queries(kmin, kmax, cfg, col_geom)
     sprev_i, snext_i = _fast_queries(kmin, kmax, cfg, slab_geom, c * c)
     cprev_i, cnext_i = _fast_queries(kmin, kmax, cfg, col_geom, c)
-    if cfg.pallas_qrank_runs:
-        # empty-tile override — see the non-hybrid prep for the argument
-        big = jnp.int32(cfg.num_cells + 1)
-        fix = lambda a, m: jnp.where(m[:, None], big, a)
-        empty, sempty = kmax < 0, skmax < 0
-        slab_lo, slab_hi = fix(slab_lo, empty), fix(slab_hi, empty)
-        col_lo, col_hi = fix(col_lo, empty), fix(col_hi, empty)
-        sprev_i, snext_i = fix(sprev_i, empty), fix(snext_i, empty)
-        cprev_i, cnext_i = fix(cprev_i, empty), fix(cnext_i, empty)
-        sup_lo, sup_hi = fix(sup_lo, sempty), fix(sup_hi, sempty)
     (
         sup_s, sup_e, slab_s, slab_e, col_s, col_e,
         sprev_end, snext_start, cprev_end, cnext_start,
@@ -1085,7 +1038,13 @@ def _density_kernel(*refs, cfg, geom):
             # loop (always correct; carries the key masks when not fast)
             use_desc = fast and cfg.pallas_desc
             if use_desc:
-                total = tb["dcnt"](sub)
+                # static-trip: scan every descriptor slot (dead slots hit
+                # the parking block), compile-time bound
+                total = (
+                    cfg.pallas_desc_blocks
+                    if cfg.pallas_desc_static_trip
+                    else tb["dcnt"](sub)
+                )
             else:
                 starts_blk, rows, total = chain
 
@@ -1370,7 +1329,12 @@ def _force_kernel(*refs, cfg, geom):
             zero = jnp.zeros((hpt, bl2), jnp.float32)
             use_desc = fast and cfg.pallas_desc
             if use_desc:
-                total = tb["dcntf"](sub)
+                # static-trip: see the density kernel note
+                total = (
+                    cfg.pallas_desc_blocks
+                    if cfg.pallas_desc_static_trip
+                    else tb["dcntf"](sub)
+                )
             else:
                 starts_blk, rows, total = chain
 

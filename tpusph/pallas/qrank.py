@@ -135,21 +135,11 @@ def _clamp_sentinel(queries, cfg: SimConfig):
     return jnp.minimum(queries, nc_sentinel), queries > nc_sentinel
 
 
-def _rank_sorted_chunks(key_sorted, qv_p, cfg: SimConfig, interpret: bool,
-                        reorder_chunks: bool = False):
+def _rank_sorted_chunks(key_sorted, qv_p, cfg: SimConfig, interpret: bool):
     """Core rank computation over a query array that is sorted WITHIN each
-    QS-chunk (globally sorted is a special case; the runs path feeds
-    per-chunk-sorted values directly). len(qv_p) must be a multiple of
-    S·QS. Returns (ranks aligned to qv_p, overflow).
-
-    reorder_chunks (the runs path): a program's S chunks share ONE key
-    window, so they must be RANK-adjacent — true for globally sorted
-    queries, false for concatenated monotone runs (consecutive chunks of
-    one run span the run's whole rank range, far past any sane window).
-    Sorting the CHUNKS by their coarse rank before grouping restores
-    adjacency for a tiny sort of nchunk keys + two row-granular QS-wide
-    permutes (the whole point of the runs path is skipping the Q-element
-    value sort, which this does not reintroduce)."""
+    QS-chunk (globally sorted is the production case; per-chunk sortedness
+    is all the kernel's self-masking needs). len(qv_p) must be a multiple
+    of S·QS. Returns (ranks aligned to qv_p, overflow)."""
     n = key_sorted.shape[0]
     S = cfg.pallas_qrank_chunks
     kcap = cfg.pallas_qrank_kcap
@@ -176,15 +166,6 @@ def _rank_sorted_chunks(key_sorted, qv_p, cfg: SimConfig, interpret: bool,
     cnt_l = jnp.sum(ss[None, :] < last_q[:, None], axis=1, dtype=jnp.int32)
     c_aligned = cnt_f * bl
     c_end = (cnt_l + 1) * bl  # may exceed n by one block; clamped below
-
-    chunk_order = None
-    if reorder_chunks:
-        c_aligned, chunk_order = jax.lax.sort(
-            (c_aligned, jnp.arange(nchunk, dtype=jnp.int32)), num_keys=1,
-            is_stable=True,
-        )
-        c_end = c_end[chunk_order]
-        qv_p = qv_p.reshape(nchunk, QS)[chunk_order].reshape(-1)
 
     # per-program key window: W consecutive lanes of key_sorted itself
     # (NO padded copy — see the stability note in the module docstring),
@@ -247,15 +228,7 @@ def _rank_sorted_chunks(key_sorted, qv_p, cfg: SimConfig, interpret: bool,
         grid_spec=grid_spec,
         interpret=interpret,
     )(c_off, c_nblk, c_aligned, kwin, qin)
-    ranks = out.transpose(0, 2, 1).reshape(nprog * per_prog)
-    if chunk_order is not None:
-        # undo the chunk permutation (row-granular, QS-wide)
-        _, inv = jax.lax.sort(
-            (chunk_order, jnp.arange(nchunk, dtype=jnp.int32)), num_keys=1,
-            is_stable=True,
-        )
-        ranks = ranks.reshape(nchunk, QS)[inv].reshape(-1)
-    return ranks, overflow
+    return out.transpose(0, 2, 1).reshape(nprog * per_prog), overflow
 
 
 def rank_queries_pallas(
@@ -295,46 +268,3 @@ def rank_queries_pallas(
     _, ranks = jax.lax.sort((qi, ranks_sorted), num_keys=1, is_stable=True)
     ranks = jnp.where(q_over, jnp.int32(n), ranks)
     return ranks, overflow
-
-
-def rank_query_runs_pallas(
-    key_sorted: jnp.ndarray, runs: list, cfg: SimConfig, *,
-    interpret: bool = False,
-):
-    """ranks for a list of PRE-SORTED query runs (each a 1-D non-decreasing
-    int32 array) — the monotone-columns fast path: prep's per-window query
-    columns are non-decreasing in tile index (sorted keys ⇒ non-decreasing
-    per-tile kmin/kmax), so the value sort AND the unsort of
-    rank_queries_pallas are skipped entirely. Each run is padded to a whole
-    number of QS-chunks with copies of its last value, so every chunk stays
-    internally sorted (the kernel's self-masking contract); program windows
-    span the min..max of their chunks' bounds, so a program may mix chunks
-    from different runs. Returns (list of rank arrays matching `runs`,
-    overflow)."""
-    n = key_sorted.shape[0]
-    S = cfg.pallas_qrank_chunks
-    per_prog = S * QS
-
-    padded = []
-    for r in runs:
-        rq, _ = _clamp_sentinel(r, cfg)
-        pad = -(-r.shape[0] // QS) * QS - r.shape[0]
-        if pad:
-            rq = jnp.concatenate([rq, jnp.broadcast_to(rq[-1:], (pad,))])
-        padded.append(rq)
-    qv = jnp.concatenate(padded)
-    npad = -(-qv.shape[0] // per_prog) * per_prog - qv.shape[0]
-    if npad:
-        qv = jnp.concatenate([qv, jnp.broadcast_to(qv[-1:], (npad,))])
-
-    ranks_flat, overflow = _rank_sorted_chunks(
-        key_sorted, qv, cfg, interpret, reorder_chunks=True
-    )
-
-    out, o = [], 0
-    for r in runs:
-        run_len = -(-r.shape[0] // QS) * QS
-        rr = ranks_flat[o : o + r.shape[0]]
-        out.append(jnp.where(r > cfg.num_cells, jnp.int32(n), rr))
-        o += run_len
-    return out, overflow
