@@ -135,13 +135,6 @@ VARIANTS = {
     # 16-row force buffer to a single slot past scoped VMEM — slim halves
     # it, so both kernels double-buffer at col=65536 now (12.6 MiB each)
     "g32c64": {"pallas_group": 32, "pallas_col_capacity": 65536},
-    # static-trip descriptor loop (round 4): compile-time block count —
-    # dead slots scan the parking block; removes the per-sub dynamic
-    # trip-count machinery entirely. Tight MB variants trade slow-branch
-    # misfits for fewer wasted parking blocks.
-    "dst": {"pallas_desc_static_trip": True},
-    "dst16": {"pallas_desc_static_trip": True, "pallas_desc_blocks": 16},
-    "dst12": {"pallas_desc_static_trip": True, "pallas_desc_blocks": 12},
 }
 
 

@@ -157,16 +157,6 @@ class SimConfig:
     # mirroring pallas_desc_unroll_force: the force kernel is VREG-bound
     # and u4 measured worse there in every desc-path combination.
     pallas_slow_unroll_force: int = 0
-    # STATIC-TRIP descriptor loop: the fast branch scans ALL
-    # pallas_desc_blocks descriptor slots with a COMPILE-TIME trip count
-    # instead of the tile's dynamic count (dead slots point at the zeroed
-    # parking block — exactly zero contribution). Trades wasted VPU blocks
-    # (MB vs the tile's live count) for statically-schedulable control
-    # flow: the per-block gap vs the unrolled-probe floor (~195-230 ns vs
-    # 48.7, scripts/loop_probe.py) is loop/trip-count dynamics, which a
-    # static bound removes entirely. Worth it only when MB is close to
-    # the mean live count.
-    pallas_desc_static_trip: bool = False
     # STREAMED descriptor records: instead of scalar-prefetching the whole
     # per-tile table set into SMEM (O(ntiles) entries — hybrid at 16384+
     # tiles needs 1.8 MB vs the 1.00 MB budget), pack each PROGRAM's slice

@@ -1038,13 +1038,7 @@ def _density_kernel(*refs, cfg, geom):
             # loop (always correct; carries the key masks when not fast)
             use_desc = fast and cfg.pallas_desc
             if use_desc:
-                # static-trip: scan every descriptor slot (dead slots hit
-                # the parking block), compile-time bound
-                total = (
-                    cfg.pallas_desc_blocks
-                    if cfg.pallas_desc_static_trip
-                    else tb["dcnt"](sub)
-                )
+                total = tb["dcnt"](sub)
             else:
                 starts_blk, rows, total = chain
 
@@ -1329,12 +1323,7 @@ def _force_kernel(*refs, cfg, geom):
             zero = jnp.zeros((hpt, bl2), jnp.float32)
             use_desc = fast and cfg.pallas_desc
             if use_desc:
-                # static-trip: see the density kernel note
-                total = (
-                    cfg.pallas_desc_blocks
-                    if cfg.pallas_desc_static_trip
-                    else tb["dcntf"](sub)
-                )
+                total = tb["dcntf"](sub)
             else:
                 starts_blk, rows, total = chain
 
