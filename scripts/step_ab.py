@@ -135,6 +135,9 @@ VARIANTS = {
     # 16-row force buffer to a single slot past scoped VMEM — slim halves
     # it, so both kernels double-buffer at col=65536 now (12.6 MiB each)
     "g32c64": {"pallas_group": 32, "pallas_col_capacity": 65536},
+    # viscosity-defer (round 4): −3 VPU ops/pair for +1 carry row (the
+    # body-bound per-block finding says ops/pair is the only lever left)
+    "vd": {"pallas_force_visc_defer": True},
 }
 
 
