@@ -37,11 +37,19 @@ def main():
     probe_steps = [int(s) for s in sys.argv[2:]] or [0, 60, 90]
     from bench import config_overrides
 
+    from functools import partial
+
+    import scripts.profile_step as _ps
+    from tpusph.core.config import compiler_opts
+
     cfg = default_config(n, **config_overrides(n, os.environ))
-    fs = fields_from_state(init_state(cfg))
+    _ps.COMPILER_OPTS = compiler_opts(cfg)
+    jit = partial(jax.jit, compiler_options=compiler_opts(cfg))
+    random_init = n > 1_295_029  # grid-lattice ceiling
+    fs = fields_from_state(init_state(cfg, random_init=random_init))
 
     def advance(fs, k):
-        @jax.jit
+        @jit
         def go(fs):
             def body(f, _):
                 (f2, _, _, _), _aux = step_pallas_fields(f, cfg)
@@ -57,20 +65,20 @@ def main():
             prev = target
         print(f"--- step {target} (N={n}) ---", flush=True)
 
-        sf = jax.jit(
+        sf = jit(
             lambda f: build_sorted_fields_1d(
                 f.x, f.y, f.z, f.vx, f.vy, f.vz, f.valid, cfg
             )
         )(fs)
-        cols = jax.jit(
+        cols = jit(
             lambda sf: supertile_columns(sf.key_sorted, sf.valid_sorted,
                                          sf.starts, cfg)
         )(sf)
-        raw = jax.jit(
+        raw = jit(
             lambda sf, cols: density_pallas(
                 (sf.x, sf.y, sf.z), sf.key_sorted, cols, cfg)
         )(sf, cols)
-        rho_s, p_s = jax.jit(
+        rho_s, p_s = jit(
             lambda raw, sf: (
                 jnp.where(sf.valid_sorted,
                           pressure_from_density(raw, cfg)[0], 1.0),

@@ -47,12 +47,19 @@ def _fzero(carry):
     return jnp.where(jnp.isnan(carry), jnp.float32(1.0), jnp.float32(0.0))
 
 
+# scripts probing raised-scoped-VMEM presets (the 4M tier) must set this to
+# tpusph.core.config.compiler_opts(cfg) — every probe jit forwards it
+# (without it the remote compiler OOMs scoped VMEM and 500s)
+COMPILER_OPTS = None
+
+
 def slope_bench(fn, inject, *args, reps=4):
     """fn(*args) -> out; inject(args, z) perturbs one input by float zero z.
     Returns per-call seconds via the K-vs-1 slope."""
+    from functools import partial
 
     def chained(k):
-        @jax.jit
+        @partial(jax.jit, compiler_options=COMPILER_OPTS)
         def run(*args):
             def body(carry, _):
                 out = fn(*inject(args, _fzero(carry)))

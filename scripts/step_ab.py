@@ -135,9 +135,6 @@ VARIANTS = {
     # 16-row force buffer to a single slot past scoped VMEM — slim halves
     # it, so both kernels double-buffer at col=65536 now (12.6 MiB each)
     "g32c64": {"pallas_group": 32, "pallas_col_capacity": 65536},
-    # viscosity-defer (round 4): −3 VPU ops/pair for +1 carry row (the
-    # body-bound per-block finding says ops/pair is the only lever left)
-    "vd": {"pallas_force_visc_defer": True},
 }
 
 
@@ -146,7 +143,14 @@ def main():
     probe_steps = [int(s) for s in sys.argv[2:]] or [60]
     from bench import config_overrides
 
+    from functools import partial
+
+    import scripts.profile_step as _ps
+    from tpusph.core.config import compiler_opts
+
     cfg0 = default_config(n, **config_overrides(n, os.environ))
+    _ps.COMPILER_OPTS = compiler_opts(cfg0)
+    jit = partial(jax.jit, compiler_options=compiler_opts(cfg0))
     random_init = n > 1_295_029  # grid-lattice ceiling
     names = (
         os.environ["TPUSPH_AB_VARIANTS"].split(",")
@@ -156,7 +160,7 @@ def main():
     fs = fields_from_state(init_state(cfg0, random_init=random_init))
 
     def advance(fs, k):
-        @jax.jit
+        @jit
         def go(fs):
             def body(f, _):
                 (f2, _, _, _), _aux = step_pallas_fields(f, cfg0)
@@ -174,7 +178,7 @@ def main():
         base_rho = None
         for name in names:
             cfg = dataclasses.replace(cfg0, **VARIANTS[name])
-            (out, rho, _, _), aux = jax.jit(
+            (out, rho, _, _), aux = jit(
                 lambda f, cfg=cfg: step_pallas_fields(f, cfg)
             )(fs)
             ovf = int(jax.device_get(aux.window_overflow))

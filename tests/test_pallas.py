@@ -211,32 +211,6 @@ def test_force_fold_matches_plain():
         np.asarray(a.force), np.asarray(b.force), rtol=1e-5, atol=1e-6
     )
 
-
-def test_force_visc_defer_matches_plain():
-    """Viscosity-defer (Σ s_v·v_j − v_i·Σ s_v instead of Σ s_v·(v_j−v_i))
-    is algebraically identical; float reassociation only — results match
-    the plain kernel to roundoff, with and without fold/lane-split."""
-    import dataclasses
-
-    for fold, ls in ((False, False), (True, False), (True, True)):
-        base = default_config(
-            512, chunk_size=512, pallas_col_capacity=512,
-            pallas_sub_blocks=4, pallas_stencil="slab3",
-            pallas_block_lanes=256, pallas_force_fold=fold,
-            pallas_force_lane_split=ls,
-        )
-        st = init_state(base, random_init=True, seed=7)
-        a, _ = jax.jit(lambda s, c=base: step_pallas(s, c, interpret=True))(st)
-        vd = dataclasses.replace(base, pallas_force_visc_defer=True)
-        b, _ = jax.jit(lambda s, c=vd: step_pallas(s, c, interpret=True))(st)
-        np.testing.assert_array_equal(
-            np.asarray(a.density), np.asarray(b.density)
-        )
-        np.testing.assert_allclose(
-            np.asarray(a.force), np.asarray(b.force), rtol=1e-4, atol=1e-5
-        )
-
-
 def test_force_split_matches_plain():
     """Split-target compute (two pt/2 halves per block sharing one
     candidate load) is pure rescheduling: per-target pair sets and

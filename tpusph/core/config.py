@@ -157,13 +157,6 @@ class SimConfig:
     # mirroring pallas_desc_unroll_force: the force kernel is VREG-bound
     # and u4 measured worse there in every desc-path combination.
     pallas_slow_unroll_force: int = 0
-    # Viscosity-defer: accumulate Σ s_v·v_j and Σ s_v separately and apply
-    # the −v_i·Σ s_v correction ONCE PER TARGET after the block loop
-    # (Σ s_v·(v_j−v_i) distributes) — 3 fewer VPU ops per pair-lane for
-    # one extra loop-carried accumulator row (the VREG-pressure trade the
-    # body-bound per-block cost motivates). Same-magnitude summands as the
-    # plain form; rounding changes within the 1e-4 parity budget.
-    pallas_force_visc_defer: bool = False
     # STREAMED descriptor records: instead of scalar-prefetching the whole
     # per-tile table set into SMEM (O(ntiles) entries — hybrid at 16384+
     # tiles needs 1.8 MB vs the 1.00 MB budget), pack each PROGRAM's slice

@@ -41,11 +41,17 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpusph.core.config import SimConfig
+from tpusph.core.config import SimConfig, compiler_opts
 from tpusph.core.state import FluidState
-from tpusph.dist.sharded import DistAux, DistState, _compact, _local_physics
-from tpusph.interact.impulse import click_kick
-from tpusph.physics.integrate import integrate
+from tpusph.dist.sharded import (
+    DistAux,
+    DistState,
+    _compute_sorted_fields,
+    _halo_buffers,
+)
+from tpusph.interact.impulse import click_kick_fields
+from tpusph.neighbors.grid import compute_keys_fields
+from tpusph.physics.integrate import integrate_fields
 
 try:
     shard_map = jax.shard_map
@@ -91,13 +97,43 @@ def _pshift(x, axis, perm):
     return lax.ppermute(x, axis, perm)
 
 
+def _check_brick_widths(cfg: SimConfig, mcfg: Mesh3DConfig) -> None:
+    """The 2h ghost layer needs bricks at least 2h wide per axis (see
+    sharded.py's slab-width check)."""
+    for ax_i, m in enumerate(mcfg.mesh_shape):
+        if cfg.box_dim / m < 2 * cfg.h:
+            raise ValueError(
+                f"brick width {cfg.box_dim / m:.4f} along {AXES[ax_i]} < "
+                f"2h = {2 * cfg.h:.4f}: at most "
+                f"{int(cfg.box_dim // (2 * cfg.h))} devices per axis"
+            )
+
+
 def _device_step3d(
     pos, vel, valid, pid, click_cell, click_active,
     cfg: SimConfig, mcfg: Mesh3DConfig,
     use_pallas: bool = False, interpret: bool = False,
+    with_click: bool = True,
 ):
-    """One timestep on one device's brick (runs under shard_map over AXES)."""
-    h = jnp.float32(cfg.h)
+    """One timestep on one device's brick (runs under shard_map over AXES) —
+    the fields-native 2h-ghost-layer design of the 1-D slab step
+    (dist/sharded.py), generalized with staged per-axis exchanges:
+
+      * staged 2h halos: phase z packs local rows within 2h of the z faces;
+        phase y packs from local ∪ Hz (corner rows ride along); phase x
+        from local ∪ Hz ∪ Hy. The final set covers the full L∞-2h shell,
+        so every halo copy within h of the brick has ALL its neighbors
+        present — its locally-computed ρ/p is exact and the old
+        "authoritative ρ/p" second round disappears.
+      * physics on the tuned fields-native hot path (one payload sort +
+        fused megakernels, _compute_sorted_fields).
+      * migration: one hop per axis z → y → x on the sorted rows; each
+        axis packs both direction buffers from ONE category sort, marks
+        departures (tag −2), and APPENDS arrivals so diagonal crossers
+        join the later axes' hops. A final kept-first sort compacts the
+        state back to dev_capacity rows.
+    """
+    halo_w = jnp.float32(2.0 * cfg.h)
     c_dev = mcfg.dev_capacity
 
     # brick bounds per axis
@@ -112,91 +148,72 @@ def _device_step3d(
         hi[ax] = lo[ax] + w
         widths[ax] = w
 
-    # ---- halo round 1: staged z → y → x face exchanges
-    comb_pos, comb_vel, comb_valid = pos, vel, valid
-    takes = []  # (ax, take_dn, take_up, n_before) for round 2 replay
+    # ---- staged 2h halo exchange (z → y → x), fields-native
+    rows = [pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2]]
+    cvalid = valid
+    tag = jnp.where(valid, pid, jnp.int32(-1))
     halo_ovf = jnp.int32(0)
     for ax_i, ax in enumerate(AXES):
         m = mcfg.mesh_shape[ax_i]
         h_cap = mcfg.halo_capacity[ax_i]
         perm_up, perm_dn = _axis_perms(m)
-        coord = comb_pos[:, AXIS_DIM[ax]]
-        send_dn = comb_valid & (coord < lo[ax] + h)
-        send_up = comb_valid & (coord >= hi[ax] - h)
-        (dn_pos, dn_vel), dn_valid, take_dn, ovf_dn = _compact(
-            send_dn, (comb_pos, comb_vel), h_cap
+        coord = rows[AXIS_DIM[ax]]
+        send_dn = cvalid & (coord < lo[ax] + halo_w)
+        send_up = cvalid & (coord >= hi[ax] - halo_w)
+        disjoint = cfg.box_dim / m >= 4 * cfg.h  # static
+        dn6, dn_valid, up6, up_valid, ovf = _halo_buffers(
+            *rows, send_dn, send_up, h_cap, disjoint
         )
-        (up_pos, up_vel), up_valid, take_up, ovf_up = _compact(
-            send_up, (comb_pos, comb_vel), h_cap
-        )
-        lo_pos = _pshift(up_pos, ax, perm_up)   # halo from the device below
-        lo_vel = _pshift(up_vel, ax, perm_up)
+        lo6 = _pshift(up6, ax, perm_up)  # halo from the device below
         lo_valid = _pshift(up_valid, ax, perm_up)
-        hi_pos = _pshift(dn_pos, ax, perm_dn)   # halo from the device above
-        hi_vel = _pshift(dn_vel, ax, perm_dn)
+        hi6 = _pshift(dn6, ax, perm_dn)  # halo from the device above
         hi_valid = _pshift(dn_valid, ax, perm_dn)
-        takes.append((ax, take_dn, take_up, comb_pos.shape[0]))
-        comb_pos = jnp.concatenate([comb_pos, lo_pos, hi_pos])
-        comb_vel = jnp.concatenate([comb_vel, lo_vel, hi_vel])
-        comb_valid = jnp.concatenate([comb_valid, lo_valid, hi_valid])
-        halo_ovf = halo_ovf + ovf_dn + ovf_up
+        rows = [
+            jnp.concatenate([r, lo6[:, j], hi6[:, j]])
+            for j, r in enumerate(rows)
+        ]
+        cvalid = jnp.concatenate([cvalid, lo_valid, hi_valid])
+        tag = jnp.concatenate([tag, jnp.full((2 * h_cap,), -2, jnp.int32)])
+        halo_ovf = halo_ovf + ovf
 
-    # invalid/stale slots parked at origin (physically inert — see sharded.py)
-    comb_pos = jnp.where(comb_valid[:, None], comb_pos, 0.0)
+    # invalid/stale slots parked at origin (physically inert — sharded.py)
+    for j in range(3):
+        rows[j] = jnp.where(cvalid, rows[j], 0.0)
 
-    # ---- density over local ∪ halos
-    cl, sp, sv, rho_s, p_s, ovf_w, cols_info = _local_physics(
-        comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret
+    # ---- physics on the tuned fields-native hot path
+    key, oob_count = compute_keys_fields(rows[0], rows[1], rows[2], cvalid,
+                                         cfg)
+    key_s, sx, sy, sz, svx, svy, svz, tag_s = lax.sort(
+        (key, *rows, tag), num_keys=1, is_stable=True
     )
-    nc = comb_pos.shape[0]
-    rho = jnp.ones((nc,), jnp.float32).at[cl.perm].set(rho_s)
-    prs = jnp.zeros((nc,), jnp.float32).at[cl.perm].set(p_s)
+    rho_s, p_s, (fx, fy, fz), _valid_s, ovf_w = _compute_sorted_fields(
+        key_s, sx, sy, sz, svx, svy, svz, cfg, use_pallas, interpret
+    )
 
-    # ---- halo round 2: authoritative ρ/p along the same routes, same order
-    for ax_i, (ax, take_dn, take_up, n_before) in enumerate(takes):
-        m = mcfg.mesh_shape[ax_i]
-        h_cap = mcfg.halo_capacity[ax_i]
-        perm_up, perm_dn = _axis_perms(m)
-        # ρ/p of the round-1 send sets, drawn from the prefix that existed
-        # when the send was packed (later phases' halo slots come after it)
-        lo_rho = _pshift(rho[take_up], ax, perm_up)
-        lo_prs = _pshift(prs[take_up], ax, perm_up)
-        hi_rho = _pshift(rho[take_dn], ax, perm_dn)
-        hi_prs = _pshift(prs[take_dn], ax, perm_dn)
-        s0 = n_before
-        rho = rho.at[s0 : s0 + h_cap].set(jnp.maximum(lo_rho, cfg.eps))
-        rho = rho.at[s0 + h_cap : s0 + 2 * h_cap].set(jnp.maximum(hi_rho, cfg.eps))
-        prs = prs.at[s0 : s0 + h_cap].set(lo_prs)
-        prs = prs.at[s0 + h_cap : s0 + 2 * h_cap].set(hi_prs)
+    # ---- integrate live local rows; freeze halo copies and padding
+    live = tag_s >= 0
+    nx, ny, nz, nvx, nvy, nvz = integrate_fields(
+        sx, sy, sz, svx, svy, svz, fx, fy, fz, rho_s, cfg
+    )
+    nx = jnp.where(live, nx, sx)
+    ny = jnp.where(live, ny, sy)
+    nz = jnp.where(live, nz, sz)
+    nvx = jnp.where(live, nvx, svx)
+    nvy = jnp.where(live, nvy, svy)
+    nvz = jnp.where(live, nvz, svz)
 
-    # ---- forces for local targets, integrate
-    if use_pallas:
-        from tpusph.pallas.fused import force_pallas
+    # click impulse (free-mode parity): pre-step cells, before migration;
+    # the scan-chained run skips it statically (see sharded.py)
+    if with_click:
+        kx, ky, kz = click_kick_fields(sx, sy, sz, live, click_cell, cfg)
+        ca = click_active.astype(jnp.float32)
+        nvx = nvx + kx * ca
+        nvy = nvy + ky * ca
+        nvz = nvz + kz * ca
 
-        f_s = force_pallas(
-            (sp[:, 0], sp[:, 1], sp[:, 2]), (sv[:, 0], sv[:, 1], sv[:, 2]),
-            rho[cl.perm], prs[cl.perm], cl.key_sorted, cols_info, cfg,
-            interpret=interpret,
-        ).T
-        f_s = jnp.where(cl.valid_sorted[:, None], f_s, 0.0)
-    else:
-        from tpusph.engine.step import _force_pass_sorted
-
-        f_s = _force_pass_sorted(
-            sp, sv, rho[cl.perm], prs[cl.perm], cl.key_sorted, cl.valid_sorted,
-            cl.starts, cfg,
-        )
-    force = jnp.zeros((nc, 3), jnp.float32).at[cl.perm].set(f_s)[:c_dev]
-    rho_loc = rho[:c_dev]
-    x, v = integrate(pos, vel, force, rho_loc, cfg)
-    x = jnp.where(valid[:, None], x, pos)
-    v = jnp.where(valid[:, None], v, vel)
-
-    # click impulse (free-mode parity): pre-step cells, before migration
-    kick = click_kick(pos, valid, click_cell, cfg)
-    v = v + kick * click_active.astype(jnp.float32)
-
-    # ---- migration: one hop per axis, z → y → x
+    # ---- migration: one hop per axis, z → y → x, on sorted rows
+    cr = [nx, ny, nz, nvx, nvy, nvz]
+    ctag = tag_s
     mig_ovf = jnp.int32(0)
     misrouted = jnp.int32(0)
     for ax_i, ax in enumerate(AXES):
@@ -204,53 +221,78 @@ def _device_step3d(
         m_cap = mcfg.migration_capacity[ax_i]
         w = widths[ax]
         perm_up, perm_dn = _axis_perms(m)
-        coord = x[:, AXIS_DIM[ax]]
-        mig_dn = valid & (coord < lo[ax])
-        mig_up = valid & (coord >= hi[ax])
+        lv = ctag >= 0
+        coord = cr[AXIS_DIM[ax]]
+        mig_dn = lv & (coord < lo[ax])
+        mig_up = lv & (coord >= hi[ax])
         misrouted = misrouted + jnp.sum(
-            valid & ((coord < lo[ax] - w) | (coord >= hi[ax] + w))
+            lv & ((coord < lo[ax] - w) | (coord >= hi[ax] + w))
         ).astype(jnp.int32)
-        (mdn_x, mdn_v, mdn_pid), mdn_valid, _, ovf_dn = _compact(
-            mig_dn, (x, v, pid), m_cap
+        n_dn = jnp.sum(mig_dn).astype(jnp.int32)
+        n_up = jnp.sum(mig_up).astype(jnp.int32)
+        mig_ovf = mig_ovf + jnp.maximum(n_dn - m_cap, 0) + jnp.maximum(
+            n_up - m_cap, 0
         )
-        (mup_x, mup_v, mup_pid), mup_valid, _, ovf_up = _compact(
-            mig_up, (x, v, pid), m_cap
+        # one category sort: dn-senders to the front, up-senders to the back
+        cat = jnp.where(mig_dn, 0, jnp.where(mig_up, 2, 1)).astype(jnp.int32)
+        _, m0, m1, m2, m3, m4, m5, mtag = lax.sort(
+            (cat, *cr, ctag), num_keys=1, is_stable=True
         )
-        valid = valid & ~mig_dn & ~mig_up
+        srows = [m0, m1, m2, m3, m4, m5]
+        total = m0.shape[0]
+        lane = jnp.arange(m_cap, dtype=jnp.int32)
+        dn6 = jnp.stack([r[:m_cap] for r in srows], axis=1)
+        dn_tag = mtag[:m_cap]
+        dn_valid = lane < n_dn
+        t0 = total - m_cap
+        up6 = jnp.stack([r[t0:] for r in srows], axis=1)
+        up_tag = mtag[t0:]
+        up_valid = lane >= (m_cap - jnp.minimum(n_up, m_cap))
+        # departures become invalid locally (front n_dn / back n_up rows)
+        pos_i = jnp.arange(total, dtype=jnp.int32)
+        mtag = jnp.where(
+            (pos_i < n_dn) | (pos_i >= total - n_up), jnp.int32(-2), mtag
+        )
 
-        in_x = jnp.concatenate([
-            _pshift(mup_x, ax, perm_up), _pshift(mdn_x, ax, perm_dn)])
-        in_v = jnp.concatenate([
-            _pshift(mup_v, ax, perm_up), _pshift(mdn_v, ax, perm_dn)])
-        in_pid = jnp.concatenate([
-            _pshift(mup_pid, ax, perm_up), _pshift(mdn_pid, ax, perm_dn)])
-        in_valid = jnp.concatenate([
-            _pshift(mup_valid, ax, perm_up), _pshift(mdn_valid, ax, perm_dn)])
-        (in_x, in_v, in_pid), in_valid, _, _ = _compact(
-            in_valid, (in_x, in_v, in_pid), 2 * m_cap
-        )
+        in_lo6 = _pshift(up6, ax, perm_up)  # arrivals from below
+        in_lo_tag = _pshift(up_tag, ax, perm_up)
+        in_lo_valid = _pshift(up_valid, ax, perm_up)
+        in_hi6 = _pshift(dn6, ax, perm_dn)  # arrivals from above
+        in_hi_tag = _pshift(dn_tag, ax, perm_dn)
+        in_hi_valid = _pshift(dn_valid, ax, perm_dn)
+        inc6 = jnp.concatenate([in_lo6, in_hi6])
+        inc_tag = jnp.concatenate([in_lo_tag, in_hi_tag])
+        inc_valid = jnp.concatenate([in_lo_valid, in_hi_valid])
+        inc_tag = jnp.where(inc_valid, inc_tag, jnp.int32(-2))
+        inc6 = jnp.where(inc_valid[:, None], inc6, 0.0)
+        # APPEND arrivals: they participate in the later axes' hops
+        cr = [jnp.concatenate([srows[j], inc6[:, j]]) for j in range(6)]
+        ctag = jnp.concatenate([mtag, inc_tag])
 
-        free_order = jnp.argsort(valid, stable=True).astype(jnp.int32)
-        slots = free_order[: 2 * m_cap]
-        slot_free = ~valid[slots]
-        write = in_valid & slot_free
-        mig_ovf = mig_ovf + ovf_dn + ovf_up + jnp.sum(
-            in_valid & ~slot_free
-        ).astype(jnp.int32)
-        x = x.at[slots].set(jnp.where(write[:, None], in_x, x[slots]))
-        v = v.at[slots].set(jnp.where(write[:, None], in_v, v[slots]))
-        pid = pid.at[slots].set(jnp.where(write, in_pid, pid[slots]))
-        valid = valid.at[slots].set(valid[slots] | write)
+    # ---- final state: kept rows compacted to the front c_dev slots
+    kept = ctag >= 0
+    skey = jnp.where(kept, 0, 1).astype(jnp.int32)
+    _, o0, o1, o2, o3, o4, o5, otag = lax.sort(
+        (skey, *cr, ctag), num_keys=1, is_stable=True
+    )
+    n_kept = jnp.sum(kept).astype(jnp.int32)
+    mig_ovf = mig_ovf + jnp.maximum(n_kept - c_dev, 0)
+    valid_new = jnp.arange(c_dev, dtype=jnp.int32) < jnp.minimum(
+        n_kept, c_dev
+    )
+    x = jnp.stack([o0[:c_dev], o1[:c_dev], o2[:c_dev]], axis=1)
+    v = jnp.stack([o3[:c_dev], o4[:c_dev], o5[:c_dev]], axis=1)
+    pid_new = jnp.where(valid_new, otag[:c_dev], jnp.int32(-1))
 
     aux = DistAux(
         halo_overflow=lax.psum(halo_ovf, AXES),
         migration_overflow=lax.psum(mig_ovf, AXES),
         window_overflow=lax.psum(ovf_w, AXES),
-        oob_count=lax.psum(cl.oob_count, AXES),
+        oob_count=lax.psum(oob_count, AXES),
         misrouted=lax.psum(misrouted, AXES),
-        num_particles=lax.psum(jnp.sum(valid).astype(jnp.int32), AXES),
+        num_particles=lax.psum(jnp.sum(valid_new).astype(jnp.int32), AXES),
     )
-    return x, v, valid, pid, aux
+    return x, v, valid_new, pid_new, aux
 
 
 def make_mesh3d_step(
@@ -259,6 +301,7 @@ def make_mesh3d_step(
 ):
     """Jitted brick-sharded `DistState -> (DistState, DistAux)`."""
     mcfg.validate()
+    _check_brick_widths(cfg, mcfg)
     spec = P(("z", "y", "x"))
 
     fn = partial(
@@ -273,7 +316,7 @@ def make_mesh3d_step(
         check_vma=False,
     )
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=compiler_opts(cfg))
     def _step(state: DistState, click_cell, click_active):
         xx, v, valid, pid, aux = sharded(
             state.position, state.velocity, state.valid, state.pid,
@@ -305,6 +348,7 @@ def make_mesh3d_run(
     aux accumulated in-graph (overflow/misrouting summed, census from the
     final step)."""
     mcfg.validate()
+    _check_brick_widths(cfg, mcfg)
     spec = P(AXES)
     zero_cell = jnp.zeros((2,), jnp.int32)
     inactive = jnp.zeros((), bool)
@@ -315,6 +359,7 @@ def make_mesh3d_run(
             x, v, valid2, pid2, aux = _device_step3d(
                 pos, vel, valid, pid, zero_cell, inactive, cfg, mcfg,
                 use_pallas=use_pallas, interpret=interpret,
+                with_click=False,  # production chain: no click surface
             )
             return (x, v, valid2, pid2), aux
         carry, auxs = lax.scan(body, (pos, vel, valid, pid), None, length=steps)
@@ -336,7 +381,7 @@ def make_mesh3d_run(
         check_vma=False,
     )
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=compiler_opts(cfg))
     def run(state: DistState):
         x, v, valid, pid, aux = sharded(
             state.position, state.velocity, state.valid, state.pid

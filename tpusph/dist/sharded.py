@@ -53,7 +53,7 @@ from tpusph.core.config import SimConfig, compiler_opts
 from tpusph.core.state import FluidState
 from tpusph.engine.step import _density_pass_sorted, _force_pass_sorted
 from tpusph.interact.impulse import click_kick_fields
-from tpusph.neighbors.cell_list import build_cell_list, starts_from_sorted
+from tpusph.neighbors.cell_list import starts_from_sorted
 from tpusph.neighbors.grid import compute_keys_fields
 from tpusph.physics.integrate import integrate_fields
 from tpusph.physics.kernels import pressure_from_density
@@ -122,38 +122,6 @@ def _compact(mask: jnp.ndarray, fields: tuple, cap: int):
     pvalid = mask[take]
     overflow = jnp.maximum(jnp.sum(mask) - cap, 0).astype(jnp.int32)
     return packed, pvalid, take, overflow
-
-
-def _local_physics(comb_pos, comb_vel, comb_valid, cfg, use_pallas, interpret):
-    """Density/pressure/force over the local∪halo particle set, via the
-    cell-list machinery (argsort + perm-gathers). Kept for the 3-D brick
-    mesh (dist/mesh3d.py), which still runs the two-round halo design; the
-    1-D slab step below uses the fields-native payload-sort path instead."""
-    cl = build_cell_list(comb_pos, comb_valid, cfg, interpret=interpret)
-    sp = comb_pos[cl.perm]
-    sv = comb_vel[cl.perm]
-    if use_pallas:
-        from tpusph.pallas.fused import density_pallas, supertile_columns
-
-        cols_info = supertile_columns(
-            cl.key_sorted, cl.valid_sorted, cl.starts, cfg, interpret
-        )
-        raw = density_pallas(
-            (sp[:, 0], sp[:, 1], sp[:, 2]), cl.key_sorted, cols_info, cfg,
-            interpret=interpret,
-        )
-        rho_s, p_s = pressure_from_density(raw, cfg)
-        rho_s = jnp.where(cl.valid_sorted, rho_s, 1.0)
-        p_s = jnp.where(cl.valid_sorted, p_s, 0.0)
-        ovf = cols_info.overflow
-        extra = cols_info
-    else:
-        rho_s, p_s, ovf = _density_pass_sorted(
-            sp, cl.key_sorted, cl.valid_sorted, cl.starts, cfg
-        )
-        extra = None
-    return cl, sp, sv, rho_s, p_s, ovf + cl.starts_overflow, extra
-
 
 def _compute_sorted_fields(
     key_s, sx, sy, sz, svx, svy, svz, cfg: SimConfig, use_pallas: bool,

@@ -58,8 +58,9 @@ def default_dist_config(
 def default_mesh3d_config(cfg: SimConfig, mesh_shape: tuple[int, int, int],
                           slack: float = 2.0):
     """Capacity heuristics for the 3-D brick mesh: per-axis halo scales with
-    the brick's face shell (one h layer of the per-device share along that
-    axis); migration a few percent per axis per step."""
+    the brick's face shell (the 2h ghost layer's share along that axis,
+    doubled again for the forwarded rows earlier phases contribute);
+    migration a few percent per axis per step."""
     from tpusph.dist.mesh3d import Mesh3DConfig
 
     n_dev = int(np.prod(mesh_shape))
@@ -70,7 +71,9 @@ def default_mesh3d_config(cfg: SimConfig, mesh_shape: tuple[int, int, int],
     migs = []
     for m in mesh_shape:
         width = cfg.box_dim / m
-        halos.append(min(rnd(max(share * cfg.h / width, 256) * slack), dev_cap))
+        halos.append(
+            min(rnd(max(share * 4 * cfg.h / width, 256) * slack), dev_cap)
+        )
         migs.append(min(rnd(max(share * 0.05, 128)), dev_cap // 2))
     return Mesh3DConfig(
         mesh_shape=tuple(mesh_shape),

@@ -1424,24 +1424,15 @@ def _force_kernel(*refs, cfg, geom):
                     s_v = jnp.where(
                         live, (2.0 * mu) * hr * row(_FI2R), 0.0
                     )
-                    if cfg.pallas_force_visc_defer:
-                        # Σ s_v·(v_j − v_i) = Σ s_v·v_j − v_i·Σ s_v: the
-                        # −v_i correction moves to a per-target term after
-                        # the loop (config.pallas_force_visc_defer)
-                        cx = s_p * dx + s_v * row(_FVX)
-                        cy = s_p * dy + s_v * row(_FVY)
-                        cz = s_p * dz + s_v * row(_FVZ)
-                        return cx, cy, cz, s_v
                     cx = s_p * dx + s_v * (row(_FVX) - tvx[ts])
                     cy = s_p * dy + s_v * (row(_FVY) - tvy[ts])
                     cz = s_p * dz + s_v * (row(_FVZ) - tvz[ts])
-                    return cx, cy, cz, None
+                    return cx, cy, cz
 
-                nacc = 4 if cfg.pallas_force_visc_defer else 3
                 out = []
                 for hi, h0 in enumerate(halves):
                     ts = slice(h0, h0 + hpt)
-                    accs = carry[nacc * hi : nacc * hi + nacc]
+                    accs = carry[3 * hi : 3 * hi + 3]
                     if cfg.pallas_force_lane_split:
                         # lane-split: each bl2-lane half computed on
                         # HALF-WIDTH temps (live VREG footprint ÷2), then
@@ -1450,10 +1441,9 @@ def _force_kernel(*refs, cfg, geom):
                         # with it, and the add tree matches the fold's)
                         pa = pair(ts, 0, bl2)
                         pb = pair(ts, bl2, bl2)
-                        comps = [pa[k] + pb[k] for k in range(nacc)]
+                        comps = [pa[k] + pb[k] for k in range(3)]
                     else:
-                        p = pair(ts, 0, bl)
-                        comps = list(p[:nacc])
+                        comps = list(pair(ts, 0, bl))
                         if cfg.pallas_force_fold:
                             comps = [
                                 c[:, :bl2] + c[:, bl2:] for c in comps
@@ -1461,8 +1451,7 @@ def _force_kernel(*refs, cfg, geom):
                     out += [a + c for a, c in zip(accs, comps)]
                 return tuple(out)
 
-            nacc = 4 if cfg.pallas_force_visc_defer else 3
-            init = (zero,) * (nacc * len(halves))
+            init = (zero,) * (3 * len(halves))
             if use_desc:
                 return _unrolled_fori(total, blk, init, cfg.force_unroll)
             if cfg.slow_unroll_force > 1:
@@ -1482,20 +1471,10 @@ def _force_kernel(*refs, cfg, geom):
         )
         hpt = pt // cfg.pallas_force_split_factor if cfg.pallas_force_split else pt
         mvk = m * vk  # deferred per-pair scale (see pair())
-        nacc = 4 if cfg.pallas_force_visc_defer else 3
         for hi, h0 in enumerate(range(0, pt, hpt)):
-            sx_ = jnp.sum(acc[nacc * hi], axis=1)
-            sy_ = jnp.sum(acc[nacc * hi + 1], axis=1)
-            sz_ = jnp.sum(acc[nacc * hi + 2], axis=1)
-            if cfg.pallas_force_visc_defer:
-                # per-target correction −v_i·Σ s_v (see pair())
-                ssv = jnp.sum(acc[nacc * hi + 3], axis=1)
-                sx_ = sx_ - tvx[h0 : h0 + hpt, 0] * ssv
-                sy_ = sy_ - tvy[h0 : h0 + hpt, 0] * ssv
-                sz_ = sz_ - tvz[h0 : h0 + hpt, 0] * ssv
-            f_ref[0, 0, sub, h0 : h0 + hpt] = mvk * sx_
-            f_ref[1, 0, sub, h0 : h0 + hpt] = mvk * sy_
-            f_ref[2, 0, sub, h0 : h0 + hpt] = mvk * sz_
+            f_ref[0, 0, sub, h0 : h0 + hpt] = mvk * jnp.sum(acc[3 * hi], axis=1)
+            f_ref[1, 0, sub, h0 : h0 + hpt] = mvk * jnp.sum(acc[3 * hi + 1], axis=1)
+            f_ref[2, 0, sub, h0 : h0 + hpt] = mvk * jnp.sum(acc[3 * hi + 2], axis=1)
 
 
 def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=False):
