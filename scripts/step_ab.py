@@ -135,6 +135,13 @@ VARIANTS = {
     # 16-row force buffer to a single slot past scoped VMEM — slim halves
     # it, so both kernels double-buffer at col=65536 now (12.6 MiB each)
     "g32c64": {"pallas_group": 32, "pallas_col_capacity": 65536},
+    # 4M geometry: at ~4.2 particles/cell the col9 windows are ~139 lanes,
+    # rounding to whole blocks — smaller tiles / 128-lane blocks cut the
+    # block-rounding waste the 4M profile shows in the force kernel
+    "m4a": {"pallas_tile": 64, "pallas_group": 16,
+            "pallas_block_lanes": 128},
+    "m4b": {"pallas_tile": 64, "pallas_group": 16},
+    "m4c": {"pallas_block_lanes": 128},
 }
 
 

@@ -35,6 +35,7 @@ def test_bench_emits_json_line():
     assert data["value"] > 0
 
 
+@pytest.mark.slow  # ~18 s: dist bench subprocess
 def test_bench_dist_mode_smoke():
     """TPUSPH_BENCH_DIST runs the scan-chained sharded loop on a virtual
     CPU mesh and emits the dist metric line."""

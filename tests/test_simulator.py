@@ -50,6 +50,7 @@ def test_capacity_growth_on_overflow():
     np.testing.assert_allclose(sim.get_position(), ref.get_position(), atol=1e-6)
 
 
+@pytest.mark.slow  # ~15 s: deliberate overflow re-trace
 def test_timed_retry_excludes_failed_attempt(monkeypatch):
     """A capacity-overflow retry inside simulate_and_time must not inflate the
     per-frame averages: the failed attempt's phase seconds are rolled back and
@@ -203,6 +204,7 @@ def test_chunked_free_mode_frames_match_sequential(tmp_path, monkeypatch):
         ).read_bytes(), f"frame {k} differs"
 
 
+@pytest.mark.slow  # ~20 s: chunk re-trace loop
 def test_chunked_overflow_rewind():
     """A chunk that overflows its windows must rewind to the pre-chunk state,
     grow capacity, and replay — never ship clipped interactions."""
