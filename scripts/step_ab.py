@@ -142,6 +142,10 @@ VARIANTS = {
             "pallas_block_lanes": 128},
     "m4b": {"pallas_tile": 64, "pallas_group": 16},
     "m4c": {"pallas_block_lanes": 128},
+    # conditional window-DMA granularity at pile-up-sized capacities
+    "dp8": {"pallas_dma_parts": 8},
+    "dp16": {"pallas_dma_parts": 16},
+    "dp32": {"pallas_dma_parts": 32},
 }
 
 

@@ -193,6 +193,31 @@ def test_single_slot_buffer_matches_double():
     )
 
 
+def test_dma_parts_match_halves():
+    """Raising the conditional window-DMA granularity (pallas_dma_parts)
+    only changes WHICH capacity lanes transfer — every lane the kernels can
+    scan still arrives, so results are bit-identical to the 2-part default."""
+    import dataclasses
+
+    base = default_config(
+        512, chunk_size=512, pallas_col_capacity=1024, pallas_sub_blocks=8,
+        pallas_stencil="hybrid", pallas_block_lanes=128, pallas_desc=True,
+        pallas_desc_blocks=48, pallas_force_slim=True,
+    )
+    st = init_state(base, random_init=True, seed=7)
+    a, _ = jax.jit(lambda s: step_pallas(s, base, interpret=True))(st)
+    for parts in (4, 8):
+        cfg = dataclasses.replace(base, pallas_dma_parts=parts)
+        b, aux = jax.jit(lambda s, c=cfg: step_pallas(s, c, interpret=True))(st)
+        assert int(aux.window_overflow) == 0
+        np.testing.assert_array_equal(
+            np.asarray(a.density), np.asarray(b.density), err_msg=str(parts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.force), np.asarray(b.force), err_msg=str(parts)
+        )
+
+
 def test_force_fold_matches_plain():
     """The folded force carry changes lane summation order only: results
     match the unfolded kernel to float roundoff."""

@@ -269,6 +269,13 @@ class SimConfig:
     # lanes = 18 MiB at col9 pt=64) and lets _cand_slots double-buffer
     # capacities the default budget forces to a single slot.
     pallas_scoped_vmem_kib: int = 16384
+    # Conditional window-DMA granularity: each stencil window transfers in
+    # this many equal parts, part k ≥ 1 moving only when the window's
+    # candidate count reaches into it (part 0 is unconditional). The ≥2M
+    # presets size pallas_col_capacity for dam-break pile-ups (131072 lanes
+    # at 4M) while typical occupancy is ~1%, so 2 parts moved ~26 GB of
+    # dead lanes per step per kernel at 4M — raise the granularity there.
+    pallas_dma_parts: int = 2
     # Particle chunk size for the blocked density/force passes (bounds peak HBM
     # footprint of gathered candidates; pipelined by XLA via lax.map).
     chunk_size: int = 8192
@@ -402,6 +409,13 @@ class SimConfig:
             raise ValueError(
                 "pallas_col_capacity must be a multiple of "
                 "2*pallas_block_lanes (half-DMA alignment + block rounding)"
+            )
+        if self.pallas_dma_parts < 2 or self.pallas_col_capacity % (
+            self.pallas_dma_parts * 128
+        ):
+            raise ValueError(
+                "pallas_dma_parts must be >= 2 and divide "
+                "pallas_col_capacity into 128-lane-aligned parts"
             )
 
 

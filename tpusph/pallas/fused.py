@@ -771,43 +771,47 @@ def _cand_slots(cfg: SimConfig, rows: int) -> int:
 
 def _super_dma_pipeline(
     i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, ncols,
-    nslots,
+    nslots, nparts,
 ):
     """Start this/next super-tile's stencil-window DMAs (double-buffered
     across the sequential grid when nslots == 2; with nslots == 1 each
     program issues its own DMAs up front — the sequential grid makes that
-    race-free) and return (wait_fn, slot). Each window transfers in two
-    halves; the second half only moves when the window's candidate count
-    actually reaches into it — the static capacity covers rare pile-up
-    transients without paying its bandwidth on every tile.
+    race-free) and return (wait_fn, slot). Each window transfers in
+    `nparts` equal parts; part k ≥ 1 only moves when the window's
+    candidate count actually reaches into it — the static capacity covers
+    rare pile-up transients without paying its bandwidth on every tile.
+    (At the ≥2M presets col_cap is sized for dam-break pile-ups — 131072
+    lanes at 4M — while typical occupancy is ~1% of that; with only two
+    parts the unconditional first half alone moved ~26 GB/step/kernel at
+    4M. cfg.pallas_dma_parts raises the granularity there.)
 
     The VMEM destination is LANE-FLATTENED — window c occupies lanes
     [c·col_cap, (c+1)·col_cap) of a (nslots, rows, ncols·col_cap) scratch —
     so the kernels address any window with a single flat lane offset."""
     nprog = pl.num_programs(0)
-    half = col_cap // 2
+    part_sz = col_cap // nparts
 
     def get_dma(prog, c, part):
-        lo = part * half
+        lo = part * part_sz
         return pltpu.make_async_copy(
             cols_hbm.at[
                 :,
                 pl.ds(
                     pl.multiple_of(sup_start_ref[prog * ncols + c] + lo, 128),
-                    half,
+                    part_sz,
                 ),
             ],
-            cand.at[prog % nslots, :, pl.ds(c * col_cap + lo, half)],
+            cand.at[prog % nslots, :, pl.ds(c * col_cap + lo, part_sz)],
             sem.at[prog % nslots, c, part],
         )
 
     def start_all(prog):
         for c in range(ncols):
             get_dma(prog, c, 0).start()
-
-            @pl.when(sup_cnt_ref[prog * ncols + c] > half)
-            def _():
-                get_dma(prog, c, 1).start()
+            for k in range(1, nparts):
+                @pl.when(sup_cnt_ref[prog * ncols + c] > k * part_sz)
+                def _(prog=prog, c=c, k=k):
+                    get_dma(prog, c, k).start()
 
     if nslots == 1:
         start_all(i)
@@ -822,10 +826,10 @@ def _super_dma_pipeline(
 
     def wait(c):
         get_dma(i, c, 0).wait()
-
-        @pl.when(sup_cnt_ref[i * ncols + c] > half)
-        def _():
-            get_dma(i, c, 1).wait()
+        for k in range(1, nparts):
+            @pl.when(sup_cnt_ref[i * ncols + c] > k * part_sz)
+            def _(c=c, k=k):
+                get_dma(i, c, k).wait()
 
     return wait, i % nslots
 
@@ -1015,7 +1019,7 @@ def _density_kernel(*refs, cfg, geom):
     nslots = _cand_slots(cfg, 8)
     wait, slot = _super_dma_pipeline(
         i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf,
-        nslots,
+        nslots, cfg.pallas_dma_parts,
     )
     if cfg.pallas_desc:
         _init_parking(i, cand, nbuf, col_cap, 8, 3, cfg, nslots)
@@ -1201,7 +1205,9 @@ def density_pallas(xyz, key_s, cols_info: TileColumns, cfg, *, interpret=False):
              + (cfg.pallas_block_lanes if cfg.pallas_desc else 0)),
             jnp.float32,
         ),
-        pltpu.SemaphoreType.DMA((_cand_slots(cfg, 8), nbuf, 2)),
+        pltpu.SemaphoreType.DMA(
+            (_cand_slots(cfg, 8), nbuf, cfg.pallas_dma_parts)
+        ),
     ]
     if cfg.pallas_stream_desc:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
@@ -1283,7 +1289,7 @@ def _force_kernel(*refs, cfg, geom):
     nslots = _cand_slots(cfg, rows)
     wait, slot = _super_dma_pipeline(
         i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf,
-        nslots,
+        nslots, cfg.pallas_dma_parts,
     )
     if cfg.pallas_desc:
         _init_parking(i, cand, nbuf, col_cap, rows, fkey, cfg, nslots)
@@ -1516,7 +1522,9 @@ def force_pallas(xyz, vxyz, rho_s, p_s, key_s, cols_info, cfg, *, interpret=Fals
              + (cfg.pallas_block_lanes if cfg.pallas_desc else 0)),
             jnp.float32,
         ),
-        pltpu.SemaphoreType.DMA((_cand_slots(cfg, rows), nbuf, 2)),
+        pltpu.SemaphoreType.DMA(
+            (_cand_slots(cfg, rows), nbuf, cfg.pallas_dma_parts)
+        ),
     ]
     if cfg.pallas_stream_desc:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
