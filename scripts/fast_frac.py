@@ -36,6 +36,11 @@ def main():
     from bench import config_overrides
 
     cfg = default_config(n, **config_overrides(n, os.environ))
+    from functools import partial
+
+    from tpusph.core.config import compiler_opts
+
+    jit = partial(jax.jit, compiler_options=compiler_opts(cfg))
     # past the 1.29M grid-lattice ceiling only random init exists
     state = init_state(cfg, random_init=(n > 1_295_029))
 
@@ -43,7 +48,7 @@ def main():
     for target in probes:
         gap = target - prev
         if gap:
-            @jax.jit
+            @jit
             def adv(s):
                 def body(s, _):
                     s2, _ = step_pallas_sorted(s, cfg)
@@ -52,7 +57,7 @@ def main():
             state = adv(state)
         prev = target
 
-        @jax.jit
+        @jit
         def probe(s):
             cl = build_cell_list(s.position, s.valid, cfg)
             return supertile_columns(cl.key_sorted, cl.valid_sorted, cl.starts, cfg)

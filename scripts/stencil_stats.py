@@ -51,8 +51,17 @@ def window_stats(key_s, valid, starts, cfg, tile):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
     probes = [int(s) for s in sys.argv[2:]] or [0, 30, 60, 90]
-    cfg = default_config(n)
-    state = init_state(cfg)
+    import os
+
+    from bench import config_overrides
+
+    cfg = default_config(n, **config_overrides(n, os.environ))
+    from functools import partial
+
+    from tpusph.core.config import compiler_opts
+
+    jit = partial(jax.jit, compiler_options=compiler_opts(cfg))
+    state = init_state(cfg, random_init=(n > 1_295_029))
     on_tpu = jax.default_backend() not in ("cpu",)
     stepper = step_pallas_sorted if on_tpu else step_cell_list
 
@@ -61,7 +70,7 @@ def main():
     for target in probes:
         gap = target - prev
         if gap:
-            @jax.jit
+            @jit
             def adv(s):
                 def body(s, _):
                     s2, _ = stepper(s, cfg)
@@ -70,7 +79,7 @@ def main():
                 return s2
             state = adv(state)
         prev = target
-        cl = jax.jit(lambda s: build_cell_list(s.position, s.valid, cfg))(state)
+        cl = jit(lambda s: build_cell_list(s.position, s.valid, cfg))(state)
         key_s = np.asarray(jax.device_get(cl.key_sorted))
         valid = np.asarray(jax.device_get(cl.valid_sorted))
         starts = np.asarray(jax.device_get(cl.starts))

@@ -142,6 +142,8 @@ VARIANTS = {
             "pallas_block_lanes": 128},
     "m4b": {"pallas_tile": 64, "pallas_group": 16},
     "m4c": {"pallas_block_lanes": 128},
+    # 128-lane window-start alignment (halve the dead lead-in at bl=256)
+    "al128": {"pallas_align128": True},
     # conditional window-DMA granularity at pile-up-sized capacities
     "dp8": {"pallas_dma_parts": 8},
     "dp16": {"pallas_dma_parts": 16},

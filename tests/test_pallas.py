@@ -193,6 +193,42 @@ def test_single_slot_buffer_matches_double():
     )
 
 
+def test_align128_matches_block_aligned():
+    """128-lane window-start alignment only changes which dead lead-in
+    lanes get scanned (rejected by the same key-mask / fast-guard
+    arguments): physics matches the block-aligned default to roundoff,
+    across stencils and with finer DMA parts (whose transfer conditions
+    must cover block-rounded scan overrun — the scan_pad contract)."""
+    import dataclasses
+
+    for stencil in ("slab3", "hybrid"):
+        base = default_config(
+            512, chunk_size=512, pallas_col_capacity=1024,
+            pallas_sub_blocks=8, pallas_stencil=stencil,
+            pallas_block_lanes=256, pallas_desc=True, pallas_desc_blocks=48,
+            pallas_force_slim=True,
+            pallas_ranged_maskless=(stencil == "hybrid"),
+        )
+        st = init_state(base, random_init=True, seed=7)
+        a, _ = jax.jit(lambda s, c=base: step_pallas(s, c, interpret=True))(st)
+        for extra in (
+            {"pallas_align128": True},
+            {"pallas_align128": True, "pallas_dma_parts": 8},
+        ):
+            cfg = dataclasses.replace(base, **extra)
+            b, aux = jax.jit(
+                lambda s, c=cfg: step_pallas(s, c, interpret=True)
+            )(st)
+            assert int(aux.window_overflow) == 0
+            np.testing.assert_allclose(
+                np.asarray(a.density), np.asarray(b.density), rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(a.force), np.asarray(b.force), rtol=1e-4,
+                atol=1e-5,
+            )
+
+
 def test_dma_parts_match_halves():
     """Raising the conditional window-DMA granularity (pallas_dma_parts)
     only changes WHICH capacity lanes transfer — every lane the kernels can

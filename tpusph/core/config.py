@@ -269,6 +269,14 @@ class SimConfig:
     # lanes = 18 MiB at col9 pt=64) and lets _cand_slots double-buffer
     # capacities the default budget forces to a single slot.
     pallas_scoped_vmem_kib: int = 16384
+    # 128-lane window-start alignment: window starts align DOWN to 128
+    # (the Mosaic DMA-offset minimum) instead of pallas_block_lanes,
+    # halving the average dead alignment lead-in per window at bl=256
+    # (the 4M profile: 16 padded blocks/sub vs ~5 blocks of true
+    # candidates — lead waste is a big slice). _clamp_sub keeps the
+    # block-rounded scan end inside the window buffer (clamped remainder
+    # counts as overflow → regrow).
+    pallas_align128: bool = False
     # Conditional window-DMA granularity: each stencil window transfers in
     # this many equal parts, part k ≥ 1 moving only when the window's
     # candidate count reaches into it (part 0 is unconditional). The ≥2M

@@ -206,11 +206,15 @@ def _geom_queries(kmin, kmax, cfg: SimConfig, geom):
 
 def _geom_finish(start, end, cfg: SimConfig):
     """(aligned_start, cnt, lead) from resolved window bounds; `lead` is the
-    alignment lead-in (true start − aligned start, < block width)."""
-    # Align down to the block width (≥128 keeps Mosaic's DMA-offset rule);
-    # the key mask / fast-path lead-in argument rejects the extra lanes.
-    bl = cfg.pallas_block_lanes
-    astart = (start // bl) * bl
+    alignment lead-in (true start − aligned start, < alignment width)."""
+    # Align down to the alignment width; the key mask / fast-path lead-in
+    # argument rejects the extra lanes. Mosaic needs DMA lane offsets
+    # provably 128-aligned — pallas_align128 uses exactly that (halving
+    # the average dead lead-in at bl=256; _clamp_sub keeps block-rounded
+    # scan ends inside the buffer), the default aligns to the block width
+    # (block-rounded ends then stay in-buffer for free).
+    al = 128 if cfg.pallas_align128 else cfg.pallas_block_lanes
+    astart = (start // al) * al
     return (
         astart.astype(jnp.int32),
         (end - astart).astype(jnp.int32),
@@ -349,6 +353,17 @@ def _clamp_sub(sub_base, sub_cnt, cfg: SimConfig):
     excess = jnp.sum(jnp.maximum(sub_cnt - sub_max, 0), axis=1)
     cnt = jnp.minimum(sub_cnt, sub_max)
     cnt = cnt - jnp.maximum(sub_base + cnt - cap, 0)
+    cnt = jnp.maximum(cnt, 0)
+    if cfg.pallas_align128 and cfg.pallas_block_lanes > 128:
+        # 128-aligned starts can put the BLOCK-rounded scan end past the
+        # buffer (base ≢ 0 mod bl): clamp cnt so
+        # base + ceil(cnt/bl)·bl ≤ cap — the fast path has no key mask, so
+        # reading the next window's lanes would be wrong physics, not just
+        # waste. The clamped remainder is counted as overflow (regrown).
+        bl = cfg.pallas_block_lanes
+        fit = ((cap - sub_base) // bl) * bl
+        excess = excess + jnp.sum(jnp.maximum(cnt - fit, 0), axis=1)
+        cnt = jnp.minimum(cnt, fit)
     return jnp.maximum(cnt, 0), excess
 
 
@@ -771,7 +786,7 @@ def _cand_slots(cfg: SimConfig, rows: int) -> int:
 
 def _super_dma_pipeline(
     i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, ncols,
-    nslots, nparts,
+    nslots, nparts, scan_pad,
 ):
     """Start this/next super-tile's stencil-window DMAs (double-buffered
     across the sequential grid when nslots == 2; with nslots == 1 each
@@ -787,7 +802,14 @@ def _super_dma_pipeline(
 
     The VMEM destination is LANE-FLATTENED — window c occupies lanes
     [c·col_cap, (c+1)·col_cap) of a (nslots, rows, ncols·col_cap) scratch —
-    so the kernels address any window with a single flat lane offset."""
+    so the kernels address any window with a single flat lane offset.
+
+    scan_pad (= the kernels' block width): sub-window scans are BLOCK-
+    rounded, so the last scanned lane can overrun the window's candidate
+    count by up to one block — every transfer condition is padded by it
+    so a scanned lane is never un-DMA'd garbage (with 2 bl-aligned parts
+    the old `cap % 2·bl` constraint made this impossible by construction;
+    finer parts and 128-aligned starts need the explicit pad)."""
     nprog = pl.num_programs(0)
     part_sz = col_cap // nparts
 
@@ -809,7 +831,9 @@ def _super_dma_pipeline(
         for c in range(ncols):
             get_dma(prog, c, 0).start()
             for k in range(1, nparts):
-                @pl.when(sup_cnt_ref[prog * ncols + c] > k * part_sz)
+                @pl.when(
+                    sup_cnt_ref[prog * ncols + c] > k * part_sz - scan_pad
+                )
                 def _(prog=prog, c=c, k=k):
                     get_dma(prog, c, k).start()
 
@@ -827,7 +851,7 @@ def _super_dma_pipeline(
     def wait(c):
         get_dma(i, c, 0).wait()
         for k in range(1, nparts):
-            @pl.when(sup_cnt_ref[i * ncols + c] > k * part_sz)
+            @pl.when(sup_cnt_ref[i * ncols + c] > k * part_sz - scan_pad)
             def _(c=c, k=k):
                 get_dma(i, c, k).wait()
 
@@ -1019,7 +1043,7 @@ def _density_kernel(*refs, cfg, geom):
     nslots = _cand_slots(cfg, 8)
     wait, slot = _super_dma_pipeline(
         i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf,
-        nslots, cfg.pallas_dma_parts,
+        nslots, cfg.pallas_dma_parts, cfg.pallas_block_lanes,
     )
     if cfg.pallas_desc:
         _init_parking(i, cand, nbuf, col_cap, 8, 3, cfg, nslots)
@@ -1289,7 +1313,7 @@ def _force_kernel(*refs, cfg, geom):
     nslots = _cand_slots(cfg, rows)
     wait, slot = _super_dma_pipeline(
         i, cols_hbm, cand, sem, sup_start_ref, sup_cnt_ref, col_cap, nbuf,
-        nslots, cfg.pallas_dma_parts,
+        nslots, cfg.pallas_dma_parts, cfg.pallas_block_lanes,
     )
     if cfg.pallas_desc:
         _init_parking(i, cand, nbuf, col_cap, rows, fkey, cfg, nslots)
