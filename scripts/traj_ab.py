@@ -42,14 +42,22 @@ def main():
         else ["base", "fs4"]
     )
     state0 = init_state(
-        cfg0, random_init=os.environ.get("TPUSPH_BENCH_INIT") == "random"
+        cfg0,
+        random_init=(
+            os.environ.get("TPUSPH_BENCH_INIT") == "random"
+            or n > 1_295_029
+        ),
     )
     fs0 = fields_from_state(state0)
+
+    from functools import partial
+
+    from tpusph.core.config import compiler_opts
 
     for name in names:
         cfg = dataclasses.replace(cfg0, **VARIANTS[name])
 
-        @jax.jit
+        @partial(jax.jit, compiler_options=compiler_opts(cfg))
         def run(fs, cfg=cfg):
             def body(f, _):
                 (f2, _, _, _), aux = step_pallas_fields(f, cfg)

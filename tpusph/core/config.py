@@ -618,6 +618,10 @@ def tuned_overrides(num_particles: int) -> dict:
         # step 7.91→7.08 ms at 262k step 0, 9.01→8.43 at 60, 11.07→10.38
         # at 90 (scripts/step_ab.py; bit-identical densities, 0 overflow)
         "pallas_query_rank": True,
+        # 128-lane window-start alignment: halves the dead alignment
+        # lead-in per window — full 100-step trajectory 119.48 → 131.14
+        # steps/s at 262k (scripts/traj_ab.py, round 4)
+        "pallas_align128": True,
     }
 
 
