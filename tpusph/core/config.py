@@ -499,6 +499,9 @@ def tuned_overrides(num_particles: int) -> dict:
             # buffers double-buffer (2 slots ≈ 25 MiB) so programs don't
             # serialize on their own window DMAs
             "pallas_scoped_vmem_kib": 32768,
+            # 128-aligned window starts (round 4): 262k traj
+            # 119.5->131.1, 1M 23.68->25.16 steps/s
+            "pallas_align128": True,
         }
     if num_particles >= 2_000_000:
         # 2M-class single chip: the hybrid stencil's 9-slot SMEM tables no
@@ -541,6 +544,9 @@ def tuned_overrides(num_particles: int) -> dict:
             # own DMA latency). slow-unroll 4 measured neutral (122.90)
             "pallas_ranged_maskless": True,
             "pallas_force_slim": True,
+            # 128-aligned window starts (round 4): 262k traj
+            # 119.5->131.1, 1M 23.68->25.16 steps/s
+            "pallas_align128": True,
         }
     if num_particles >= 1_000_000:
         return {
@@ -585,6 +591,9 @@ def tuned_overrides(num_particles: int) -> dict:
             # window DMA volume and per-block load width
             "pallas_ranged_maskless": True,
             "pallas_force_slim": True,
+            # 128-aligned window starts (round 4): 262k traj
+            # 119.5->131.1, 1M 23.68->25.16 steps/s
+            "pallas_align128": True,
         }
     return {
         # 64x32 geometry: halving the program count at doubled column
