@@ -144,6 +144,10 @@ VARIANTS = {
     "m4c": {"pallas_block_lanes": 128},
     # 128-lane window-start alignment (halve the dead lead-in at bl=256)
     "al128": {"pallas_align128": True},
+    "al256": {"pallas_align128": False},  # regression check vs the preset
+    # 4M descriptor-unroll re-sweep under align128 (fewer blocks/sub now)
+    "du2": {"pallas_desc_unroll": 2},
+    "du2f2": {"pallas_desc_unroll": 2, "pallas_desc_unroll_force": 2},
     # conditional window-DMA granularity at pile-up-sized capacities
     "dp8": {"pallas_dma_parts": 8},
     "dp16": {"pallas_dma_parts": 16},
