@@ -152,6 +152,21 @@ VARIANTS = {
     "dp8": {"pallas_dma_parts": 8},
     "dp16": {"pallas_dma_parts": 16},
     "dp32": {"pallas_dma_parts": 32},
+    # 4M sparse-regime geometry: at ~4.2 particles/cell each col9 window is
+    # ~140 true lanes rounded up to whole 256-lane blocks + 128-alignment
+    # lead-in (16.05 padded blocks/sub vs ~5 true, round-4 stats). pt=256
+    # halves the per-window rounding floor PER TARGET (9 windows amortized
+    # over 2x the targets; span 66+2 cells still passes the col gate
+    # span <= C-3). Untested at 4M — the 262k/1M pt=256 negatives are
+    # dense-regime results where span growth dominates.
+    "t256g4": {"pallas_tile": 256, "pallas_group": 4},
+    "t256g8": {"pallas_tile": 256, "pallas_group": 8},
+    # pt=256 with deeper force split (hpt=32): VREG relief if t256 spills
+    "t256g4f8": {"pallas_tile": 256, "pallas_group": 4,
+                 "pallas_force_split_factor": 8},
+    # selfless force guard: cmp + 2 selects out of the pair math (the
+    # self-pair cancels algebraically; see config.pallas_force_selfless)
+    "sfl": {"pallas_force_selfless": True},
 }
 
 

@@ -391,6 +391,46 @@ def test_force_slim_matches_plain():
         )
 
 
+def test_force_selfless_matches_plain():
+    """Selfless force guard (config.pallas_force_selfless): the r ≥ eps
+    compare and both per-term selects drop out; the self-pair cancels
+    through exact dx = dv = 0 with inv_r kept finite by the r² clamp.
+    Live lanes see bit-identical arithmetic (the clamp is a no-op at
+    r² ≥ eps²) and masked lanes yield ±0 by multiplication instead of
+    select — the full step must match exactly on every stencil, fast and
+    slow paths, with the slim/desc/ranged-maskless machinery on top."""
+    import dataclasses
+
+    for stencil, extra in (
+        ("col9", {}),
+        ("slab3", {}),
+        ("hybrid", {}),
+        ("slab3", {"pallas_desc": True, "pallas_desc_blocks": 48,
+                   "pallas_desc_unroll": 2, "pallas_force_slim": True}),
+        ("hybrid", {"pallas_ranged_maskless": True,
+                    "pallas_force_slim": True}),
+        ("slab3", {"pallas_force_fold": True, "pallas_force_split": True,
+                   "pallas_force_lane_split": True}),
+    ):
+        base = default_config(
+            512, chunk_size=512, pallas_col_capacity=512,
+            pallas_sub_blocks=4, pallas_stencil=stencil,
+            pallas_block_lanes=256, **extra,
+        )
+        st = init_state(base, random_init=True, seed=7)
+        a, _ = jax.jit(lambda s, c=base: step_pallas(s, c, interpret=True))(st)
+        sl = dataclasses.replace(base, pallas_force_selfless=True)
+        b, _ = jax.jit(lambda s, c=sl: step_pallas(s, c, interpret=True))(st)
+        np.testing.assert_array_equal(
+            np.asarray(a.density), np.asarray(b.density),
+            err_msg=f"{stencil} {extra} density",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.force), np.asarray(b.force),
+            err_msg=f"{stencil} {extra} force",
+        )
+
+
 def test_density_narrow_load_matches_plain():
     """The 4-row narrow block load only drops sublane rows the kernel
     never reads — bit-identical on every stencil, fast and slow paths."""

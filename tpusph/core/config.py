@@ -219,6 +219,22 @@ class SimConfig:
     # mask ON, a pair is accepted only in the window matching its key
     # diff, so trimming would LOSE pairs; maskless REQUIRES the trim.
     pallas_ranged_maskless: bool = False
+    # Selfless force guard: drop the r ≥ eps compare and BOTH per-term
+    # selects from the force pair math. The guard's only live job is the
+    # self-pair (reference EPS_F, simulator.cu:107,126), but the self-pair
+    # annihilates ALGEBRAICALLY once 1/r is kept finite: candidate and
+    # target rows come from the same sorted arrays, so dx = dy = dz = 0
+    # and v_j − v_i = 0 are EXACT at the self lane, and with
+    # inv_r = rsqrt(max(r², eps²)) every factor is finite → s_p·dx = 0 and
+    # s_v·dv = 0 exactly. Live pairs (r ≥ eps) are bit-identical: the max
+    # is a no-op on their r². The only semantic change is a DISTINCT pair
+    # closer than eps = 1e-4 (reference: force 0; here: finite clamped
+    # term) — physically unreachable at SPH pressures (spacing ≥ 0.9h =
+    # 0.153), and the full-trajectory parity gates cover it. Fast path:
+    # −2 VPU ops/pair (cmp + 2 selects out, one r² max in) and the (pt,bl)
+    # bool temp dies; slow path: the key mask folds into ONE select on hr
+    # (−2 ops/pair there too).
+    pallas_force_selfless: bool = False
     # Density-kernel narrow block load: load only the 4 used candidate
     # rows (x, y, z, key) per block instead of the full 8-row sublane
     # tile. Semantically identical — rows 4..7 are zero padding the

@@ -1397,8 +1397,15 @@ def _force_kernel(*refs, cfg, geom):
                     r2 = dx * dx + dy * dy + dz * dz
                     # r and 1/r via one rsqrt (sqrt+divide are the two slow
                     # transcendental slots in this loop); r2=0 → NaN, which
-                    # the masks turn into exact 0 through the selects
-                    inv_r = jax.lax.rsqrt(r2)
+                    # the masks turn into exact 0 through the selects.
+                    # selfless: clamp r² to eps² first so inv_r stays
+                    # finite and the self-pair cancels through dx = dv = 0
+                    # instead of a mask (config.pallas_force_selfless);
+                    # live lanes (r ≥ eps) see a no-op max — bit-identical.
+                    if cfg.pallas_force_selfless:
+                        inv_r = jax.lax.rsqrt(jnp.maximum(r2, eps * eps))
+                    else:
+                        inv_r = jax.lax.rsqrt(r2)
                     r = r2 * inv_r
                     # The r ≥ eps guard excludes self-pairs (reference
                     # EPS_F, cu:107,126). The r ≤ h cutoff is folded into
@@ -1410,7 +1417,9 @@ def _force_kernel(*refs, cfg, geom):
                     # remains; else the key-difference mask bounds the
                     # window (density note).
                     if fast:
-                        live = r >= eps
+                        live = None if cfg.pallas_force_selfless else (
+                            r >= eps
+                        )
                     else:
                         if kind == "slab_ranged":
                             # hybrid: bound lanes to the true range — see
@@ -1430,8 +1439,18 @@ def _force_kernel(*refs, cfg, geom):
                             keyhit = _key_mask(
                                 row(fkey), tkey[ts] + off, kind, cfg
                             )
-                        live = keyhit & (r >= eps)
+                        if cfg.pallas_force_selfless:
+                            live = keyhit
+                        else:
+                            live = keyhit & (r >= eps)
                     hr = jnp.maximum(h - r, 0.0)
+                    if cfg.pallas_force_selfless and live is not None:
+                        # slow path: fold the window mask into ONE select
+                        # on the shared hr factor (both terms scale
+                        # linearly in hr; inv_r is finite by the clamp, so
+                        # no NaN escapes the zeroed lanes)
+                        hr = jnp.where(live, hr, 0.0)
+                        live = None
                     # pressure: −m(p_i+p_j)/(2ρ_j)·∇W_spiky; the
                     # reference's two minus signs cancel (∇W_spiky =
                     # disp·(−vk)(h−r)²/r, cu:99-117, 224-235), so s_p =
@@ -1448,12 +1467,19 @@ def _force_kernel(*refs, cfg, geom):
                         )
                     else:
                         term = tp[ts] * row(_FI2R) + row(_FPI2R)
-                    s_p = jnp.where(live, term * hr * hr * inv_r, 0.0)
-                    # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h (r == h
-                    # included, cu:119-130, 237-250); _FI2R is 1/(2ρ_j).
-                    s_v = jnp.where(
-                        live, (2.0 * mu) * hr * row(_FI2R), 0.0
-                    )
+                    if live is None:  # selfless: no per-term selects
+                        s_p = term * hr * hr * inv_r
+                        s_v = (2.0 * mu) * hr * row(_FI2R)
+                    else:
+                        s_p = jnp.where(
+                            live, term * hr * hr * inv_r, 0.0
+                        )
+                        # viscosity: μ m vk (h−r)/ρ_j for eps ≤ r ≤ h
+                        # (r == h included, cu:119-130, 237-250); _FI2R is
+                        # 1/(2ρ_j).
+                        s_v = jnp.where(
+                            live, (2.0 * mu) * hr * row(_FI2R), 0.0
+                        )
                     cx = s_p * dx + s_v * (row(_FVX) - tvx[ts])
                     cy = s_p * dy + s_v * (row(_FVY) - tvy[ts])
                     cz = s_p * dz + s_v * (row(_FVZ) - tvz[ts])
