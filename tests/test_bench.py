@@ -80,7 +80,7 @@ def test_config_overrides_presets():
         "pallas_force_fold": True, "pallas_force_split": True,
         "pallas_force_split_factor": 4, "pallas_force_lane_split": True,
         "pallas_query_rank": True, "pallas_force_slim": True,
-        "pallas_align128": True,
+        "pallas_align128": True, "pallas_force_selfless": True,
     }
     kw = config_overrides(1_048_576, {})
     assert kw == {
@@ -92,7 +92,7 @@ def test_config_overrides_presets():
         "pallas_query_rank": True, "pallas_slow_unroll": 2,
         "pallas_stream_desc": True, "pallas_desc_blocks": 32,
         "pallas_ranged_maskless": True, "pallas_force_slim": True,
-        "pallas_align128": True,
+        "pallas_align128": True, "pallas_force_selfless": True,
     }
     kw2 = config_overrides(2_097_152, {})
     assert kw2["pallas_stream_desc"] is True

@@ -517,6 +517,9 @@ def tuned_overrides(num_particles: int) -> dict:
             "pallas_scoped_vmem_kib": 32768,
             # 128-aligned window starts (round 4): 262k traj
             # 119.5->131.1, 1M 23.68->25.16 steps/s
+            # selfless force guard (round 4 s2): cmp + 2 selects out of
+            # the pair math, bit-identical (262k traj A/B 131.44->132.28)
+            "pallas_force_selfless": True,
             "pallas_align128": True,
         }
     if num_particles >= 2_000_000:
@@ -562,6 +565,9 @@ def tuned_overrides(num_particles: int) -> dict:
             "pallas_force_slim": True,
             # 128-aligned window starts (round 4): 262k traj
             # 119.5->131.1, 1M 23.68->25.16 steps/s
+            # selfless force guard (round 4 s2): cmp + 2 selects out of
+            # the pair math, bit-identical (262k traj A/B 131.44->132.28)
+            "pallas_force_selfless": True,
             "pallas_align128": True,
         }
     if num_particles >= 1_000_000:
@@ -609,6 +615,9 @@ def tuned_overrides(num_particles: int) -> dict:
             "pallas_force_slim": True,
             # 128-aligned window starts (round 4): 262k traj
             # 119.5->131.1, 1M 23.68->25.16 steps/s
+            # selfless force guard (round 4 s2): cmp + 2 selects out of
+            # the pair math, bit-identical (262k traj A/B 131.44->132.28)
+            "pallas_force_selfless": True,
             "pallas_align128": True,
         }
     return {
@@ -647,6 +656,9 @@ def tuned_overrides(num_particles: int) -> dict:
         # lead-in per window — full 100-step trajectory 119.48 → 131.14
         # steps/s at 262k (scripts/traj_ab.py, round 4)
         "pallas_align128": True,
+        # selfless force guard (round 4 s2): cmp + 2 selects out of the
+        # pair math, bit-identical (262k traj A/B 131.44 → 132.28)
+        "pallas_force_selfless": True,
     }
 
 
