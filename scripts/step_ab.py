@@ -157,8 +157,9 @@ VARIANTS = {
     # lead-in (16.05 padded blocks/sub vs ~5 true, round-4 stats). pt=256
     # halves the per-window rounding floor PER TARGET (9 windows amortized
     # over 2x the targets; span 66+2 cells still passes the col gate
-    # span <= C-3). Untested at 4M — the 262k/1M pt=256 negatives are
-    # dense-regime results where span growth dominates.
+    # span <= C-3). MEASURED NEGATIVE at 4M (round-4 s2: step-30 FULL
+    # 312.2/305.6 ms at g=4/g=8 vs base 220.5) — kept for reference only;
+    # do not re-try.
     "t256g4": {"pallas_tile": 256, "pallas_group": 4},
     "t256g8": {"pallas_tile": 256, "pallas_group": 8},
     # pt=256 with deeper force split (hpt=32): VREG relief if t256 spills

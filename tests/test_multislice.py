@@ -63,9 +63,53 @@ def test_uneven_synthetic_slicing_rejected(eight_devices):
 
 
 def test_boundary_payload_bound():
-    # 256 halo rows, 128 migration rows: 2 halo rounds (25 + 8 B/row) +
-    # migration (29 B/row), per direction
-    assert halo_bytes_per_boundary(256, 128) == 256 * 33 + 128 * 29
+    # 256 halo rows, 128 migration rows: ONE 2h halo round (6·f32 + valid
+    # = 25 B/row) + migration (+ i32 pid tag = 29 B/row), per direction
+    assert halo_bytes_per_boundary(256, 128) == 256 * 25 + 128 * 29
+
+
+def _collect_ppermute_bytes(jaxpr):
+    """Recursively walk a jaxpr (descending into pjit/shard_map/scan inner
+    jaxprs), summing operand bytes of every ppermute equation."""
+    total = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "ppermute":
+            total += sum(
+                v.aval.size * v.aval.dtype.itemsize for v in eqn.invars
+            )
+        for p in eqn.params.values():
+            if hasattr(p, "jaxpr") and hasattr(p.jaxpr, "eqns"):  # ClosedJaxpr
+                total += _collect_ppermute_bytes(p.jaxpr)
+            elif hasattr(p, "eqns"):  # raw Jaxpr
+                total += _collect_ppermute_bytes(p)
+    return total
+
+
+def test_boundary_payload_matches_step_ppermutes(eight_devices):
+    """Anti-drift: halo_bytes_per_boundary must equal the bytes the sharded
+    step ACTUALLY moves per boundary — computed from the ppermute operand
+    shapes in the traced step (each device issues one up-send and one
+    dn-send of every buffer per step, so per-device ppermute operand bytes
+    = 2 directions × halo_bytes_per_boundary)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    cfg = default_config(512, chunk_size=512)
+    dcfg = DistConfig(
+        n_devices=8, dev_capacity=512, halo_capacity=256,
+        migration_capacity=128,
+    )
+    mesh = Mesh(np.array(eight_devices), ("z",))
+    st = init_state(cfg, random_init=True, seed=13)
+    dstate = distribute_state(st, cfg, dcfg, mesh)
+    step = make_sharded_step(cfg, dcfg, mesh)
+    jaxpr = jax.make_jaxpr(lambda s: step(s))(dstate)
+    got = _collect_ppermute_bytes(jaxpr.jaxpr)
+    want = 2 * halo_bytes_per_boundary(
+        dcfg.halo_capacity, dcfg.migration_capacity
+    )
+    assert got == want, (got, want)
 
 
 def test_dcn_boundary_count_scales():

@@ -6,22 +6,23 @@ owns the particles resident in its brick. The 27-neighborhood communication
 uses the STAGED-AXIS scheme — three face exchanges instead of 26 point-to-point
 sends, with edge/corner data forwarded transitively:
 
-  halo round 1 (positions+velocities):
-    phase z: pack local particles within h of the brick's z faces, ppermute
+  staged 2h halo exchange (positions+velocities, ONE round):
+    phase z: pack local particles within 2h of the brick's z faces, ppermute
              along the z axis → halo set Hz.
-    phase y: pack from local ∪ Hz within h of the y faces, ppermute along y
-             → Hy (z-corner particles ride along).
-    phase x: pack from local ∪ Hz ∪ Hy within h of the x faces → Hx.
-  density over local ∪ Hz ∪ Hy ∪ Hx (targets local only — same cell-list
-  machinery as the slab layer).
-  halo round 2 (authoritative ρ/p): re-send along the SAME routes in the SAME
-  z→y→x order, so a halo copy's home-computed ρ/p arrives before later phases
-  forward it (corner copies would otherwise propagate locally-mis-computed
-  values).
-  force + integrate local.
-  migration: three one-hop phases (z, then y, then x), each operating on the
-  merged set, so a diagonal brick-corner crosser reaches its owner within one
-  step via axis-by-axis hops.
+    phase y: pack from local ∪ Hz within 2h of the y faces, ppermute along y
+             → Hy (z-edge/corner particles ride along).
+    phase x: pack from local ∪ Hz ∪ Hy within 2h of the x faces → Hx.
+  The final set covers the full L∞-2h shell, so every halo copy within h of
+  the brick sees ALL of its own neighbors locally — its locally-computed
+  ρ/p is exact and no second "authoritative ρ/p" round is needed (same
+  argument as the 1-D slab layer, dist/sharded.py). Requires brick width
+  ≥ 2h per axis (checked at build).
+  density + force on the tuned fields-native hot path (one payload sort +
+  fused megakernels, _compute_sorted_fields); integrate local rows.
+  migration: three one-hop phases (z, then y, then x), each packing both
+  direction buffers from ONE category sort with arrivals APPENDED, so a
+  diagonal brick-corner crosser reaches its owner within one step via
+  axis-by-axis hops; a final kept-first sort compacts the state.
 
 All buffers fixed-capacity with overflow DETECTION (never silent drop), and a
 per-axis misrouting counter for the one-hop-per-axis invariant — identical

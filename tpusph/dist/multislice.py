@@ -19,9 +19,9 @@ multi-slice deployment:
     exchange (O(face area) bytes) per slice pair per round — while every
     other hop rides ICI. An interleaved order would put O(D) hops on DCN.
   * `dcn_boundary_pairs` exposes which mesh hops ride DCN, and
-    `halo_bytes_per_boundary` the per-step DCN payload (2 halo rounds +
-    migration), so capacity planning/diagnostics can reason about the DCN
-    budget explicitly.
+    `halo_bytes_per_boundary` the per-step DCN payload (the ONE 2h halo
+    round + migration), so capacity planning/diagnostics can reason about
+    the DCN budget explicitly.
 
 The step code itself is topology-agnostic (the same `make_sharded_step` /
 `make_sharded_run` run unchanged over the returned mesh); XLA routes each
@@ -104,10 +104,20 @@ def make_multislice_mesh(
     )
 
 
+HALO_ROW_BYTES = 6 * 4 + 1  # pos+vel (6·f32) + valid (1-byte pred)
+MIGRATION_ROW_BYTES = 6 * 4 + 4 + 1  # pos+vel + pid tag (i32) + valid
+
+
 def halo_bytes_per_boundary(halo_capacity: int, migration_capacity: int) -> int:
-    """Per-step worst-case DCN payload of ONE slice boundary, per direction:
-    round-1 halo (position+velocity+valid: 6·f32 + 1 byte ≈ 25 B/row),
-    round-2 halo (ρ, p: 8 B/row), and migration (pos+vel+valid+pid:
-    29 B/row) — fixed-capacity buffers, so this is the static bound the
-    DCN budget must cover."""
-    return halo_capacity * (25 + 8) + migration_capacity * 29
+    """Per-step worst-case DCN payload of ONE slice boundary, per direction,
+    for the one-round 2h ghost-layer step (dist/sharded.py): the single halo
+    exchange sends position+velocity+valid (6·f32 + 1-byte pred = 25 B/row);
+    migration sends pos+vel+pid-tag+valid (29 B/row). There is no second
+    ρ/p round — the 2h layer makes halo densities locally exact. Buffers are
+    fixed-capacity, so this is the static bound the DCN budget must cover
+    (tests/test_multislice.py checks it against the step's actual ppermute
+    operand shapes so it cannot drift from the implementation)."""
+    return (
+        halo_capacity * HALO_ROW_BYTES
+        + migration_capacity * MIGRATION_ROW_BYTES
+    )

@@ -1402,6 +1402,10 @@ def _force_kernel(*refs, cfg, geom):
                     # finite and the self-pair cancels through dx = dv = 0
                     # instead of a mask (config.pallas_force_selfless);
                     # live lanes (r ≥ eps) see a no-op max — bit-identical.
+                    # A DISTINCT pair with 0 < r < eps would get a large
+                    # finite force here where the reference returns 0
+                    # (cu:110,125) — physically unreachable (documented in
+                    # config.py; parity gates cover it) and never NaN.
                     if cfg.pallas_force_selfless:
                         inv_r = jax.lax.rsqrt(jnp.maximum(r2, eps * eps))
                     else:
