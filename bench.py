@@ -237,22 +237,86 @@ def config_overrides(n: int, env) -> dict:
     return kw
 
 
+def verify_dist_parity(sim, cfg, state0_host, gate_steps: int = 3) -> str:
+    """ON-DEVICE physics parity for the sharded engine AT THE TIMED N: run
+    `gate_steps` sharded steps from the timed initial state, collect by pid
+    (the sharded engine preserves global particle identity), and compare
+    per-particle against the independent single-chip XLA cell-list chain
+    from the same init — the dist analog of verify_headline (catches
+    geometry/capacity/halo bugs that small-N CPU tests cannot see).
+    Restores sim.state. Returns 'pass'/'fail'."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+
+    from tpusph.core.config import compiler_opts
+    from tpusph.engine.step import step_cell_list
+
+    saved = sim.state
+    sim.run(gate_steps)
+    got = sim.get_position()  # ordered by pid == original slot index
+    sim.state = saved
+
+    ccfg = cfg
+    for _ in range(4):
+        @partial(jax.jit, compiler_options=compiler_opts(ccfg))
+        def chain(s, ccfg=ccfg):
+            def body(s, _):
+                s2, aux = step_cell_list(s, ccfg)
+                return s2, aux.window_overflow
+            import jax.numpy as jnp
+
+            s2, ovf = jax.lax.scan(body, s, None, length=gate_steps)
+            return s2, jnp.sum(ovf)
+
+        ref, ovf = jax.device_get(chain(state0_host))
+        if int(ovf) == 0:
+            break
+        ccfg = dataclasses.replace(
+            ccfg, tile_cand_capacity=ccfg.tile_cand_capacity * 2
+        )
+    else:
+        print("dist parity FAIL: cell_list overflow", file=sys.stderr)
+        return "fail"
+    ref_pos = np.asarray(ref.position)[: cfg.num_particles]
+    try:
+        np.testing.assert_allclose(got, ref_pos, rtol=0, atol=1e-4)
+    except AssertionError as e:
+        print(f"dist parity FAIL [positions, {gate_steps} steps]: {e}",
+              file=sys.stderr)
+        return "fail"
+    return "pass"
+
+
 def main_dist() -> None:
     """Sharded-engine bench mode (TPUSPH_BENCH_DIST=<ndev>): the scan-chained
-    multi-chip production loop, ONE dispatch for the whole run. On this
-    1-chip host it is a functional smoke over virtual CPU devices (set
-    XLA_FLAGS=--xla_force_host_platform_device_count=<ndev>); the same code
-    path is the real multi-chip bench when hardware shows up. 'parity' is
-    'pass' when the run completes with conservation + zero overflow (run()
-    raises otherwise; physics equality with the single-chip engine is
-    asserted by tests/test_dist_simulator.py)."""
+    multi-chip production loop, ONE dispatch for the whole run, held to the
+    single-chip bench's rigor — an ON-DEVICE physics parity gate at the
+    timed N (sharded chain vs the independent XLA cell-list chain, per-pid
+    compared; TPUSPH_BENCH_VERIFY=0 skips) plus conservation/overflow
+    hard-fails inside run(). Emits the JSON line AND writes it with its
+    capacity provenance to DIST_BENCH.json.
+
+    Capacities: measured, not guessed — default_dist_config's slack-2.0
+    start is right-sized from a 10-step warmup's utilization stats
+    (DistSimulator.right_size; oversized slack costs real sort width:
+    15.4 → 11.6 ms at 262k mesh-1 for 2.0 → 1.25). Set
+    TPUSPH_BENCH_DIST_SLACK to pin a hand slack instead.
+
+    On this 1-chip host ndev=1 runs the sharded engine end to end on the
+    real TPU (shard_map + pid tagging + the degenerate-mesh elisions);
+    ndev>1 needs XLA_FLAGS=--xla_force_host_platform_device_count=<ndev>
+    for a CPU functional smoke — the same code path is the real multi-chip
+    bench when hardware shows up."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     from tpusph.core.config import default_config
-    from tpusph.dist.simulator import DistSimulator
+    from tpusph.core.init import init_state, lattice_capacity
+    from tpusph.dist.simulator import DistSimulator, default_dist_config
 
     ndev = int(os.environ["TPUSPH_BENCH_DIST"])
     n = int(os.environ.get("TPUSPH_BENCH_N", 262_144))
@@ -266,16 +330,31 @@ def main_dist() -> None:
         )
         raise SystemExit(2)
     cfg = default_config(n, **config_overrides(n, os.environ))
-    # bench capacity slack: z-density stays near-uniform under gravity, so
-    # 1.25× the uniform share suffices (overflow is detected and grown
-    # regardless); the default 2.0 costs ~25% step time in sentinel-row
-    # sorts/scans (TPU slope-measured: 15.4 → 11.6 ms at 262k mesh-1)
-    from tpusph.dist.simulator import default_dist_config
+    random_init = os.environ.get("TPUSPH_BENCH_INIT") == "random"
+    if n > lattice_capacity(cfg) and not random_init:
+        print(f"dist bench: N={n} exceeds the grid-lattice ceiling — using "
+              "random init", file=sys.stderr)
+        random_init = True
 
-    slack = float(os.environ.get("TPUSPH_BENCH_DIST_SLACK", "1.25"))
-    dcfg = default_dist_config(cfg, ndev, slack=slack)
-    sim = DistSimulator(cfg, devices=devices[:ndev], dcfg=dcfg)
+    slack_env = os.environ.get("TPUSPH_BENCH_DIST_SLACK")
+    dcfg = None
+    if slack_env:
+        dcfg = default_dist_config(cfg, ndev, slack=float(slack_env))
+    sim = DistSimulator(
+        cfg, devices=devices[:ndev], dcfg=dcfg, random_init=random_init
+    )
     sim.setup()
+    state0_host = init_state(cfg, random_init=random_init)
+
+    parity = "skipped"
+    if os.environ.get("TPUSPH_BENCH_VERIFY", "1") != "0":
+        parity = verify_dist_parity(sim, cfg, state0_host)
+
+    right_sized = False
+    if not slack_env:
+        sim.right_size(warmup_steps=10)  # restores the initial state
+        right_sized = True
+
     state0 = sim.state
     # warmup: compile the full scan-chain program AND settle capacities on
     # the exact trajectory (the timed run must be a pure cache hit — the
@@ -285,17 +364,27 @@ def main_dist() -> None:
     t0 = time.perf_counter()
     sim.run(steps)  # one dispatch
     dt = time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "metric": f"sph_dist_timesteps_per_sec_n{n}_d{ndev}",
-                "value": round(steps / dt, 3),
-                "unit": "timesteps/s",
-                "vs_baseline": round(steps / dt / 100.0, 4),
-                "parity": "pass",
-            }
-        )
+    line = {
+        "metric": f"sph_dist_timesteps_per_sec_n{n}_d{ndev}",
+        "value": round(steps / dt, 3),
+        "unit": "timesteps/s",
+        "vs_baseline": round(steps / dt / 100.0, 4),
+        "parity": parity,
+    }
+    print(json.dumps(line))
+    artifact = dict(line)
+    artifact.update(
+        steps=steps,
+        backend="pallas" if sim.use_pallas else "xla",
+        dev_capacity=sim.dcfg.dev_capacity,
+        halo_capacity=sim.dcfg.halo_capacity,
+        migration_capacity=sim.dcfg.migration_capacity,
+        right_sized=right_sized,
+        slack=(float(slack_env) if slack_env else None),
     )
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "DIST_BENCH.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
 
 
 def main() -> None:

@@ -57,7 +57,10 @@ def test_sharded_matches_single_device(setup, eight_devices):
     ref_pos = np.asarray(s.position)[: cfg.num_particles]
     ref_vel = np.asarray(s.velocity)[: cfg.num_particles]
 
-    for n_dev in (2, 8):
+    # 1: degenerate mesh (halo + migration elided — structurally absent);
+    # 2: cell-aligned splice path (C % D == 0, no comb merge sort);
+    # 8: general path (100 % 8 ≠ 0 → full-width merge sort)
+    for n_dev in (1, 2, 8):
         dstate, aux = _run_dist(cfg, st, eight_devices, n_dev, steps)
         assert int(aux.halo_overflow) == 0
         assert int(aux.migration_overflow) == 0

@@ -157,6 +157,55 @@ def test_dist_run_mesh3d_matches_stepwise(eight_devices):
     )
 
 
+def test_dist_mesh3d_simulate_and_time(eight_devices):
+    """The 3-D brick mesh timed path reports the reference's three phases
+    (times.h:12-36) separately — build (staged halo + sort), update
+    (kernels + migrate), memcpy — and advances the same physics as the
+    fused simulate() step (verdict-r4 #5)."""
+    cfg = default_config(512, chunk_size=512)
+    dsim = DistSimulator(cfg, devices=eight_devices, random_init=True,
+                         seed=7, mesh_shape=(2, 2, 2))
+    dsim.setup()
+    ref = DistSimulator(cfg, devices=eight_devices, random_init=True,
+                        seed=7, mesh_shape=(2, 2, 2))
+    ref.setup()
+    times = Times()
+    for _ in range(3):
+        dsim.simulate_and_time(times)
+        ref.simulate()
+    assert times.iters == 3
+    assert times.build_grid > 0
+    assert times.sph_update > 0
+    assert times.memcpy > 0
+    np.testing.assert_allclose(
+        dsim.get_position(), ref.get_position(), rtol=0, atol=1e-6
+    )
+
+
+def test_dist_right_size(eight_devices):
+    """right_size must shrink the default slack=2.0 capacities toward the
+    measured peaks (the aux utilization stats) and, with restore=True,
+    leave the trajectory identical to a never-resized run."""
+    cfg = default_config(512, chunk_size=512)
+    a = DistSimulator(cfg, devices=eight_devices, random_init=True, seed=21)
+    a.setup()
+    cap0 = a.dcfg.dev_capacity
+    halo0 = a.dcfg.halo_capacity
+    a.right_size(warmup_steps=5)
+    assert a.dcfg.dev_capacity <= cap0
+    assert a.dcfg.halo_capacity <= halo0
+    assert a.dcfg.dev_capacity >= 256
+    a.run(5)
+    assert a.num_particles_alive() == cfg.num_particles
+
+    b = DistSimulator(cfg, devices=eight_devices, random_init=True, seed=21)
+    b.setup()
+    b.run(5)
+    np.testing.assert_allclose(
+        a.get_position(), b.get_position(), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_dist_simulator_mesh3d(eight_devices):
     """DistSimulator with a 3-D brick mesh matches the single-chip engine."""
     cfg = default_config(512, chunk_size=512)

@@ -47,8 +47,8 @@ from tpusph.core.state import FluidState
 from tpusph.dist.sharded import (
     DistAux,
     DistState,
+    _compact,
     _compute_sorted_fields,
-    _halo_buffers,
 )
 from tpusph.interact.impulse import click_kick_fields
 from tpusph.neighbors.grid import compute_keys_fields
@@ -98,6 +98,52 @@ def _pshift(x, axis, perm):
     return lax.ppermute(x, axis, perm)
 
 
+def _halo_buffers(x, y, z, vx, vy, vz, send_dn, send_up, h_cap: int,
+                  disjoint: bool):
+    """Pack the two 2h face layers into (h_cap, 6) send matrices. When the
+    brick is ≥ 4h wide along this axis the dn/up sets are DISJOINT, so ONE
+    stable category payload sort yields both buffers (dn rows to the front,
+    up rows to the back); narrower bricks fall back to two compacts. The
+    1-D slab layer replaced this with key-sorted slicing (sharded.py §1),
+    but the y/x staged phases here select by a coordinate that is NOT
+    major in the flat key, so the category sort stays. Returns
+    (dn6, dn_valid, up6, up_valid, overflow, max_send)."""
+    n_dn = jnp.sum(send_dn).astype(jnp.int32)
+    n_up = jnp.sum(send_up).astype(jnp.int32)
+    overflow = jnp.maximum(n_dn - h_cap, 0) + jnp.maximum(n_up - h_cap, 0)
+    max_send = jnp.maximum(n_dn, n_up)
+    lane = jnp.arange(h_cap, dtype=jnp.int32)
+    if disjoint:
+        cat = jnp.where(send_dn, 0, jnp.where(send_up, 2, 1)).astype(
+            jnp.int32
+        )
+        _, hx, hy, hz, hvx, hvy, hvz = lax.sort(
+            (cat, x, y, z, vx, vy, vz), num_keys=1, is_stable=True
+        )
+        dn6 = jnp.stack(
+            [hx[:h_cap], hy[:h_cap], hz[:h_cap],
+             hvx[:h_cap], hvy[:h_cap], hvz[:h_cap]], axis=1
+        )
+        t0 = x.shape[0] - h_cap
+        up6 = jnp.stack(
+            [hx[t0:], hy[t0:], hz[t0:], hvx[t0:], hvy[t0:], hvz[t0:]],
+            axis=1,
+        )
+        dn_valid = lane < n_dn
+        up_valid = lane >= (h_cap - jnp.minimum(n_up, h_cap))
+        return dn6, dn_valid, up6, up_valid, overflow, max_send
+    dn_rows, dn_valid, _, _ = _compact(
+        send_dn, (x, y, z, vx, vy, vz), h_cap
+    )
+    up_rows, up_valid, _, _ = _compact(
+        send_up, (x, y, z, vx, vy, vz), h_cap
+    )
+    return (
+        jnp.stack(dn_rows, axis=1), dn_valid,
+        jnp.stack(up_rows, axis=1), up_valid, overflow, max_send,
+    )
+
+
 def _check_brick_widths(cfg: SimConfig, mcfg: Mesh3DConfig) -> None:
     """The 2h ghost layer needs bricks at least 2h wide per axis (see
     sharded.py's slab-width check)."""
@@ -110,37 +156,9 @@ def _check_brick_widths(cfg: SimConfig, mcfg: Mesh3DConfig) -> None:
             )
 
 
-def _device_step3d(
-    pos, vel, valid, pid, click_cell, click_active,
-    cfg: SimConfig, mcfg: Mesh3DConfig,
-    use_pallas: bool = False, interpret: bool = False,
-    with_click: bool = True,
-):
-    """One timestep on one device's brick (runs under shard_map over AXES) —
-    the fields-native 2h-ghost-layer design of the 1-D slab step
-    (dist/sharded.py), generalized with staged per-axis exchanges:
-
-      * staged 2h halos: phase z packs local rows within 2h of the z faces;
-        phase y packs from local ∪ Hz (corner rows ride along); phase x
-        from local ∪ Hz ∪ Hy. The final set covers the full L∞-2h shell,
-        so every halo copy within h of the brick has ALL its neighbors
-        present — its locally-computed ρ/p is exact and the old
-        "authoritative ρ/p" second round disappears.
-      * physics on the tuned fields-native hot path (one payload sort +
-        fused megakernels, _compute_sorted_fields).
-      * migration: one hop per axis z → y → x on the sorted rows; each
-        axis packs both direction buffers from ONE category sort, marks
-        departures (tag −2), and APPENDS arrivals so diagonal crossers
-        join the later axes' hops. A final kept-first sort compacts the
-        state back to dev_capacity rows.
-    """
-    halo_w = jnp.float32(2.0 * cfg.h)
-    c_dev = mcfg.dev_capacity
-
-    # brick bounds per axis
-    lo = {}
-    hi = {}
-    widths = {}
+def _brick_geometry(cfg: SimConfig, mcfg: Mesh3DConfig):
+    """Per-axis (lo, hi, width) bounds of this device's brick."""
+    lo, hi, widths = {}, {}, {}
     for ax_i, ax in enumerate(AXES):
         m = mcfg.mesh_shape[ax_i]
         w = jnp.float32(cfg.box_dim) / m
@@ -148,12 +166,23 @@ def _device_step3d(
         lo[ax] = d.astype(jnp.float32) * w
         hi[ax] = lo[ax] + w
         widths[ax] = w
+    return lo, hi, widths
 
-    # ---- staged 2h halo exchange (z → y → x), fields-native
+
+def _device_build3d(pos, vel, valid, pid, cfg: SimConfig,
+                    mcfg: Mesh3DConfig):
+    """Phase 1 on one device's brick: staged 2h halo exchange (z → y → x,
+    corner rows forwarded transitively — see module docstring) + cell-key
+    payload sort. Returns the sorted comb rows + per-device
+    (halo_overflow, oob_count, max_halo_send) scalars (not yet reduced)."""
+    halo_w = jnp.float32(2.0 * cfg.h)
+    lo, hi, _widths = _brick_geometry(cfg, mcfg)
+
     rows = [pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2]]
     cvalid = valid
     tag = jnp.where(valid, pid, jnp.int32(-1))
     halo_ovf = jnp.int32(0)
+    halo_send = jnp.int32(0)
     for ax_i, ax in enumerate(AXES):
         m = mcfg.mesh_shape[ax_i]
         h_cap = mcfg.halo_capacity[ax_i]
@@ -162,7 +191,7 @@ def _device_step3d(
         send_dn = cvalid & (coord < lo[ax] + halo_w)
         send_up = cvalid & (coord >= hi[ax] - halo_w)
         disjoint = cfg.box_dim / m >= 4 * cfg.h  # static
-        dn6, dn_valid, up6, up_valid, ovf = _halo_buffers(
+        dn6, dn_valid, up6, up_valid, ovf, max_send = _halo_buffers(
             *rows, send_dn, send_up, h_cap, disjoint
         )
         lo6 = _pshift(up6, ax, perm_up)  # halo from the device below
@@ -176,17 +205,40 @@ def _device_step3d(
         cvalid = jnp.concatenate([cvalid, lo_valid, hi_valid])
         tag = jnp.concatenate([tag, jnp.full((2 * h_cap,), -2, jnp.int32)])
         halo_ovf = halo_ovf + ovf
+        halo_send = jnp.maximum(halo_send, max_send)
 
     # invalid/stale slots parked at origin (physically inert — sharded.py)
     for j in range(3):
         rows[j] = jnp.where(cvalid, rows[j], 0.0)
 
-    # ---- physics on the tuned fields-native hot path
     key, oob_count = compute_keys_fields(rows[0], rows[1], rows[2], cvalid,
                                          cfg)
     key_s, sx, sy, sz, svx, svy, svz, tag_s = lax.sort(
         (key, *rows, tag), num_keys=1, is_stable=True
     )
+    return (key_s, sx, sy, sz, svx, svy, svz, tag_s, halo_ovf, oob_count,
+            halo_send)
+
+
+def _device_update3d(
+    key_s, sx, sy, sz, svx, svy, svz, tag_s, click_cell, click_active,
+    cfg: SimConfig, mcfg: Mesh3DConfig,
+    use_pallas: bool = False, interpret: bool = False,
+    with_click: bool = True,
+):
+    """Phase 2 on one device's brick: physics on the tuned fields-native hot
+    path (_compute_sorted_fields) + integrate + click + per-axis migration.
+    The z and y migration hops APPEND arrivals (they may still hop along
+    later axes); the final x hop cannot feed further hops, so it uses the
+    merged migration/compaction sort of the 1-D slab layer (sharded.py §6):
+    ONE category sort dn < kept < up < dead yields both direction buffers
+    AND the kept-first compacted state, with arrivals scattered into the
+    free tail — no separate compaction sort. Returns
+    (x, v, valid_new, pid_new, (ovf_w, mig_ovf, misrouted, n_valid,
+    max_mig_send)) with the scalars not yet reduced."""
+    c_dev = mcfg.dev_capacity
+    lo, hi, widths = _brick_geometry(cfg, mcfg)
+
     rho_s, p_s, (fx, fy, fz), _valid_s, ovf_w = _compute_sorted_fields(
         key_s, sx, sy, sz, svx, svy, svz, cfg, use_pallas, interpret
     )
@@ -217,7 +269,8 @@ def _device_step3d(
     ctag = tag_s
     mig_ovf = jnp.int32(0)
     misrouted = jnp.int32(0)
-    for ax_i, ax in enumerate(AXES):
+    mig_send = jnp.int32(0)
+    for ax_i, ax in enumerate(AXES[:-1]):
         m = mcfg.mesh_shape[ax_i]
         m_cap = mcfg.migration_capacity[ax_i]
         w = widths[ax]
@@ -234,6 +287,7 @@ def _device_step3d(
         mig_ovf = mig_ovf + jnp.maximum(n_dn - m_cap, 0) + jnp.maximum(
             n_up - m_cap, 0
         )
+        mig_send = jnp.maximum(mig_send, jnp.maximum(n_dn, n_up))
         # one category sort: dn-senders to the front, up-senders to the back
         cat = jnp.where(mig_dn, 0, jnp.where(mig_up, 2, 1)).astype(jnp.int32)
         _, m0, m1, m2, m3, m4, m5, mtag = lax.sort(
@@ -270,28 +324,123 @@ def _device_step3d(
         cr = [jnp.concatenate([srows[j], inc6[:, j]]) for j in range(6)]
         ctag = jnp.concatenate([mtag, inc_tag])
 
-    # ---- final state: kept rows compacted to the front c_dev slots
-    kept = ctag >= 0
-    skey = jnp.where(kept, 0, 1).astype(jnp.int32)
-    _, o0, o1, o2, o3, o4, o5, otag = lax.sort(
-        (skey, *cr, ctag), num_keys=1, is_stable=True
-    )
+    # ---- final axis (x) + compaction, ONE sort (see docstring)
+    ax = AXES[-1]
+    m = mcfg.mesh_shape[-1]
+    m_cap = mcfg.migration_capacity[-1]
+    w = widths[ax]
+    perm_up, perm_dn = _axis_perms(m)
+    lv = ctag >= 0
+    coord = cr[AXIS_DIM[ax]]
+    mig_dn = lv & (coord < lo[ax])
+    mig_up = lv & (coord >= hi[ax])
+    misrouted = misrouted + jnp.sum(
+        lv & ((coord < lo[ax] - w) | (coord >= hi[ax] + w))
+    ).astype(jnp.int32)
+    kept = lv & ~mig_dn & ~mig_up
+    n_dn = jnp.sum(mig_dn).astype(jnp.int32)
+    n_up = jnp.sum(mig_up).astype(jnp.int32)
     n_kept = jnp.sum(kept).astype(jnp.int32)
-    mig_ovf = mig_ovf + jnp.maximum(n_kept - c_dev, 0)
-    valid_new = jnp.arange(c_dev, dtype=jnp.int32) < jnp.minimum(
-        n_kept, c_dev
+    mig_ovf = mig_ovf + jnp.maximum(n_dn - m_cap, 0) + jnp.maximum(
+        n_up - m_cap, 0
     )
-    x = jnp.stack([o0[:c_dev], o1[:c_dev], o2[:c_dev]], axis=1)
-    v = jnp.stack([o3[:c_dev], o4[:c_dev], o5[:c_dev]], axis=1)
-    pid_new = jnp.where(valid_new, otag[:c_dev], jnp.int32(-1))
+    mig_send = jnp.maximum(mig_send, jnp.maximum(n_dn, n_up))
+    cat = jnp.where(
+        mig_dn, 0, jnp.where(mig_up, 2, jnp.where(kept, 1, 3))
+    ).astype(jnp.int32)
+    # pad with m_cap dead rows so the kept/up dynamic_slices stay in bounds
+    # for any capacity combination whenever the flags are clean (sharded.py)
+    mpad = lambda r, v: jnp.concatenate(
+        [r, jnp.full((m_cap,), v, r.dtype)]
+    )
+    _, m0, m1, m2, m3, m4, m5, mtag = lax.sort(
+        (mpad(cat, 3), *[mpad(r, 0.0) for r in cr], mpad(ctag, -2)),
+        num_keys=1, is_stable=True,
+    )
+    srows = [m0, m1, m2, m3, m4, m5]
+    lane = jnp.arange(m_cap, dtype=jnp.int32)
+    mdn = jnp.stack([r[:m_cap] for r in srows], axis=1)
+    mdn_tag = mtag[:m_cap]
+    mdn_valid = lane < n_dn
+    up0 = n_dn + n_kept
+    mup = jnp.stack(
+        [lax.dynamic_slice(r, (up0,), (m_cap,)) for r in srows], axis=1
+    )
+    mup_tag = lax.dynamic_slice(mtag, (up0,), (m_cap,))
+    mup_valid = lane < n_up
 
+    in_lo = _pshift(mup, ax, perm_up)
+    in_lo_tag = _pshift(mup_tag, ax, perm_up)
+    in_lo_valid = _pshift(mup_valid, ax, perm_up)
+    in_hi = _pshift(mdn, ax, perm_dn)
+    in_hi_tag = _pshift(mdn_tag, ax, perm_dn)
+    in_hi_valid = _pshift(mdn_valid, ax, perm_dn)
+    inc = jnp.concatenate([in_lo, in_hi])
+    inc_tag = jnp.concatenate([in_lo_tag, in_hi_tag])
+    inc_valid = jnp.concatenate([in_lo_valid, in_hi_valid])
+    (inc, inc_tag), inc_valid, _, _ = _compact(
+        inc_valid, (inc, inc_tag), 2 * m_cap
+    )
+
+    o0, o1, o2, o3, o4, o5 = (
+        lax.dynamic_slice(r, (n_dn,), (c_dev,)) for r in srows
+    )
+    otag = lax.dynamic_slice(mtag, (n_dn,), (c_dev,))
+    valid_new = jnp.arange(c_dev, dtype=jnp.int32) < n_kept
+    mig_ovf = mig_ovf + jnp.maximum(n_kept - c_dev, 0)
+
+    idx = n_kept + jnp.arange(2 * m_cap, dtype=jnp.int32)
+    write = inc_valid & (idx < c_dev)
+    dev_overflow = jnp.sum(inc_valid & (idx >= c_dev)).astype(jnp.int32)
+    mig_ovf = mig_ovf + dev_overflow
+    widx = jnp.where(write, idx, c_dev)  # OOB → dropped by mode="drop"
+    put = lambda row, val: row.at[widx].set(val, mode="drop")
+    o0 = put(o0, inc[:, 0])
+    o1 = put(o1, inc[:, 1])
+    o2 = put(o2, inc[:, 2])
+    o3 = put(o3, inc[:, 3])
+    o4 = put(o4, inc[:, 4])
+    o5 = put(o5, inc[:, 5])
+    otag = put(otag, inc_tag)
+    valid_new = valid_new.at[widx].set(True, mode="drop")
+
+    x = jnp.stack([o0, o1, o2], axis=1)
+    v = jnp.stack([o3, o4, o5], axis=1)
+    pid_new = jnp.where(valid_new, otag, jnp.int32(-1))
+    scalars = (
+        ovf_w, mig_ovf, misrouted,
+        jnp.sum(valid_new).astype(jnp.int32), mig_send,
+    )
+    return x, v, valid_new, pid_new, scalars
+
+
+def _device_step3d(
+    pos, vel, valid, pid, click_cell, click_active,
+    cfg: SimConfig, mcfg: Mesh3DConfig,
+    use_pallas: bool = False, interpret: bool = False,
+    with_click: bool = True,
+):
+    """One timestep on one device's brick (runs under shard_map over AXES):
+    _device_build3d (staged halo exchange + sort) composed with
+    _device_update3d (kernels + integrate + migration + compaction),
+    counters reduced into a DistAux."""
+    (key_s, sx, sy, sz, svx, svy, svz, tag_s, halo_ovf, oob_count,
+     halo_send) = _device_build3d(pos, vel, valid, pid, cfg, mcfg)
+    (x, v, valid_new, pid_new,
+     (ovf_w, mig_ovf, misrouted, n_valid, mig_send)) = _device_update3d(
+        key_s, sx, sy, sz, svx, svy, svz, tag_s, click_cell, click_active,
+        cfg, mcfg, use_pallas, interpret, with_click=with_click,
+    )
     aux = DistAux(
         halo_overflow=lax.psum(halo_ovf, AXES),
         migration_overflow=lax.psum(mig_ovf, AXES),
         window_overflow=lax.psum(ovf_w, AXES),
         oob_count=lax.psum(oob_count, AXES),
         misrouted=lax.psum(misrouted, AXES),
-        num_particles=lax.psum(jnp.sum(valid_new).astype(jnp.int32), AXES),
+        num_particles=lax.psum(n_valid, AXES),
+        max_dev_particles=lax.pmax(n_valid, AXES),
+        max_halo_send=lax.pmax(halo_send, AXES),
+        max_migration_send=lax.pmax(mig_send, AXES),
     )
     return x, v, valid_new, pid_new, aux
 
@@ -340,6 +489,90 @@ def make_mesh3d_step(
     return step
 
 
+def make_mesh3d_timed(
+    cfg: SimConfig, mcfg: Mesh3DConfig, mesh: Mesh,
+    use_pallas: bool = False, interpret: bool = False,
+):
+    """Two-stage jitted step for the TIMED protocol on the 3-D brick mesh —
+    the reference's per-phase report (times.h:12-36) applied to the brick
+    engine, mirroring sharded.make_sharded_timed:
+
+      build(state)  -> (sorted-rows intermediate, halo_ovf, oob, halo_send)
+          — staged halo exchange + payload sort ("grid construction")
+      update(inter, ..., click_cell, click_active) -> (DistState, DistAux)
+          — kernels + integrate + click + migration ("SPH update")
+
+    Returns (build_fn, update_fn)."""
+    mcfg.validate()
+    _check_brick_widths(cfg, mcfg)
+    spec = P(AXES)
+
+    def dev_build(pos, vel, valid, pid):
+        (key_s, sx, sy, sz, svx, svy, svz, tag_s, halo_ovf, oob,
+         halo_send) = _device_build3d(pos, vel, valid, pid, cfg, mcfg)
+        return (
+            key_s, sx, sy, sz, svx, svy, svz, tag_s,
+            lax.psum(halo_ovf, AXES), lax.psum(oob, AXES),
+            lax.pmax(halo_send, AXES),
+        )
+
+    def dev_update(key_s, sx, sy, sz, svx, svy, svz, tag_s, cc, ca):
+        (x, v, valid_new, pid_new,
+         (ovf_w, mig_ovf, misrouted, n_valid, mig_send)) = _device_update3d(
+            key_s, sx, sy, sz, svx, svy, svz, tag_s, cc, ca, cfg, mcfg,
+            use_pallas, interpret,
+            # the reference's simulateAndTime runs the step minus mouse
+            # handling (simulator.cu:499-546) — same here, statically
+            with_click=False,
+        )
+        return x, v, valid_new, pid_new, (
+            lax.psum(ovf_w, AXES), lax.psum(mig_ovf, AXES),
+            lax.psum(misrouted, AXES), lax.psum(n_valid, AXES),
+            lax.pmax(n_valid, AXES), lax.pmax(mig_send, AXES),
+        )
+
+    build_sharded = shard_map(
+        dev_build, mesh=mesh,
+        in_specs=(spec,) * 4,
+        out_specs=(spec,) * 8 + (P(), P(), P()),
+        check_vma=False,
+    )
+    update_sharded = shard_map(
+        dev_update, mesh=mesh,
+        in_specs=(spec,) * 8 + (P(), P()),
+        out_specs=(spec,) * 4 + (P(),),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, compiler_options=compiler_opts(cfg))
+    def build(state: DistState):
+        out = build_sharded(
+            state.position, state.velocity, state.valid, state.pid
+        )
+        return out[:8], out[8], out[9], out[10]
+
+    @partial(jax.jit, compiler_options=compiler_opts(cfg))
+    def update(inter, halo_ovf, oob, halo_send, click_cell, click_active):
+        (x, v, valid, pid,
+         (ovf_w, mig_ovf, misrouted, n_valid, max_dev, mig_send)) = (
+            update_sharded(*inter, click_cell, click_active)
+        )
+        aux = DistAux(
+            halo_overflow=halo_ovf,
+            migration_overflow=mig_ovf,
+            window_overflow=ovf_w,
+            oob_count=oob,
+            misrouted=misrouted,
+            num_particles=n_valid,
+            max_dev_particles=max_dev,
+            max_halo_send=halo_send,
+            max_migration_send=mig_send,
+        )
+        return DistState(x, v, valid, pid), aux
+
+    return build, update
+
+
 def make_mesh3d_run(
     cfg: SimConfig, mcfg: Mesh3DConfig, mesh: Mesh, steps: int,
     use_pallas: bool = False, interpret: bool = False,
@@ -371,6 +604,9 @@ def make_mesh3d_run(
             oob_count=jnp.sum(auxs.oob_count),
             misrouted=jnp.sum(auxs.misrouted),
             num_particles=auxs.num_particles[-1],
+            max_dev_particles=jnp.max(auxs.max_dev_particles),
+            max_halo_send=jnp.max(auxs.max_halo_send),
+            max_migration_send=jnp.max(auxs.max_migration_send),
         )
         return carry[0], carry[1], carry[2], carry[3], aux
 

@@ -6,31 +6,53 @@ scaling layer the survey specifies: the 10×10×10 box is split into z-slabs
 across a 1-D `jax.sharding.Mesh`; each device owns the particles resident in
 its slab in fixed-capacity padded arrays. Per step, under `shard_map`:
 
-  1. **Halo exchange** — each device packs the particles within **2h** of its
-     slab faces and `lax.ppermute`s position+velocity to the adjacent devices
-     over ICI (the boundary reads the reference does freely through HBM,
+  1. **Local cell-key payload sort FIRST** — ONE stable `lax.sort` carries
+     the six field rows plus a pid/ownership tag with the cell keys (the
+     tuned single-chip hot path's sort). Because the flat key is z-MAJOR
+     (x + C·y + C²·z, grid.py), the 2h boundary bands are CONTIGUOUS in
+     sorted key space: the dn-send set is an exact prefix (keys below an
+     integer cell-plane threshold) and the up-send set an exact suffix
+     ending at n_valid — so the halo send buffers are SLICES of the sorted
+     array, and the separate halo category sort of the earlier design
+     disappears. (A row can sit in both windows when the slab is < 4h wide
+     — slices express that naturally, no disjointness special case.)
+  2. **Halo exchange** — each device `lax.ppermute`s the two 2h face-layer
+     slices (position+velocity+valid) to the adjacent devices over ICI (the
+     boundary reads the reference does freely through HBM,
      simulator.cu:163-185, become explicit neighbor collectives). The ghost
      layer is TWO smoothing radii deep so that every halo copy within h of
      the boundary sees ALL of its own neighbors locally (they live within 2h
      of the boundary) — its locally-computed density/pressure is exact, and
-     the round-2 "authoritative ρ/p" exchange of the earlier design
-     disappears: one collective round instead of two, and nothing downstream
-     ever needs results in pre-sort particle order. Halo rows deeper than h
+     no second "authoritative ρ/p" round is needed. Halo rows deeper than h
      get wrong densities but are never read: force targets are local rows
      only, and their sources lie within h of the boundary. Requires
      slab_width ≥ 2h (checked at step-build time).
-  2. **Physics, fields-native** — the SAME hot path as the tuned single-chip
-     engine (engine/step.py:step_pallas_fields): ONE stable payload
-     `lax.sort` carries the six field rows plus a pid/ownership tag with the
-     cell keys; the fused Pallas density+force megakernels (with the full
-     tuned-preset machinery — qrank prep, descriptor loops, streamed
-     records, slim force layout) run per device inside `shard_map`, each
-     chip on its own kernel grid. No argsort, no (N,3) gathers, no
+  3. **Combined sorted rows** — when the slab boundaries are CELL-ALIGNED
+     (C % D == 0; always true for D = 1), the lo-halo / local / hi-halo key
+     ranges are strictly disjoint (live rows are always inside their slab at
+     build time), so the combined array is assembled WITHOUT a second
+     full-width sort: one tiny sort of the 2·halo_cap received rows plus
+     three fixed-size dynamic_update_slice writes splices them around the
+     local rows in global key order. Non-aligned device counts fall back to
+     a full-width merge sort of local ∪ halo.
+  4. **Physics, fields-native** — the fused Pallas density+force megakernels
+     (with the full tuned-preset machinery — qrank prep, descriptor loops,
+     streamed records, slim force layout) run per device inside `shard_map`,
+     each chip on its own kernel grid. No argsort, no (N,3) gathers, no
      histogram starts table (rank prep makes it dead code).
-  3. **Integration + click impulse** — local targets only, in sorted order.
-  4. **Migration** — particles whose new z crossed a slab face are packed
-     (one category payload sort yields both direction buffers), `ppermute`d
-     one hop, and merged into the free tail of the kept-compacted state.
+  5. **Integration + click impulse** — local targets only, in sorted order.
+  6. **Migration + compaction, ONE sort** — rows are category-sorted
+     dn-migrants < kept < up-migrants < dead, so a single stable payload
+     sort yields BOTH direction buffers (prefix / post-kept slice) AND the
+     kept-first compacted state (the middle slice, landed at the front via
+     one dynamic_slice); arrivals scatter into the free tail at n_kept.
+     On a 1-device mesh migration is STRUCTURALLY impossible (the boundary
+     clamp keeps every position inside [h, box−h] ⊂ the only slab), and the
+     valid rows are already the sorted prefix — the whole phase is elided.
+
+Per-device full-width sorts per step: 2 for cell-aligned device counts
+(local key sort + migration/compaction sort; the round-4 design paid 4),
+3 otherwise, 1 for a single-device mesh.
 
 All buffers are fixed-capacity with overflow *detection* (never silent drop),
 matching the engine's capacity philosophy. Non-periodic edges: `ppermute`
@@ -111,6 +133,12 @@ class DistAux(NamedTuple):
     oob_count: jnp.ndarray
     misrouted: jnp.ndarray
     num_particles: jnp.ndarray  # global census (conservation check)
+    # utilization stats (pmax over devices; max over a scan chain) — the
+    # measured inputs DistSimulator.right_size uses to shrink the static
+    # slack-sized capacities to what the run actually needs
+    max_dev_particles: jnp.ndarray  # peak per-device occupancy
+    max_halo_send: jnp.ndarray  # peak per-direction halo rows
+    max_migration_send: jnp.ndarray  # peak per-direction migration rows
 
 
 def _compact(mask: jnp.ndarray, fields: tuple, cap: int):
@@ -191,101 +219,150 @@ def _slab_geometry(cfg: SimConfig, dcfg: DistConfig):
     return z_lo, z_hi, slab_w, pshift
 
 
-def _halo_buffers(x, y, z, vx, vy, vz, send_dn, send_up, h_cap: int,
-                  disjoint: bool):
-    """Pack the two 2h face layers into (h_cap, 6) send matrices. When the
-    slab is ≥ 4h wide the dn/up sets are DISJOINT, so ONE stable category
-    payload sort yields both buffers (dn rows sort to the front, up rows to
-    the back) — replacing two argsort+gather compacts with one sort.
-    Narrower slabs (< 4h, only at ≥ 25 z-devices in the reference scene)
-    fall back to the two compacts. Returns
-    (dn6, dn_valid, up6, up_valid, overflow)."""
-    n_dn = jnp.sum(send_dn).astype(jnp.int32)
-    n_up = jnp.sum(send_up).astype(jnp.int32)
-    overflow = jnp.maximum(n_dn - h_cap, 0) + jnp.maximum(n_up - h_cap, 0)
-    lane = jnp.arange(h_cap, dtype=jnp.int32)
-    if disjoint:
-        cat = jnp.where(send_dn, 0, jnp.where(send_up, 2, 1)).astype(
-            jnp.int32
-        )
-        _, hx, hy, hz, hvx, hvy, hvz = lax.sort(
-            (cat, x, y, z, vx, vy, vz), num_keys=1, is_stable=True
-        )
-        dn6 = jnp.stack(
-            [hx[:h_cap], hy[:h_cap], hz[:h_cap],
-             hvx[:h_cap], hvy[:h_cap], hvz[:h_cap]], axis=1
-        )
-        t0 = x.shape[0] - h_cap
-        up6 = jnp.stack(
-            [hx[t0:], hy[t0:], hz[t0:], hvx[t0:], hvy[t0:], hvz[t0:]],
-            axis=1,
-        )
-        dn_valid = lane < n_dn
-        up_valid = lane >= (h_cap - jnp.minimum(n_up, h_cap))
-        return dn6, dn_valid, up6, up_valid, overflow
-    (dn_rows), dn_valid, _, _ = _compact(
-        send_dn, (x, y, z, vx, vy, vz), h_cap
-    )
-    (up_rows), up_valid, _, _ = _compact(
-        send_up, (x, y, z, vx, vy, vz), h_cap
-    )
+def _aligned(cfg: SimConfig, dcfg: DistConfig) -> bool:
+    """Static: slab faces land on cell-plane edges, so the lo-halo / local /
+    hi-halo key ranges are strictly disjoint and the combined array can be
+    spliced instead of re-sorted (module docstring §3). The splice also
+    needs c_dev ≥ 2·h_cap so the local write covers the halo scratch."""
     return (
-        jnp.stack(dn_rows, axis=1), dn_valid,
-        jnp.stack(up_rows, axis=1), up_valid, overflow,
+        cfg.num_cells_per_dim % dcfg.n_devices == 0
+        and dcfg.dev_capacity >= 2 * dcfg.halo_capacity
     )
+
+
+def _band_thresholds(cfg: SimConfig, dcfg: DistConfig):
+    """Integer z-cell-plane thresholds of the 2h send bands, computed in
+    exact integer arithmetic from the device index: dn band = zcell <
+    thr_dn, up band = zcell ≥ thr_up. Supersets of the float bands
+    (z < z_lo + 2h / z ≥ z_hi − 2h); exact when slabs are cell-aligned.
+    Because the flat key is z-major, `key < thr_dn·C²` / `key ≥ thr_up·C²`
+    select CONTIGUOUS runs of the key-sorted rows."""
+    C = cfg.num_cells_per_dim
+    D = dcfg.n_devices
+    d = lax.axis_index(dcfg.axis_name)
+    thr_dn = (d * C + D - 1) // D + 2  # ceil(d·C/D) + 2
+    thr_up = ((d + 1) * C) // D - 2  # floor((d+1)·C/D) − 2
+    return thr_dn * C * C, thr_up * C * C
 
 
 def _device_build(pos, vel, valid, pid, cfg: SimConfig, dcfg: DistConfig):
-    """Phase 1 on one device's slab: 2h halo exchange + cell-key payload
-    sort — the sharded "grid construction" phase (the reference's timed
-    kernelBuildGrid bracket, simulator.cu:505-513, plus the boundary
-    collective that replaces its free HBM reads). Returns the sorted comb
-    rows + per-device (halo_overflow, oob_count) scalars (not yet psummed).
-    """
+    """Phase 1 on one device's slab: local cell-key payload sort, 2h halo
+    slice exchange, and combined-row assembly — the sharded "grid
+    construction" phase (the reference's timed kernelBuildGrid bracket,
+    simulator.cu:505-513, plus the boundary collective that replaces its
+    free HBM reads). Returns the sorted comb rows + per-device
+    (halo_overflow, oob_count, max_halo_send) scalars (not yet reduced)."""
+    c_dev = dcfg.dev_capacity
     h_cap = dcfg.halo_capacity
-    halo_w = jnp.float32(2.0 * cfg.h)  # 2h ghost layer (module docstring)
-    z_lo, z_hi, _slab_w, pshift = _slab_geometry(cfg, dcfg)
+    D = dcfg.n_devices
 
-    # ---- halo selection (2h layer) + exchange (positions, velocities),
-    # fields-native: state is sliced to 1-D rows ONCE here and never
-    # re-materialized as (N, 3) downstream
+    # ---- fields-native rows; stale/invalid slots parked at the origin:
+    # the Pallas key mask can coincidentally match sentinel-keyed rows, and
+    # only the ≥0.17 gap from any clamped-valid position makes them
+    # physically inert
     x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
     vx, vy, vz = vel[:, 0], vel[:, 1], vel[:, 2]
-    send_dn = valid & (z < z_lo + halo_w)
-    send_up = valid & (z >= z_hi - halo_w)
-    disjoint = cfg.box_dim / dcfg.n_devices >= 4 * cfg.h  # static
-    dn6, dn_valid, up6, up_valid, halo_ovf = _halo_buffers(
-        x, y, z, vx, vy, vz, send_dn, send_up, h_cap, disjoint
+    x = jnp.where(valid, x, 0.0)
+    y = jnp.where(valid, y, 0.0)
+    z = jnp.where(valid, z, 0.0)
+    # ownership tag travels with the sort: local valid rows carry their pid
+    # (≥ 0), local invalid slots −1, halo copies −2 — `tag ≥ 0` is the
+    # "live local" mask in sorted space
+    tag = jnp.where(valid, pid, jnp.int32(-1))
+    key, oob_count = compute_keys_fields(x, y, z, valid, cfg)
+    key_l, lx, ly, lz, lvx, lvy, lvz, ltag = lax.sort(
+        (key, x, y, z, vx, vy, vz, tag), num_keys=1, is_stable=True
     )
+    zero = jnp.int32(0)
+    if D == 1:
+        # single-device mesh: no slab faces exist, so there is no halo
+        # layer — the combined rows ARE the local sorted rows
+        return (key_l, lx, ly, lz, lvx, lvy, lvz, ltag, zero, oob_count,
+                zero)
+
+    # ---- halo send windows: SLICES of the key-sorted rows (module
+    # docstring §1). dn band = prefix of length n_dn; up band = the last
+    # n_up valid rows, shipped as the fixed h_cap window ending at n_valid
+    # (front-padded so the dynamic_slice never clamps; non-band lanes
+    # arrive masked invalid and are parked by the receiver).
+    k_dn, k_up = _band_thresholds(cfg, dcfg)
+    sentinel = jnp.int32(cfg.num_cells)
+    n_valid = jnp.sum(valid).astype(jnp.int32)
+    n_dn = jnp.sum(key_l < k_dn).astype(jnp.int32)
+    n_up = jnp.sum((key_l >= k_up) & (key_l < sentinel)).astype(jnp.int32)
+    halo_ovf = jnp.maximum(n_dn - h_cap, 0) + jnp.maximum(n_up - h_cap, 0)
+    lane = jnp.arange(h_cap, dtype=jnp.int32)
+    lrows = (lx, ly, lz, lvx, lvy, lvz)
+    dn6 = jnp.stack([r[:h_cap] for r in lrows], axis=1)
+    dn_valid = lane < jnp.minimum(n_dn, n_valid)
+    pad = jnp.zeros((h_cap,), jnp.float32)
+    up6 = jnp.stack(
+        [
+            lax.dynamic_slice(
+                jnp.concatenate([pad, r]), (n_valid,), (h_cap,)
+            )
+            for r in lrows
+        ],
+        axis=1,
+    )
+    up_valid = lane >= (h_cap - n_up)
+
+    # ---- exchange (the one collective round of the 2h ghost layer)
+    _z_lo, _z_hi, _slab_w, pshift = _slab_geometry(cfg, dcfg)
     lo6 = pshift(up6, True)  # halo from the device below
     lo_valid = pshift(up_valid, True)
     hi6 = pshift(dn6, False)  # halo from the device above
     hi_valid = pshift(dn_valid, False)
 
-    # ---- combined local ∪ halo rows
-    comb_valid = jnp.concatenate([valid, lo_valid, hi_valid])
-    rows = [
-        jnp.concatenate([r, lo6[:, j], hi6[:, j]])
-        for j, r in enumerate((x, y, z, vx, vy, vz))
+    # ---- received halo rows: park invalid lanes, compute their keys
+    h_valid = jnp.concatenate([lo_valid, hi_valid])
+    hrows = [
+        jnp.where(h_valid, jnp.concatenate([lo6[:, j], hi6[:, j]]), 0.0)
+        for j in range(6)
     ]
-    # stale/invalid slots must sit at the origin: the Pallas key mask can
-    # coincidentally match sentinel-keyed rows, and only the ≥0.17 gap from
-    # any clamped-valid position makes them physically inert
-    for j in range(3):
-        rows[j] = jnp.where(comb_valid, rows[j], 0.0)
-    # ownership tag travels with the sort: local valid rows carry their pid
-    # (≥ 0), local invalid slots −1, halo copies −2 — `tag ≥ 0` is the
-    # "live local" mask in sorted space
-    tag = jnp.concatenate([
-        jnp.where(valid, pid, jnp.int32(-1)),
-        jnp.full((2 * h_cap,), -2, jnp.int32),
-    ])
-    key, oob_count = compute_keys_fields(rows[0], rows[1], rows[2],
-                                         comb_valid, cfg)
-    key_s, sx, sy, sz, svx, svy, svz, tag_s = lax.sort(
-        (key, *rows, tag), num_keys=1, is_stable=True
+    hkey, _h_oob = compute_keys_fields(
+        hrows[0], hrows[1], hrows[2], h_valid, cfg
     )
-    return key_s, sx, sy, sz, svx, svy, svz, tag_s, halo_ovf, oob_count
+
+    if _aligned(cfg, dcfg):
+        # ---- SPLICE assembly (module docstring §3): live rows are always
+        # inside their slab at build time, so aligned slabs make the lo /
+        # local / hi key ranges strictly disjoint: sort just the 2·h_cap
+        # halo rows, then splice [lo_real | local | hi_real+dead | dead]
+        # with three fixed-size writes — no full-width merge sort.
+        hk_s, h0, h1, h2, h3, h4, h5 = lax.sort(
+            (hkey, *hrows), num_keys=1, is_stable=True
+        )
+        n_lo = jnp.sum(lo_valid).astype(jnp.int32)
+        htag = jnp.full((2 * h_cap,), -2, jnp.int32)
+
+        def splice(h_lane, local_lane, dead_val):
+            dead = jnp.full((c_dev,), dead_val, h_lane.dtype)
+            out = jnp.concatenate([h_lane, dead])
+            out = lax.dynamic_update_slice(out, local_lane, (n_lo,))
+            hh = lax.dynamic_slice(h_lane, (n_lo,), (h_cap,))
+            return lax.dynamic_update_slice(out, hh, (n_lo + n_valid,))
+
+        key_s = splice(hk_s, key_l, cfg.num_cells)
+        sx = splice(h0, lx, 0.0)
+        sy = splice(h1, ly, 0.0)
+        sz = splice(h2, lz, 0.0)
+        svx = splice(h3, lvx, 0.0)
+        svy = splice(h4, lvy, 0.0)
+        svz = splice(h5, lvz, 0.0)
+        tag_s = splice(htag, ltag, -2)
+    else:
+        # ---- general assembly: full-width merge sort of local ∪ halo
+        comb_key = jnp.concatenate([key_l, hkey])
+        comb = [jnp.concatenate([lr, hr]) for lr, hr in zip(lrows, hrows)]
+        tag_c = jnp.concatenate(
+            [ltag, jnp.full((2 * h_cap,), -2, jnp.int32)]
+        )
+        key_s, sx, sy, sz, svx, svy, svz, tag_s = lax.sort(
+            (comb_key, *comb, tag_c), num_keys=1, is_stable=True
+        )
+    return (key_s, sx, sy, sz, svx, svy, svz, tag_s, halo_ovf, oob_count,
+            jnp.maximum(n_dn, n_up))
 
 
 def _device_update(
@@ -297,7 +374,7 @@ def _device_update(
     integration + click impulse + migration + state repacking (the sharded
     "SPH update" phase). Consumes _device_build's sorted rows; returns
     (x, v, valid_new, pid_new, (window_ovf, migration_ovf, misrouted,
-    n_valid)) with the scalars not yet psummed."""
+    n_valid, max_mig_send)) with the scalars not yet reduced."""
     c_dev = dcfg.dev_capacity
     m_cap = dcfg.migration_capacity
     z_lo, z_hi, slab_w, pshift = _slab_geometry(cfg, dcfg)
@@ -335,9 +412,25 @@ def _device_update(
         nvy = nvy + ky * ca
         nvz = nvz + kz * ca
 
-    # ---- 5. migration of slab-crossers (one hop). A particle cannot cross
-    # both faces, so ONE stable category sort packs both direction buffers:
-    # dn-senders to the front, up-senders to the back.
+    if dcfg.n_devices == 1:
+        # ---- single-device mesh: the integrate clamp keeps every position
+        # inside [h, box−h] ⊂ the only slab, so migration is STRUCTURALLY
+        # impossible, and the live rows are already the sorted prefix (the
+        # build sort puts sentinel-keyed invalid rows last) — no
+        # migration/compaction sort at all (module docstring §6)
+        x = jnp.stack([nx, ny, nz], axis=1)
+        v = jnp.stack([nvx, nvy, nvz], axis=1)
+        pid_new = jnp.where(live, tag_s, jnp.int32(-1))
+        n_valid = jnp.sum(live).astype(jnp.int32)
+        zero = jnp.int32(0)
+        return x, v, live, pid_new, (ovf_w, zero, zero, n_valid, zero)
+
+    # ---- 5+6. migration of slab-crossers (one hop) + kept-first state
+    # repacking, via ONE stable category sort: dn-migrants < kept <
+    # up-migrants < dead, so the sorted array IS both direction buffers
+    # (prefix / post-kept slice) and the compacted state (the middle block,
+    # landed at the front by one dynamic_slice). A particle cannot cross
+    # both faces.
     mig_dn = live & (nz < z_lo)
     mig_up = live & (nz >= z_hi)
     misrouted = jnp.sum(
@@ -346,27 +439,36 @@ def _device_update(
     kept = live & ~mig_dn & ~mig_up
     n_dn = jnp.sum(mig_dn).astype(jnp.int32)
     n_up = jnp.sum(mig_up).astype(jnp.int32)
+    n_kept = jnp.sum(kept).astype(jnp.int32)
     ovf_mdn = jnp.maximum(n_dn - m_cap, 0)
     ovf_mup = jnp.maximum(n_up - m_cap, 0)
 
-    cat = jnp.where(mig_dn, 0, jnp.where(mig_up, 2, 1)).astype(jnp.int32)
+    cat = jnp.where(
+        mig_dn, 0, jnp.where(mig_up, 2, jnp.where(kept, 1, 3))
+    ).astype(jnp.int32)
+    # pad the sort with m_cap dead rows so the kept/up dynamic_slices below
+    # stay in bounds for ANY capacity combination whenever the overflow
+    # flags are clean (n_dn ≤ m_cap ⇒ kept fits; n_dn + n_kept ≤ c_dev ⇒
+    # up fits) — cheaper than constraining m_cap against h_cap
+    mpad = lambda r, v: jnp.concatenate(
+        [r, jnp.full((m_cap,), v, r.dtype)]
+    )
     _, mx, my, mz, mvx, mvy, mvz, mtag = lax.sort(
-        (cat, nx, ny, nz, nvx, nvy, nvz, tag_s), num_keys=1, is_stable=True
+        (mpad(cat, 3), mpad(nx, 0.0), mpad(ny, 0.0), mpad(nz, 0.0),
+         mpad(nvx, 0.0), mpad(nvy, 0.0), mpad(nvz, 0.0), mpad(tag_s, -2)),
+        num_keys=1, is_stable=True,
     )
+    srows = (mx, my, mz, mvx, mvy, mvz)
     lane = jnp.arange(m_cap, dtype=jnp.int32)
-    mdn = jnp.stack(
-        [mx[:m_cap], my[:m_cap], mz[:m_cap],
-         mvx[:m_cap], mvy[:m_cap], mvz[:m_cap]], axis=1
-    )
+    mdn = jnp.stack([r[:m_cap] for r in srows], axis=1)
     mdn_tag = mtag[:m_cap]
     mdn_valid = lane < n_dn
-    ncomb = nx.shape[0]
-    t0 = ncomb - m_cap
+    up0 = n_dn + n_kept
     mup = jnp.stack(
-        [mx[t0:], my[t0:], mz[t0:], mvx[t0:], mvy[t0:], mvz[t0:]], axis=1
+        [lax.dynamic_slice(r, (up0,), (m_cap,)) for r in srows], axis=1
     )
-    mup_tag = mtag[t0:]
-    mup_valid = lane >= (m_cap - jnp.minimum(n_up, m_cap))
+    mup_tag = lax.dynamic_slice(mtag, (up0,), (m_cap,))
+    mup_valid = lane < n_up
 
     in_lo = pshift(mup, True)  # arrivals from below
     in_lo_tag = pshift(mup_tag, True)
@@ -383,16 +485,11 @@ def _device_update(
         inc_valid, (inc, inc_tag), 2 * m_cap
     )
 
-    # ---- 6. new local state: kept rows compacted to the front (one stable
-    # payload sort), arrivals scattered into the free tail at n_kept
-    skey = jnp.where(kept, 0, 1).astype(jnp.int32)
-    _, ox, oy, oz, ovx, ovy, ovz, otag = lax.sort(
-        (skey, nx, ny, nz, nvx, nvy, nvz, tag_s), num_keys=1, is_stable=True
+    # kept block → front c_dev slots; arrivals scatter into the free tail
+    ox, oy, oz, ovx, ovy, ovz = (
+        lax.dynamic_slice(r, (n_dn,), (c_dev,)) for r in srows
     )
-    ox, oy, oz = ox[:c_dev], oy[:c_dev], oz[:c_dev]
-    ovx, ovy, ovz = ovx[:c_dev], ovy[:c_dev], ovz[:c_dev]
-    otag = otag[:c_dev]
-    n_kept = jnp.sum(kept).astype(jnp.int32)
+    otag = lax.dynamic_slice(mtag, (n_dn,), (c_dev,))
     valid_new = jnp.arange(c_dev, dtype=jnp.int32) < n_kept
 
     idx = n_kept + jnp.arange(2 * m_cap, dtype=jnp.int32)
@@ -418,6 +515,7 @@ def _device_update(
         ovf_mdn + ovf_mup + dev_overflow,
         misrouted,
         jnp.sum(valid_new).astype(jnp.int32),
+        jnp.maximum(n_dn, n_up),
     )
     return x, v, valid_new, pid_new, scalars
 
@@ -431,15 +529,13 @@ def _device_step(
     _device_build (halo exchange + sort) composed with _device_update
     (kernels + integrate + migration), counters psummed into a DistAux."""
     ax = dcfg.axis_name
-    key_s, sx, sy, sz, svx, svy, svz, tag_s, halo_ovf, oob = _device_build(
-        pos, vel, valid, pid, cfg, dcfg
-    )
-    x, v, valid_new, pid_new, (ovf_w, mig_ovf, misrouted, n_valid) = (
-        _device_update(
-            key_s, sx, sy, sz, svx, svy, svz, tag_s, click_cell,
-            click_active, cfg, dcfg, use_pallas, interpret,
-            with_click=with_click,
-        )
+    (key_s, sx, sy, sz, svx, svy, svz, tag_s, halo_ovf, oob,
+     halo_send) = _device_build(pos, vel, valid, pid, cfg, dcfg)
+    (x, v, valid_new, pid_new,
+     (ovf_w, mig_ovf, misrouted, n_valid, mig_send)) = _device_update(
+        key_s, sx, sy, sz, svx, svy, svz, tag_s, click_cell,
+        click_active, cfg, dcfg, use_pallas, interpret,
+        with_click=with_click,
     )
     aux = DistAux(
         halo_overflow=lax.psum(halo_ovf, ax),
@@ -448,6 +544,9 @@ def _device_step(
         oob_count=lax.psum(oob, ax),
         misrouted=lax.psum(misrouted, ax),
         num_particles=lax.psum(n_valid, ax),
+        max_dev_particles=lax.pmax(n_valid, ax),
+        max_halo_send=lax.pmax(halo_send, ax),
+        max_migration_send=lax.pmax(mig_send, ax),
     )
     return x, v, valid_new, pid_new, aux
 
@@ -527,33 +626,33 @@ def make_sharded_timed(
     spec = P(ax)
 
     def dev_build(pos, vel, valid, pid):
-        key_s, sx, sy, sz, svx, svy, svz, tag_s, halo_ovf, oob = (
-            _device_build(pos, vel, valid, pid, cfg, dcfg)
-        )
+        (key_s, sx, sy, sz, svx, svy, svz, tag_s, halo_ovf, oob,
+         halo_send) = _device_build(pos, vel, valid, pid, cfg, dcfg)
         return (
             key_s, sx, sy, sz, svx, svy, svz, tag_s,
             lax.psum(halo_ovf, ax), lax.psum(oob, ax),
+            lax.pmax(halo_send, ax),
         )
 
     def dev_update(key_s, sx, sy, sz, svx, svy, svz, tag_s, cc, ca):
-        x, v, valid_new, pid_new, (ovf_w, mig_ovf, misrouted, n_valid) = (
-            _device_update(
-                key_s, sx, sy, sz, svx, svy, svz, tag_s, cc, ca, cfg, dcfg,
-                use_pallas, interpret,
-                # the reference's simulateAndTime runs the step minus mouse
-                # handling (simulator.cu:499-546) — same here, statically
-                with_click=False,
-            )
+        (x, v, valid_new, pid_new,
+         (ovf_w, mig_ovf, misrouted, n_valid, mig_send)) = _device_update(
+            key_s, sx, sy, sz, svx, svy, svz, tag_s, cc, ca, cfg, dcfg,
+            use_pallas, interpret,
+            # the reference's simulateAndTime runs the step minus mouse
+            # handling (simulator.cu:499-546) — same here, statically
+            with_click=False,
         )
         return x, v, valid_new, pid_new, (
             lax.psum(ovf_w, ax), lax.psum(mig_ovf, ax),
             lax.psum(misrouted, ax), lax.psum(n_valid, ax),
+            lax.pmax(n_valid, ax), lax.pmax(mig_send, ax),
         )
 
     build_sharded = shard_map(
         dev_build, mesh=mesh,
         in_specs=(spec,) * 4,
-        out_specs=(spec,) * 8 + (P(), P()),
+        out_specs=(spec,) * 8 + (P(), P(), P()),
         check_vma=False,
     )
     update_sharded = shard_map(
@@ -568,11 +667,12 @@ def make_sharded_timed(
         out = build_sharded(
             state.position, state.velocity, state.valid, state.pid
         )
-        return out[:8], out[8], out[9]
+        return out[:8], out[8], out[9], out[10]
 
     @partial(jax.jit, compiler_options=compiler_opts(cfg))
-    def update(inter, halo_ovf, oob, click_cell, click_active):
-        x, v, valid, pid, (ovf_w, mig_ovf, misrouted, n_valid) = (
+    def update(inter, halo_ovf, oob, halo_send, click_cell, click_active):
+        (x, v, valid, pid,
+         (ovf_w, mig_ovf, misrouted, n_valid, max_dev, mig_send)) = (
             update_sharded(*inter, click_cell, click_active)
         )
         aux = DistAux(
@@ -582,6 +682,9 @@ def make_sharded_timed(
             oob_count=oob,
             misrouted=misrouted,
             num_particles=n_valid,
+            max_dev_particles=max_dev,
+            max_halo_send=halo_send,
+            max_migration_send=mig_send,
         )
         return DistState(x, v, valid, pid), aux
 
@@ -623,6 +726,9 @@ def make_sharded_run(
             oob_count=jnp.sum(auxs.oob_count),
             misrouted=jnp.sum(auxs.misrouted),
             num_particles=auxs.num_particles[-1],
+            max_dev_particles=jnp.max(auxs.max_dev_particles),
+            max_halo_send=jnp.max(auxs.max_halo_send),
+            max_migration_send=jnp.max(auxs.max_migration_send),
         )
         return carry[0], carry[1], carry[2], carry[3], aux
 

@@ -142,12 +142,18 @@ class DistSimulator:
             )
 
     def setup(self, state: FluidState | None = None) -> None:
-        """Distribute initial (or checkpoint-restored) state onto the mesh."""
+        """Distribute initial (or checkpoint-restored) state onto the mesh.
+        If the initial distribution is more clustered than the uniform-share
+        capacity heuristic assumed (e.g. the grid-init lattice fills one
+        corner of the box, reference simulator.cu:438-453), dev_capacity is
+        grown up-front to fit the measured per-device occupancy — the same
+        measure-don't-guess policy as right_size, applied at t=0."""
         host_state = (
             state
             if state is not None
             else init_state(self.cfg, self.random_init, self.seed)
         )
+        self._fit_initial_capacity(host_state)
         if self.mesh_shape is None:
             self.state = distribute_state(
                 host_state, self.cfg, self.dcfg, self.mesh
@@ -157,6 +163,50 @@ class DistSimulator:
 
             self.state = distribute_state_3d(
                 host_state, self.cfg, self.dcfg, self.mesh
+            )
+
+    def _fit_initial_capacity(self, host_state: FluidState) -> None:
+        """Grow dev_capacity (×2 steps) until the host state's most-loaded
+        device fits, rebuilding the step on change. Host-side arithmetic
+        only — mirrors distribute_state's owner assignment."""
+        import dataclasses
+
+        pos = np.asarray(host_state.position)
+        valid = np.asarray(host_state.valid)
+        if self.mesh_shape is None:
+            d = self.dcfg.n_devices
+            slab_w = self.cfg.box_dim / d
+            owner = np.clip(
+                (pos[:, 2] / slab_w).astype(np.int64), 0, d - 1
+            )[valid]
+            n_dev = d
+        else:
+            mz, my, mx = self.mesh_shape
+
+            def own(col, m):
+                w = self.cfg.box_dim / m
+                return np.clip((pos[:, col] / w).astype(np.int64), 0, m - 1)
+
+            owner = ((own(2, mz) * my + own(1, my)) * mx + own(0, mx))[valid]
+            n_dev = mz * my * mx
+        peak = int(np.bincount(owner, minlength=n_dev).max())
+        cap = self.dcfg.dev_capacity
+        if peak <= cap:
+            return
+        while cap < peak:
+            cap *= 2
+        self.dcfg = dataclasses.replace(self.dcfg, dev_capacity=cap)
+        self._timed = None
+        self._runners.clear()
+        if self.mesh_shape is None:
+            self._step = make_sharded_step(
+                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
+            )
+        else:
+            from tpusph.dist.mesh3d import make_mesh3d_step
+
+            self._step = make_mesh3d_step(
+                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
             )
 
     def simulate(self, click: tuple[int, int] | None = None) -> None:
@@ -293,39 +343,39 @@ class DistSimulator:
           data transfer    = sharded→host position collect.
         Each phase is fenced with block_until_ready + a small device_get
         (block alone does not sync through the axon relay). Overflow-retry
-        seconds are rolled back like the single-chip engine's. The 3-D
-        brick mesh keeps whole-step timing (its step isn't phase-split)."""
+        seconds are rolled back like the single-chip engine's. Both the 1-D
+        slab mesh and the 3-D brick mesh run the phase-split path."""
         assert self.state is not None
-        if self.mesh_shape is not None:
-            t0 = time.perf_counter()
-            self.simulate()
-            t1 = time.perf_counter()
-            times.sph_update += t1 - t0
-            pos = self.get_position()
-            times.memcpy += time.perf_counter() - t1
-            del pos
-            times.iters += 1
-            return
-
         build0, update0, memcpy0 = (
             times.build_grid, times.sph_update, times.memcpy
         )
         if self._timed is None:
-            self._timed = make_sharded_timed(
-                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
-            )
+            if self.mesh_shape is None:
+                self._timed = make_sharded_timed(
+                    self.cfg, self.dcfg, self.mesh,
+                    use_pallas=self.use_pallas,
+                )
+            else:
+                from tpusph.dist.mesh3d import make_mesh3d_timed
+
+                self._timed = make_mesh3d_timed(
+                    self.cfg, self.dcfg, self.mesh,
+                    use_pallas=self.use_pallas,
+                )
         build_fn, update_fn = self._timed
         cell = np.zeros((2,), np.int32)
         inactive = np.zeros((), bool)
 
         t0 = time.perf_counter()
-        inter, halo_ovf, oob = build_fn(self.state)
+        inter, halo_ovf, oob, halo_send = build_fn(self.state)
         jax.block_until_ready(inter)
         jax.device_get(halo_ovf)
         t1 = time.perf_counter()
         times.build_grid += t1 - t0
 
-        new_state, aux = update_fn(inter, halo_ovf, oob, cell, inactive)
+        new_state, aux = update_fn(
+            inter, halo_ovf, oob, halo_send, cell, inactive
+        )
         jax.block_until_ready(new_state)
         aux_host = jax.device_get(aux)
         t2 = time.perf_counter()
@@ -358,6 +408,70 @@ class DistSimulator:
         del pos
         times.memcpy += time.perf_counter() - t2
         times.iters += 1
+
+    def right_size(
+        self,
+        warmup_steps: int = 10,
+        margin: float = 1.3,
+        restore: bool = True,
+    ) -> None:
+        """Measure-then-right-size the per-device capacities (the same
+        philosophy as the single-chip engine's measured capacity presets):
+        run `warmup_steps` on the current slack-sized capacities, read the
+        peak per-device occupancy / halo rows / migration rows from the aux
+        utilization stats, and rebuild the engine with capacities at the
+        measured peaks × `margin` (rounded up to 256, never grown past the
+        current values). Oversized static slack costs real sort width every
+        step — the default slack=2.0 pays ~25% in sentinel-row sorts vs a
+        hand-tuned 1.25 — so this replaces the guess with a measurement.
+        Overflow detection still guards any later under-estimate (capacity
+        growth re-traces). restore=True re-distributes the pre-warmup state
+        so a timed run still measures the original trajectory."""
+        assert self.state is not None, "call setup() first"
+        host0 = self.to_host_state() if restore else None
+        self.run(warmup_steps)
+        aux = self.last_aux
+        rnd = lambda x: max(256, -(-int(x) // 256) * 256)
+        dev = min(
+            rnd(int(aux.max_dev_particles) * margin), self.dcfg.dev_capacity
+        )
+        halo = rnd(max(int(aux.max_halo_send), 1) * margin)
+        mig = rnd(max(int(aux.max_migration_send), 1) * margin)
+        if self.mesh_shape is None:
+            halo = min(halo, self.dcfg.halo_capacity)
+            mig = min(mig, self.dcfg.migration_capacity)
+            self.dcfg = DistConfig(
+                n_devices=self.dcfg.n_devices,
+                dev_capacity=dev,
+                halo_capacity=halo,
+                migration_capacity=mig,
+            )
+        else:
+            from tpusph.dist.mesh3d import Mesh3DConfig
+
+            self.dcfg = Mesh3DConfig(
+                mesh_shape=self.dcfg.mesh_shape,
+                dev_capacity=dev,
+                halo_capacity=tuple(
+                    min(halo, c) for c in self.dcfg.halo_capacity
+                ),
+                migration_capacity=tuple(
+                    min(mig, c) for c in self.dcfg.migration_capacity
+                ),
+            )
+        self._timed = None
+        self._runners.clear()
+        if self.mesh_shape is None:
+            self._step = make_sharded_step(
+                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
+            )
+        else:
+            from tpusph.dist.mesh3d import make_mesh3d_step
+
+            self._step = make_mesh3d_step(
+                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
+            )
+        self.setup(host0 if restore else self.to_host_state())
 
     def to_host_state(self) -> FluidState:
         """Collect the sharded state into a single-chip FluidState on host —
