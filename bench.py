@@ -382,8 +382,19 @@ def main_dist() -> None:
         right_sized=right_sized,
         slack=(float(slack_env) if slack_env else None),
     )
+    # the full-machinery diagnostic run (TPUSPH_DIST_FULL_MACHINERY=1 —
+    # mesh-1 with the degenerate-mesh elisions disabled) gets its own
+    # artifact so it never shadows the production number
+    name = (
+        "DIST_BENCH_FULL.json"
+        if os.environ.get("TPUSPH_DIST_FULL_MACHINERY") == "1"
+        else "DIST_BENCH.json"
+    )
+    artifact["full_machinery"] = (
+        os.environ.get("TPUSPH_DIST_FULL_MACHINERY") == "1"
+    )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "DIST_BENCH.json"), "w") as f:
+                           name), "w") as f:
         json.dump(artifact, f, indent=1)
 
 

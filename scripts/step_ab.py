@@ -168,6 +168,16 @@ VARIANTS = {
     # selfless force guard: cmp + 2 selects out of the pair math (the
     # self-pair cancels algebraically; see config.pallas_force_selfless)
     "sfl": {"pallas_force_selfless": True},
+    # 4M round-5 probes: every geometry axis is measured-negative there, so
+    # the remaining levers are per-block body cost (fs8: hpt=16 halves the
+    # live force carry — the kernel is "both op-bound and VREG-bound") and
+    # unroll padding (fu1: u2 pads odd block counts, ~+0.5 block/sub of the
+    # 15.15 scanned; u1 drops the pad at the cost of loop entry overhead,
+    # which 15-block subs amortize better than 262k's 3-block subs)
+    "fu1": {"pallas_desc_unroll_force": 1},
+    "fs8nq": {"pallas_force_split_factor": 8},
+    "fs8fu1": {"pallas_force_split_factor": 8,
+               "pallas_desc_unroll_force": 1},
 }
 
 

@@ -219,6 +219,21 @@ def _slab_geometry(cfg: SimConfig, dcfg: DistConfig):
     return z_lo, z_hi, slab_w, pshift
 
 
+def _elide_single(dcfg: DistConfig) -> bool:
+    """A 1-device mesh has no slab faces: halo and migration are
+    structurally absent and normally elided. TPUSPH_DIST_FULL_MACHINERY=1
+    keeps the full multi-device code path (dead halo buffers, the
+    migration/compaction sort) so a 1-chip host can measure the per-device
+    overhead a middle device of a real mesh would pay (minus ppermute
+    latency) — a benchmark-honesty knob, not a production mode."""
+    import os
+
+    return (
+        dcfg.n_devices == 1
+        and os.environ.get("TPUSPH_DIST_FULL_MACHINERY") != "1"
+    )
+
+
 def _aligned(cfg: SimConfig, dcfg: DistConfig) -> bool:
     """Static: slab faces land on cell-plane edges, so the lo-halo / local /
     hi-halo key ranges are strictly disjoint and the combined array can be
@@ -274,7 +289,7 @@ def _device_build(pos, vel, valid, pid, cfg: SimConfig, dcfg: DistConfig):
         (key, x, y, z, vx, vy, vz, tag), num_keys=1, is_stable=True
     )
     zero = jnp.int32(0)
-    if D == 1:
+    if _elide_single(dcfg):
         # single-device mesh: no slab faces exist, so there is no halo
         # layer — the combined rows ARE the local sorted rows
         return (key_l, lx, ly, lz, lvx, lvy, lvz, ltag, zero, oob_count,
@@ -412,7 +427,7 @@ def _device_update(
         nvy = nvy + ky * ca
         nvz = nvz + kz * ca
 
-    if dcfg.n_devices == 1:
+    if _elide_single(dcfg):
         # ---- single-device mesh: the integrate clamp keeps every position
         # inside [h, box−h] ⊂ the only slab, so migration is STRUCTURALLY
         # impossible, and the live rows are already the sorted prefix (the

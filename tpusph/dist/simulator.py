@@ -432,8 +432,18 @@ class DistSimulator:
         self.run(warmup_steps)
         aux = self.last_aux
         rnd = lambda x: max(256, -(-int(x) // 256) * 256)
+        # a 1-device mesh cannot migrate (the boundary clamp keeps every
+        # position inside the only slab), so occupancy is structurally
+        # static — size it exactly; any headroom is pure dead-row sort and
+        # kernel-tile width
+        n_dev_total = (
+            self.dcfg.n_devices if self.mesh_shape is None
+            else int(np.prod(self.mesh_shape))
+        )
+        dev_margin = 1.0 if n_dev_total == 1 else margin
         dev = min(
-            rnd(int(aux.max_dev_particles) * margin), self.dcfg.dev_capacity
+            rnd(int(aux.max_dev_particles) * dev_margin),
+            self.dcfg.dev_capacity,
         )
         halo = rnd(max(int(aux.max_halo_send), 1) * margin)
         mig = rnd(max(int(aux.max_migration_send), 1) * margin)
