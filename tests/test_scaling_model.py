@@ -1,0 +1,78 @@
+"""Scaling-projection model (scripts/scaling_model.py, SCALING.md): the
+model must run from the checked-in scaling/ artifacts alone (no TPU), its
+measured machinery-tax fit must stay physical, and its wire-byte accounting
+must agree with the multislice helper the step's ppermute shapes are tested
+against (tests/test_multislice.py) — so the projection can't silently drift
+from the implementation."""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_model():
+    spec = importlib.util.spec_from_file_location(
+        "scaling_model", os.path.join(ROOT, "scripts", "scaling_model.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def model():
+    return _load_model()
+
+
+def test_tax_fit_is_physical(model):
+    tax, pts, p = model.machinery_tax_fit()
+    # both measured points positive, near-linear growth in occupancy
+    assert all(t > 0 for _, t in pts)
+    assert 0.8 < p < 1.5
+    # fit reproduces the measured points
+    for n, t in pts:
+        assert abs(tax(n) - t) < 1e-6
+    # monotone in occupancy
+    assert tax(2_000_000) > tax(500_000) > tax(50_000) > 0
+
+
+def test_projection_shape(model):
+    tax, _, _ = model.machinery_tax_fit()
+    tbl = model.project(262_144, tax)
+    rows = {r["d"]: r for r in tbl["rows"]}
+    assert set(rows) == {1, 2, 4, 8}
+    # throughput strictly improves with D; efficiency never exceeds 1
+    last = 0.0
+    for d in (1, 2, 4, 8):
+        r = rows[d]
+        assert r["steps_per_sec"] > last
+        last = r["steps_per_sec"]
+        assert 0.0 < r["efficiency"] <= 1.0
+        assert r["ms_per_step"] > 0
+    # D=1 is the measured single-chip tier, exactly
+    assert rows[1]["ms_per_step"] == round(model.TIER_MS[262_144], 2)
+
+
+def test_wire_bytes_match_multislice_helper(model):
+    from tpusph.dist.multislice import halo_bytes_per_boundary
+
+    tax, _, _ = model.machinery_tax_fit()
+    tbl = model.project(262_144, tax)
+    for r in tbl["rows"]:
+        if r["d"] == 1:
+            continue
+        assert r["wire_bytes"] == halo_bytes_per_boundary(
+            r["halo_cap"], r["mig_cap"]
+        )
+
+
+def test_tax_inputs_are_parity_gated():
+    for n in (262_144, 1_048_576):
+        with open(os.path.join(ROOT, "scaling", f"DIST_FULL_n{n}.json")) as f:
+            art = json.load(f)
+        assert art["parity"] == "pass"
+        assert art["full_machinery"] is True
