@@ -25,9 +25,14 @@ step time from quantities that ARE measurable here, each with provenance:
     single-chip step (TPUSPH_DIST_FULL_MACHINERY=1 disables the
     degenerate-mesh elisions: dead halo buffers and the migration sort run
     exactly as on a middle device of a real mesh, minus only the ppermute
-    itself). Two measured points (262k, 1M occupancy) fit a power law
-    tax(n) = tax_1M * (n / 1M)^p; capacities enter at the right-sized
-    margin (DistSimulator.right_size: census max * 1.3).
+    itself). TWO variants, each fit as a power law through its (262k, 1M)
+    measured points: the always-sort tax (TPUSPH_DIST_FORCE_MIGSORT=1 —
+    every step pays the category sort) and the production tax, where
+    migration-free steps skip that sort via lax.cond (dist/sharded.py §6).
+    The projection charges the former on the census-measured fraction of
+    checkpoints with slab-crossers and the latter on the rest; capacities
+    enter at the right-sized margin (DistSimulator.right_size: census
+    max * 1.3).
   * t_ici: ppermute sends the full fixed-capacity buffers (halo rows
     25 B, migration rows 29 B — tpusph/dist/multislice.py, checked against
     the step's operand shapes by tests/test_multislice.py) over one ICI
@@ -74,11 +79,18 @@ def _load(name):
         return json.load(f)
 
 
-def machinery_tax_fit():
-    """Power-law tax(n) through the two measured full-machinery points."""
+def machinery_tax_fit(kind="FULL"):
+    """Power-law tax(n) through the two measured full-machinery points.
+
+    kind="FULL": always-sort machinery (TPUSPH_DIST_FORCE_MIGSORT
+    semantics — the migration/compaction category sort runs every step);
+    kind="FULL_SKIP": the production path, where migration-free steps skip
+    that sort via lax.cond (dist/sharded.py §6). The projection charges
+    FULL on the census-measured fraction of migrating steps and FULL_SKIP
+    on the rest."""
     pts = []
     for n in (262_144, 1_048_576):
-        full = _load(f"DIST_FULL_n{n}.json")
+        full = _load(f"DIST_{kind}_n{n}.json")
         assert full["full_machinery"] and full["parity"] == "pass"
         t_full = 1000.0 / full["value"]
         pts.append((n, t_full - TIER_MS[n]))
@@ -89,7 +101,9 @@ def machinery_tax_fit():
 
 
 def census_stats(n):
-    """Trajectory-max imbalance / halo / migration per D from the census."""
+    """Trajectory-max imbalance / halo / migration per D from the census,
+    plus the fraction of checkpoints where ANY device migrates rows (the
+    weight between the always-sort and sort-skipped machinery taxes)."""
     c = _load(f"census_n{n}.json")
     out = {}
     for d in (2, 4, 8):
@@ -98,11 +112,13 @@ def census_stats(n):
             "lambda": max(r["imbalance"] for r in rows),
             "halo_rows": max(r["max_halo_send"] for r in rows),
             "mig_rows": max(r["max_migration"] for r in rows),
+            "mig_frac": sum(r["max_migration"] > 0 for r in rows)
+            / len(rows),
         }
     return out, c
 
 
-def project(n, tax):
+def project(n, tax_force, tax_skip):
     """Strong-scaling rows for global N over D in {1,2,4,8}."""
     stats, census = census_stats(n)
     t1 = TIER_MS[n]
@@ -131,7 +147,13 @@ def project(n, tax):
             PPERMUTES_PER_STEP * ICI_COLLECTIVE_LATENCY_S
             + wire_bytes / ICI_BYTES_PER_S
         ) * 1000.0
-        t_tax = tax(n_dev * RIGHT_SIZE_MARGIN)
+        # migration-weighted machinery: the census-measured fraction of
+        # checkpoints with slab-crossers pays the category sort; the rest
+        # take the lax.cond skip (dist/sharded.py §6). Charged at the
+        # right-sized occupancy.
+        f = s["mig_frac"]
+        occ = n_dev * RIGHT_SIZE_MARGIN
+        t_tax = f * tax_force(occ) + (1.0 - f) * tax_skip(occ)
         t = t1 * lam / d + t_tax + t_ici
         rows.append(
             {
@@ -142,6 +164,7 @@ def project(n, tax):
                 "efficiency": round(t1 / t / d, 3),
                 "lambda": round(lam, 3),
                 "tax_ms": round(t_tax, 2),
+                "mig_frac": round(f, 2),
                 "ici_us": round(t_ici * 1000.0, 1),
                 "halo_cap": halo_cap,
                 "mig_cap": mig_cap,
@@ -152,17 +175,22 @@ def project(n, tax):
 
 
 def main() -> None:
-    tax, pts, p = machinery_tax_fit()
+    tax_force, pts_f, p_f = machinery_tax_fit("FULL")
+    tax_skip, pts_s, p_s = machinery_tax_fit("FULL_SKIP")
     print(
-        "machinery tax (measured, full-machinery mesh-1 minus single-chip): "
-        + ", ".join(f"{n}: {t:.2f} ms" for n, t in pts)
-        + f"  -> tax(n) ~ n^{p:.2f}"
+        "machinery tax (measured, full-machinery mesh-1 minus single-chip):"
+        "\n  always-sort: "
+        + ", ".join(f"{n}: {t:.2f} ms" for n, t in pts_f)
+        + f"  -> ~ n^{p_f:.2f}"
+        + "\n  sort-skipped (migration-free steps): "
+        + ", ".join(f"{n}: {t:.2f} ms" for n, t in pts_s)
+        + f"  -> ~ n^{p_s:.2f}"
     )
     tables = []
     for n in sorted(TIER_MS):
         if not os.path.exists(os.path.join(SCALING, f"census_n{n}.json")):
             continue
-        tbl = project(n, tax)
+        tbl = project(n, tax_force, tax_skip)
         tables.append(tbl)
         print(f"\nN = {n:,} (strong scaling, census init={tbl['census_init']}):")
         print("  D   ms/step  steps/s  speedup  eff    lambda  tax_ms  ici_us")
@@ -173,9 +201,12 @@ def main() -> None:
                 f"  {r['lambda']:6.3f}  {r['tax_ms']:6.2f}  {r['ici_us']:6.1f}"
             )
     out = {
-        "model": "t = t_tier(N)*lambda/D + tax(n_dev*margin) + t_ici",
-        "tax_points_ms": {str(n): round(t, 3) for n, t in pts},
-        "tax_exponent": round(p, 3),
+        "model": "t = t_tier(N)*lambda/D"
+        " + mig_frac-weighted tax(n_dev*margin) + t_ici",
+        "tax_points_ms": {str(n): round(t, 3) for n, t in pts_f},
+        "tax_skip_points_ms": {str(n): round(t, 3) for n, t in pts_s},
+        "tax_exponent": round(p_f, 3),
+        "tax_skip_exponent": round(p_s, 3),
         "ici_assumption": {
             "bytes_per_s_per_link_per_dir": ICI_BYTES_PER_S,
             "collective_latency_s": ICI_COLLECTIVE_LATENCY_S,

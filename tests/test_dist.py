@@ -119,6 +119,50 @@ def test_migration_happens(setup, eight_devices):
     )
 
 
+def test_migration_skip_matches_forced_sort(setup, eight_devices, monkeypatch):
+    """On cell-aligned meshes, migration-free steps skip the category sort
+    via lax.cond (dist/sharded.py §6). The skip must be bit-exact against
+    the always-sort path on collected (valid) state, both with zero
+    migration traffic and with real slab-crossers (where some devices take
+    the sort branch and others the skip branch in the same step)."""
+    cfg, st = setup
+
+    # z drift so slab-crossers exist (as in test_migration_happens)
+    vel = np.zeros((st.num_slots, 3), np.float32)
+    vel[:, 2] = np.where(np.arange(st.num_slots) % 2 == 0, 3.0, -3.0)
+    drifting = st._replace(velocity=np.asarray(vel))
+
+    def run(state, n_dev, steps, force_sort):
+        if force_sort:
+            monkeypatch.setenv("TPUSPH_DIST_FORCE_MIGSORT", "1")
+        else:
+            monkeypatch.delenv("TPUSPH_DIST_FORCE_MIGSORT", raising=False)
+        mesh = _mesh(eight_devices, n_dev)
+        dcfg = DistConfig(
+            n_devices=n_dev, dev_capacity=512, halo_capacity=256,
+            migration_capacity=128,
+        )
+        dstate = distribute_state(state, cfg, dcfg, mesh)
+        step = make_sharded_step(cfg, dcfg, mesh)
+        mig_seen = 0
+        for _ in range(steps):
+            dstate, aux = step(dstate)
+            assert int(aux.migration_overflow) == 0
+            assert int(aux.misrouted) == 0
+            mig_seen = max(mig_seen, int(aux.max_migration_send))
+        return collect_state(dstate, cfg.num_particles), mig_seen
+
+    # D=4 divides C → aligned splice path, both branches reachable
+    for state, want_migration in ((st, False), (drifting, True)):
+        a, mig_a = run(state, 4, 15, force_sort=False)
+        b, mig_b = run(state, 4, 15, force_sort=True)
+        assert mig_a == mig_b
+        if want_migration:
+            assert mig_a > 0  # the sort branch really fired
+        np.testing.assert_array_equal(a["position"], b["position"])
+        np.testing.assert_array_equal(a["velocity"], b["velocity"])
+
+
 def test_halo_overflow_detected(setup, eight_devices):
     """A tiny halo buffer must be *reported*, not silently dropped."""
     cfg, st = setup

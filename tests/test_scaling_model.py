@@ -28,11 +28,12 @@ def model():
     return _load_model()
 
 
-def test_tax_fit_is_physical(model):
-    tax, pts, p = model.machinery_tax_fit()
+@pytest.mark.parametrize("kind", ["FULL", "FULL_SKIP"])
+def test_tax_fit_is_physical(model, kind):
+    tax, pts, p = model.machinery_tax_fit(kind)
     # both measured points positive, near-linear growth in occupancy
     assert all(t > 0 for _, t in pts)
-    assert 0.8 < p < 1.5
+    assert 0.5 < p < 1.5
     # fit reproduces the measured points
     for n, t in pts:
         assert abs(tax(n) - t) < 1e-6
@@ -40,9 +41,24 @@ def test_tax_fit_is_physical(model):
     assert tax(2_000_000) > tax(500_000) > tax(50_000) > 0
 
 
+def test_skip_tax_below_forced_tax(model):
+    """The lax.cond sort skip must make migration-free machinery strictly
+    cheaper than the always-sort machinery at both measured occupancies."""
+    _, pts_f, _ = model.machinery_tax_fit("FULL")
+    _, pts_s, _ = model.machinery_tax_fit("FULL_SKIP")
+    for (n_f, t_f), (n_s, t_s) in zip(pts_f, pts_s):
+        assert n_f == n_s
+        assert t_s < t_f
+
+
+def _taxes(model):
+    tf, _, _ = model.machinery_tax_fit("FULL")
+    ts, _, _ = model.machinery_tax_fit("FULL_SKIP")
+    return tf, ts
+
+
 def test_projection_shape(model):
-    tax, _, _ = model.machinery_tax_fit()
-    tbl = model.project(262_144, tax)
+    tbl = model.project(262_144, *_taxes(model))
     rows = {r["d"]: r for r in tbl["rows"]}
     assert set(rows) == {1, 2, 4, 8}
     # throughput strictly improves with D; efficiency never exceeds 1
@@ -60,8 +76,7 @@ def test_projection_shape(model):
 def test_wire_bytes_match_multislice_helper(model):
     from tpusph.dist.multislice import halo_bytes_per_boundary
 
-    tax, _, _ = model.machinery_tax_fit()
-    tbl = model.project(262_144, tax)
+    tbl = model.project(262_144, *_taxes(model))
     for r in tbl["rows"]:
         if r["d"] == 1:
             continue
@@ -71,8 +86,12 @@ def test_wire_bytes_match_multislice_helper(model):
 
 
 def test_tax_inputs_are_parity_gated():
-    for n in (262_144, 1_048_576):
-        with open(os.path.join(ROOT, "scaling", f"DIST_FULL_n{n}.json")) as f:
-            art = json.load(f)
-        assert art["parity"] == "pass"
-        assert art["full_machinery"] is True
+    for kind in ("FULL", "FULL_SKIP"):
+        for n in (262_144, 1_048_576):
+            path = os.path.join(
+                ROOT, "scaling", f"DIST_{kind}_n{n}.json"
+            )
+            with open(path) as f:
+                art = json.load(f)
+            assert art["parity"] == "pass"
+            assert art["full_machinery"] is True

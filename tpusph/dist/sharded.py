@@ -46,13 +46,20 @@ its slab in fixed-capacity padded arrays. Per step, under `shard_map`:
      sort yields BOTH direction buffers (prefix / post-kept slice) AND the
      kept-first compacted state (the middle slice, landed at the front via
      one dynamic_slice); arrivals scatter into the free tail at n_kept.
+     On steps where THIS device has no migrants at all — ~every step of the
+     dam break; z-cut crossers are ~zero over the whole trajectory
+     (scaling/census_*.json) — a lax.cond skips the sort entirely: in the
+     aligned-splice layout the kept block is already contiguous at n_lo,
+     and with zero migrants the category sort is a pure rotation, so one
+     dynamic_slice reproduces its kept block bit-exactly.
      On a 1-device mesh migration is STRUCTURALLY impossible (the boundary
      clamp keeps every position inside [h, box−h] ⊂ the only slab), and the
      valid rows are already the sorted prefix — the whole phase is elided.
 
 Per-device full-width sorts per step: 2 for cell-aligned device counts
-(local key sort + migration/compaction sort; the round-4 design paid 4),
-3 otherwise, 1 for a single-device mesh.
+(local key sort + migration/compaction sort; the round-4 design paid 4) —
+1 on the migration-free steps above, 3 for non-aligned device counts,
+1 for a single-device mesh.
 
 All buffers are fixed-capacity with overflow *detection* (never silent drop),
 matching the engine's capacity philosophy. Non-periodic edges: `ppermute`
@@ -217,6 +224,16 @@ def _slab_geometry(cfg: SimConfig, dcfg: DistConfig):
         return lax.ppermute(x, dcfg.axis_name, perm)
 
     return z_lo, z_hi, slab_w, pshift
+
+
+def _force_migsort() -> bool:
+    """TPUSPH_DIST_FORCE_MIGSORT=1 statically disables the migration-free
+    sort skip in _device_update, so the full-machinery diagnostic can price
+    the category sort itself — the worst-case per-step tax on a workload
+    that migrates every step (scripts/scaling_model.py uses both numbers)."""
+    import os
+
+    return os.environ.get("TPUSPH_DIST_FORCE_MIGSORT") == "1"
 
 
 def _elide_single(dcfg: DistConfig) -> bool:
@@ -468,11 +485,54 @@ def _device_update(
     mpad = lambda r, v: jnp.concatenate(
         [r, jnp.full((m_cap,), v, r.dtype)]
     )
-    _, mx, my, mz, mvx, mvy, mvz, mtag = lax.sort(
-        (mpad(cat, 3), mpad(nx, 0.0), mpad(ny, 0.0), mpad(nz, 0.0),
-         mpad(nvx, 0.0), mpad(nvy, 0.0), mpad(nvz, 0.0), mpad(tag_s, -2)),
-        num_keys=1, is_stable=True,
-    )
+    ops = (nx, ny, nz, nvx, nvy, nvz, tag_s)
+    deads = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, jnp.int32(-2))
+
+    def _mig_sort(rows):
+        srt = lax.sort(
+            (mpad(cat, 3),)
+            + tuple(mpad(r, v) for r, v in zip(rows, deads)),
+            num_keys=1, is_stable=True,
+        )
+        return tuple(srt[1:])
+
+    if _aligned(cfg, dcfg) and not _force_migsort():
+        # Migration-free steps SKIP the full-width category sort (lax.cond
+        # executes one branch on TPU — measured round-2c): in the aligned
+        # splice layout the kept block is already contiguous, [n_lo,
+        # n_lo + n_kept) of the comb array (_device_build §3), and n_lo is
+        # recoverable from the PRE-step keys alone — lo-halo rows are
+        # exactly those keyed below the slab's first cell plane (live
+        # locals are inside their slab at build time; invalid rows carry
+        # the sentinel). With zero migrants the stable category sort is a
+        # pure rotation of that layout, so slicing at n_lo reproduces its
+        # kept block bit-exactly; the dn/up send windows then read garbage
+        # lanes that their valid masks (lane < n_dn = 0) discard. The
+        # dam-break trajectory crosses z-cuts ~never (scaling/census_*),
+        # so this elides the second full-width sort on ~every step of a
+        # real multi-device run.
+        C = cfg.num_cells_per_dim
+        d = lax.axis_index(dcfg.axis_name)
+        k_div = d * (C // dcfg.n_devices) * C * C
+        n_lo = jnp.sum(key_s < k_div).astype(jnp.int32)
+        n_pad = key_s.shape[0] + m_cap - c_dev
+
+        def _mig_skip(rows):
+            return tuple(
+                jnp.concatenate(
+                    [
+                        lax.dynamic_slice(r, (n_lo,), (c_dev,)),
+                        jnp.full((n_pad,), v, r.dtype),
+                    ]
+                )
+                for r, v in zip(rows, deads)
+            )
+
+        mx, my, mz, mvx, mvy, mvz, mtag = lax.cond(
+            n_dn + n_up > 0, _mig_sort, _mig_skip, ops
+        )
+    else:
+        mx, my, mz, mvx, mvy, mvz, mtag = _mig_sort(ops)
     srows = (mx, my, mz, mvx, mvy, mvz)
     lane = jnp.arange(m_cap, dtype=jnp.int32)
     mdn = jnp.stack([r[:m_cap] for r in srows], axis=1)
