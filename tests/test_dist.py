@@ -257,6 +257,89 @@ def test_sharded_pallas_tuned_preset_flags(setup, eight_devices):
     np.testing.assert_allclose(gb["velocity"], ga["velocity"], rtol=1e-5, atol=1e-5)
 
 
+def test_balanced_slab_planes_properties():
+    """balanced_slab_planes: valid cell-aligned partition (monotone, ≥2-cell
+    gaps, spans [0, C]) whose per-slab occupancy is near-ideal even for a
+    heavily skewed z snapshot where equal-width slabs are pathological."""
+    from tpusph.core.config import default_config
+    from tpusph.dist.sharded import balanced_slab_planes
+
+    cfg = default_config(512, chunk_size=512)
+    rng = np.random.default_rng(3)
+    # 90% of particles piled into the bottom tenth of the box
+    z = np.where(
+        rng.uniform(size=4096) < 0.9,
+        rng.uniform(0.1, 1.0, size=4096),
+        rng.uniform(1.0, 9.9, size=4096),
+    ).astype(np.float32)
+    D = 4
+    planes = balanced_slab_planes(z, cfg, D)
+    C = cfg.num_cells_per_dim
+    assert planes[0] == 0 and planes[-1] == C
+    gaps = [b - a for a, b in zip(planes, planes[1:])]
+    assert min(gaps) >= 2  # 2h ghost layer minimum
+
+    zc = np.clip((z / np.float32(cfg.h)).astype(np.int32), 0, C - 1)
+    occ = [
+        int(np.sum((zc >= planes[d]) & (zc < planes[d + 1])))
+        for d in range(D)
+    ]
+    ideal = len(z) / D
+    # balance is cell-granular: a slab edge moves in whole cell planes, so
+    # the quantile overshoot is bounded by one cell's occupancy
+    cell_max = int(np.bincount(zc, minlength=C).max())
+    assert max(occ) <= ideal + cell_max, occ
+    eq_occ = np.bincount(np.clip(zc // (C // D), 0, D - 1), minlength=D)
+    assert max(occ) < 0.5 * eq_occ.max()
+
+
+def test_sharded_balanced_planes_match_single_device(setup, eight_devices):
+    """Explicit balance-aware slab planes (cell-aligned at ANY device count
+    — D=8 with C=100 would otherwise take the general full-width merge
+    path) must advance identical physics to the single-chip engine, with
+    the cell-space migration predicate keeping the splice invariant."""
+    import dataclasses
+
+    from tpusph.dist.sharded import balanced_slab_planes
+
+    cfg, st = setup
+    steps = 10
+    s = st
+    single = make_step(cfg, "cell_list")
+    for _ in range(steps):
+        s, _ = single(s)
+
+    z = np.asarray(st.position)[np.asarray(st.valid), 2]
+    planes = balanced_slab_planes(z, cfg, 8)
+    assert len(planes) == 9
+    mesh = _mesh(eight_devices, 8)
+    dcfg = DistConfig(
+        n_devices=8, dev_capacity=512, halo_capacity=256,
+        migration_capacity=128, slab_planes=planes,
+    )
+    from tpusph.dist.sharded import _aligned
+
+    assert _aligned(cfg, dcfg)  # explicit planes force the splice path
+    dstate = distribute_state(st, cfg, dcfg, mesh)
+    step = make_sharded_step(cfg, dcfg, mesh)
+    aux = None
+    for _ in range(steps):
+        dstate, aux = step(dstate)
+    assert int(aux.halo_overflow) == 0
+    assert int(aux.migration_overflow) == 0
+    assert int(aux.misrouted) == 0
+    assert int(aux.num_particles) == cfg.num_particles
+    got = collect_state(dstate, cfg.num_particles)
+    np.testing.assert_allclose(
+        got["position"], np.asarray(s.position)[: cfg.num_particles],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        got["velocity"], np.asarray(s.velocity)[: cfg.num_particles],
+        rtol=1e-3, atol=1e-3,
+    )
+
+
 def test_sharded_click_matches_single_chip(setup, eight_devices):
     """Free-mode parity (simulator.cu:329-367,482-489): a click during the
     sharded step must kick the same velocity field as the single-chip

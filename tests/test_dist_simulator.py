@@ -206,6 +206,29 @@ def test_dist_right_size(eight_devices):
     )
 
 
+def test_dist_balance_default(eight_devices):
+    """DistSimulator.setup applies the balance-aware cell-aligned partition
+    by default (slab_planes set from the initial z occupancy), preserves it
+    through right_size, and balance=False keeps the legacy equal-width
+    slabs. Physics parity under balance is covered by
+    test_dist_simulator_matches_single (balance is the default there)."""
+    cfg = default_config(512, chunk_size=512)
+    a = DistSimulator(cfg, devices=eight_devices, random_init=True, seed=21)
+    a.setup()
+    planes = a.dcfg.slab_planes
+    assert planes is not None and len(planes) == 9
+    assert planes[0] == 0 and planes[-1] == cfg.num_cells_per_dim
+    a.right_size(warmup_steps=3)
+    assert a.dcfg.slab_planes == planes  # re-size must not drop the partition
+    a.run(3)
+    assert a.num_particles_alive() == cfg.num_particles
+
+    b = DistSimulator(cfg, devices=eight_devices, random_init=True, seed=21,
+                      balance=False)
+    b.setup()
+    assert b.dcfg.slab_planes is None
+
+
 def test_dist_simulator_mesh3d(eight_devices):
     """DistSimulator with a 3-D brick mesh matches the single-chip engine."""
     cfg = default_config(512, chunk_size=512)

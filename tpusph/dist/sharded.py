@@ -102,6 +102,16 @@ class DistConfig:
     halo_capacity: int  # per-direction halo buffer rows (2h-deep layer)
     migration_capacity: int  # per-direction migration buffer rows
     axis_name: str = "z"
+    # Optional BALANCE-AWARE partition: n_devices+1 ascending z cell-plane
+    # indices (0 .. C) giving each device the slab [planes[d], planes[d+1])
+    # in CELL space. None = equal-width slabs. Cell-plane edges make EVERY
+    # device count take the aligned splice path (no full-width merge sort —
+    # C % D need not divide), and letting the edges follow the measured
+    # z-occupancy kills the structural load imbalance of equal-width slabs
+    # (random init fills [1, box−1]: edge slabs are half-empty, λ = 1.25 at
+    # D ≥ 4 — scaling/census_n2097152.json). balanced_slab_planes()
+    # computes them; DistSimulator.setup applies it by default.
+    slab_planes: tuple | None = None
 
     def validate(self) -> None:
         for f in ("dev_capacity", "halo_capacity", "migration_capacity"):
@@ -113,7 +123,23 @@ class DistConfig:
 def _check_slab_width(cfg: SimConfig, dcfg: DistConfig) -> None:
     """The 2h ghost layer needs slabs at least 2h wide (a halo copy's
     neighborhood must close inside the adjacent device's slab; see module
-    docstring)."""
+    docstring). With explicit slab planes that is a ≥ 2-cell minimum gap
+    (cell edge = h), plus shape/monotonicity validation."""
+    if dcfg.slab_planes is not None:
+        pl = tuple(int(p) for p in dcfg.slab_planes)
+        C, D = cfg.num_cells_per_dim, dcfg.n_devices
+        if len(pl) != D + 1 or pl[0] != 0 or pl[-1] != C:
+            raise ValueError(
+                f"slab_planes must be {D + 1} cell planes spanning [0, {C}],"
+                f" got {pl}"
+            )
+        gaps = [b - a for a, b in zip(pl, pl[1:])]
+        if min(gaps) < 2:
+            raise ValueError(
+                f"slab_planes gaps {gaps}: every slab needs ≥ 2 cells (2h "
+                "ghost layer)"
+            )
+        return
     if cfg.box_dim / dcfg.n_devices < 2 * cfg.h:
         raise ValueError(
             f"slab width {cfg.box_dim / dcfg.n_devices:.4f} < 2h = "
@@ -207,12 +233,20 @@ def _compute_sorted_fields(
 
 
 def _slab_geometry(cfg: SimConfig, dcfg: DistConfig):
-    """(z_lo, z_hi, slab_w, pshift) for this device's slab."""
+    """(z_lo, z_hi, slab_w, pshift) for this device's slab. With explicit
+    slab planes the float bounds are plane·h (informational — the migration
+    predicates then run in CELL space, _migration_predicates)."""
     d_count = dcfg.n_devices
     d = lax.axis_index(dcfg.axis_name)
-    slab_w = jnp.float32(cfg.box_dim) / d_count
-    z_lo = d.astype(jnp.float32) * slab_w
-    z_hi = z_lo + slab_w
+    if dcfg.slab_planes is not None:
+        pl = jnp.asarray(dcfg.slab_planes, jnp.float32) * jnp.float32(cfg.h)
+        z_lo = pl[d]
+        z_hi = pl[d + 1]
+        slab_w = z_hi - z_lo
+    else:
+        slab_w = jnp.float32(cfg.box_dim) / d_count
+        z_lo = d.astype(jnp.float32) * slab_w
+        z_hi = z_lo + slab_w
 
     perm_up = [(i, i + 1) for i in range(d_count - 1)]  # data flows d → d+1
     perm_dn = [(i + 1, i) for i in range(d_count - 1)]  # data flows d → d−1
@@ -254,27 +288,72 @@ def _elide_single(dcfg: DistConfig) -> bool:
 def _aligned(cfg: SimConfig, dcfg: DistConfig) -> bool:
     """Static: slab faces land on cell-plane edges, so the lo-halo / local /
     hi-halo key ranges are strictly disjoint and the combined array can be
-    spliced instead of re-sorted (module docstring §3). The splice also
+    spliced instead of re-sorted (module docstring §3). True for explicit
+    slab planes (cell planes by construction — ANY device count) or when
+    C % D == 0 divides equal-width slabs onto planes. The splice also
     needs c_dev ≥ 2·h_cap so the local write covers the halo scratch."""
     return (
-        cfg.num_cells_per_dim % dcfg.n_devices == 0
-        and dcfg.dev_capacity >= 2 * dcfg.halo_capacity
-    )
+        dcfg.slab_planes is not None
+        or cfg.num_cells_per_dim % dcfg.n_devices == 0
+    ) and dcfg.dev_capacity >= 2 * dcfg.halo_capacity
+
+
+def _plane_array(cfg: SimConfig, dcfg: DistConfig) -> jnp.ndarray:
+    """int32[D+1] z cell-plane slab edges. Only meaningful when the
+    partition is cell-aligned (_aligned or explicit planes)."""
+    if dcfg.slab_planes is not None:
+        return jnp.asarray(dcfg.slab_planes, jnp.int32)
+    C, D = cfg.num_cells_per_dim, dcfg.n_devices
+    return jnp.arange(D + 1, dtype=jnp.int32) * (C // D)
 
 
 def _band_thresholds(cfg: SimConfig, dcfg: DistConfig):
     """Integer z-cell-plane thresholds of the 2h send bands, computed in
     exact integer arithmetic from the device index: dn band = zcell <
     thr_dn, up band = zcell ≥ thr_up. Supersets of the float bands
-    (z < z_lo + 2h / z ≥ z_hi − 2h); exact when slabs are cell-aligned.
-    Because the flat key is z-major, `key < thr_dn·C²` / `key ≥ thr_up·C²`
-    select CONTIGUOUS runs of the key-sorted rows."""
+    (z < z_lo + 2h / z ≥ z_hi − 2h); exact when slabs are cell-aligned
+    (explicit planes always are). Because the flat key is z-major,
+    `key < thr_dn·C²` / `key ≥ thr_up·C²` select CONTIGUOUS runs of the
+    key-sorted rows."""
     C = cfg.num_cells_per_dim
     D = dcfg.n_devices
     d = lax.axis_index(dcfg.axis_name)
-    thr_dn = (d * C + D - 1) // D + 2  # ceil(d·C/D) + 2
-    thr_up = ((d + 1) * C) // D - 2  # floor((d+1)·C/D) − 2
+    if dcfg.slab_planes is not None:
+        pl = _plane_array(cfg, dcfg)
+        thr_dn = pl[d] + 2
+        thr_up = pl[d + 1] - 2
+    else:
+        thr_dn = (d * C + D - 1) // D + 2  # ceil(d·C/D) + 2
+        thr_up = ((d + 1) * C) // D - 2  # floor((d+1)·C/D) − 2
     return thr_dn * C * C, thr_up * C * C
+
+
+def _migration_predicates(nz, live, cfg: SimConfig, dcfg: DistConfig,
+                          z_lo, z_hi, slab_w):
+    """(mig_dn, mig_up, misrouted_mask) for post-integration z. With
+    explicit slab planes, ownership is decided in CELL space — the exact
+    truncation the next build's keys use (grid.cell_coords), so migration,
+    distribute_state and the splice invariant can never disagree at a float
+    slab face. Equal-width slabs keep the float comparison (their faces are
+    not exactly representable; the historical semantics)."""
+    if dcfg.slab_planes is not None:
+        C, D = cfg.num_cells_per_dim, dcfg.n_devices
+        pl = _plane_array(cfg, dcfg)
+        d = lax.axis_index(dcfg.axis_name)
+        zc = jnp.clip(
+            (nz / jnp.float32(cfg.h)).astype(jnp.int32), 0, C - 1
+        )
+        mig_dn = live & (zc < pl[d])
+        mig_up = live & (zc >= pl[d + 1])
+        # one-hop bound: beyond the ADJACENT slab (exact neighbor widths)
+        far_lo = pl[jnp.maximum(d - 1, 0)]
+        far_hi = pl[jnp.minimum(d + 2, D)]
+        mis = live & ((zc < far_lo) | (zc >= far_hi))
+        return mig_dn, mig_up, mis
+    mig_dn = live & (nz < z_lo)
+    mig_up = live & (nz >= z_hi)
+    mis = live & ((nz < z_lo - slab_w) | (nz >= z_hi + slab_w))
+    return mig_dn, mig_up, mis
 
 
 def _device_build(pos, vel, valid, pid, cfg: SimConfig, dcfg: DistConfig):
@@ -463,11 +542,10 @@ def _device_update(
     # (prefix / post-kept slice) and the compacted state (the middle block,
     # landed at the front by one dynamic_slice). A particle cannot cross
     # both faces.
-    mig_dn = live & (nz < z_lo)
-    mig_up = live & (nz >= z_hi)
-    misrouted = jnp.sum(
-        live & ((nz < z_lo - slab_w) | (nz >= z_hi + slab_w))
-    ).astype(jnp.int32)
+    mig_dn, mig_up, mis_mask = _migration_predicates(
+        nz, live, cfg, dcfg, z_lo, z_hi, slab_w
+    )
+    misrouted = jnp.sum(mis_mask).astype(jnp.int32)
     kept = live & ~mig_dn & ~mig_up
     n_dn = jnp.sum(mig_dn).astype(jnp.int32)
     n_up = jnp.sum(mig_up).astype(jnp.int32)
@@ -513,7 +591,7 @@ def _device_update(
         # real multi-device run.
         C = cfg.num_cells_per_dim
         d = lax.axis_index(dcfg.axis_name)
-        k_div = d * (C // dcfg.n_devices) * C * C
+        k_div = _plane_array(cfg, dcfg)[d] * C * C
         n_lo = jnp.sum(key_s < k_div).astype(jnp.int32)
         n_pad = key_s.shape[0] + m_cap - c_dev
 
@@ -826,6 +904,50 @@ def make_sharded_run(
 
 
 # --------------------------------------------------------------------- host IO
+def slab_owner(z: np.ndarray, cfg: SimConfig, dcfg: DistConfig) -> np.ndarray:
+    """Host-side owning-device index per z — the exact mirror of the device
+    step's migration predicate (_migration_predicates): cell-space with
+    explicit slab planes, float equal-width otherwise."""
+    d_count = dcfg.n_devices
+    if dcfg.slab_planes is not None:
+        zc = np.clip(
+            (np.asarray(z, np.float32) / np.float32(cfg.h)).astype(np.int32),
+            0, cfg.num_cells_per_dim - 1,
+        )
+        interior = np.asarray(dcfg.slab_planes[1:-1], np.int64)
+        return np.searchsorted(interior, zc, side="right")
+    slab_w = cfg.box_dim / d_count
+    return np.clip((np.asarray(z) / slab_w).astype(np.int64), 0, d_count - 1)
+
+
+def balanced_slab_planes(
+    z: np.ndarray, cfg: SimConfig, n_devices: int
+) -> tuple:
+    """Cell-aligned slab edges that equalize per-slab occupancy for the
+    given z snapshot (host-side; DistSimulator.setup applies this to the
+    initial state by default). Equal-width slabs carry a STRUCTURAL
+    imbalance — e.g. random init fills [1, box−1] only, leaving edge slabs
+    half-empty (λ = 1.25 at D ≥ 4, scaling/census_n2097152.json) — and
+    any D whose equal-width faces miss cell planes pays a full-width merge
+    sort per step. Occupancy-quantile edges snapped to cell planes fix
+    both. Gaps are clamped to ≥ 2 cells (the 2h ghost layer's minimum)."""
+    C, D = cfg.num_cells_per_dim, n_devices
+    zc = np.clip(
+        (np.asarray(z, np.float32) / np.float32(cfg.h)).astype(np.int32),
+        0, C - 1,
+    )
+    cdf = np.cumsum(np.bincount(zc, minlength=C))  # cdf[c] = #(zc ≤ c)
+    n = int(cdf[-1])
+    planes = [0]
+    for k in range(1, D):
+        # smallest plane p with count(zc < p) ≥ k·n/D
+        p = int(np.searchsorted(cdf, k * n / D) + 1)
+        p = min(max(p, planes[-1] + 2), C - 2 * (D - k))
+        planes.append(p)
+    planes.append(C)
+    return tuple(planes)
+
+
 def distribute_state(
     state: FluidState, cfg: SimConfig, dcfg: DistConfig, mesh: Mesh
 ) -> DistState:
@@ -835,14 +957,13 @@ def distribute_state(
     vel = np.asarray(state.velocity)
     valid = np.asarray(state.valid)
     d_count, c_dev = dcfg.n_devices, dcfg.dev_capacity
-    slab_w = cfg.box_dim / d_count
 
     gx = np.zeros((d_count, c_dev, 3), np.float32)
     gv = np.zeros((d_count, c_dev, 3), np.float32)
     gvalid = np.zeros((d_count, c_dev), bool)
     gpid = np.full((d_count, c_dev), -1, np.int32)
 
-    owner = np.clip((pos[:, 2] / slab_w).astype(np.int64), 0, d_count - 1)
+    owner = slab_owner(pos[:, 2], cfg, dcfg)
     for dev in range(d_count):
         idx = np.nonzero(valid & (owner == dev))[0]
         if len(idx) > c_dev:

@@ -105,9 +105,14 @@ class DistSimulator:
         seed: int = 0,
         mesh_shape: tuple[int, int, int] | None = None,
         n_slices: int | None = None,
+        balance: bool = True,
     ):
         cfg.validate()
         self.cfg = cfg
+        # balance-aware 1-D partition: setup() re-slabs along the measured
+        # initial z-occupancy (sharded.balanced_slab_planes) unless the
+        # caller pinned explicit planes or opted out
+        self.balance = balance and mesh_shape is None
         devices = devices if devices is not None else jax.devices()
         self.random_init = random_init
         self.seed = seed
@@ -153,6 +158,20 @@ class DistSimulator:
             if state is not None
             else init_state(self.cfg, self.random_init, self.seed)
         )
+        if (
+            self.balance
+            and self.dcfg.slab_planes is None
+            and self.dcfg.n_devices > 1
+        ):
+            from tpusph.dist.sharded import balanced_slab_planes
+
+            z = np.asarray(host_state.position)[:, 2]
+            planes = balanced_slab_planes(
+                z[np.asarray(host_state.valid)], self.cfg,
+                self.dcfg.n_devices,
+            )
+            self.dcfg = dataclasses.replace(self.dcfg, slab_planes=planes)
+            self._rebuild_step()
         self._fit_initial_capacity(host_state)
         if self.mesh_shape is None:
             self.state = distribute_state(
@@ -165,21 +184,32 @@ class DistSimulator:
                 host_state, self.cfg, self.dcfg, self.mesh
             )
 
+    def _rebuild_step(self) -> None:
+        """Re-jit the step after a dcfg change (capacity growth, re-slab)."""
+        self._timed = None
+        self._runners.clear()
+        if self.mesh_shape is None:
+            self._step = make_sharded_step(
+                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
+            )
+        else:
+            from tpusph.dist.mesh3d import make_mesh3d_step
+
+            self._step = make_mesh3d_step(
+                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
+            )
+
     def _fit_initial_capacity(self, host_state: FluidState) -> None:
         """Grow dev_capacity (×2 steps) until the host state's most-loaded
         device fits, rebuilding the step on change. Host-side arithmetic
         only — mirrors distribute_state's owner assignment."""
-        import dataclasses
-
         pos = np.asarray(host_state.position)
         valid = np.asarray(host_state.valid)
         if self.mesh_shape is None:
-            d = self.dcfg.n_devices
-            slab_w = self.cfg.box_dim / d
-            owner = np.clip(
-                (pos[:, 2] / slab_w).astype(np.int64), 0, d - 1
-            )[valid]
-            n_dev = d
+            from tpusph.dist.sharded import slab_owner
+
+            owner = slab_owner(pos[:, 2], self.cfg, self.dcfg)[valid]
+            n_dev = self.dcfg.n_devices
         else:
             mz, my, mx = self.mesh_shape
 
@@ -196,18 +226,7 @@ class DistSimulator:
         while cap < peak:
             cap *= 2
         self.dcfg = dataclasses.replace(self.dcfg, dev_capacity=cap)
-        self._timed = None
-        self._runners.clear()
-        if self.mesh_shape is None:
-            self._step = make_sharded_step(
-                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
-            )
-        else:
-            from tpusph.dist.mesh3d import make_mesh3d_step
-
-            self._step = make_mesh3d_step(
-                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
-            )
+        self._rebuild_step()
 
     def simulate(self, click: tuple[int, int] | None = None) -> None:
         assert self.state is not None, "call setup() first"
@@ -266,18 +285,8 @@ class DistSimulator:
                 pallas_qrank_kcap=self.cfg.pallas_qrank_kcap * 2,
             )
         self.dcfg = d
-        self._timed = None  # capacities changed: re-trace the timed phases
-        self._runners.clear()
-        if self.mesh_shape is None:
-            self._step = make_sharded_step(
-                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
-            )
-        else:
-            from tpusph.dist.mesh3d import make_mesh3d_step
-
-            self._step = make_mesh3d_step(
-                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
-            )
+        # capacities changed: re-trace the timed phases + runners
+        self._rebuild_step()
 
     def run(self, steps: int, chunk: int | None = None) -> None:
         """Production loop: scan-chained sharded steps, ONE dispatch per
@@ -448,19 +457,16 @@ class DistSimulator:
         halo = rnd(max(int(aux.max_halo_send), 1) * margin)
         mig = rnd(max(int(aux.max_migration_send), 1) * margin)
         if self.mesh_shape is None:
-            halo = min(halo, self.dcfg.halo_capacity)
-            mig = min(mig, self.dcfg.migration_capacity)
-            self.dcfg = DistConfig(
-                n_devices=self.dcfg.n_devices,
+            # replace() preserves the balance-aware slab_planes partition
+            self.dcfg = dataclasses.replace(
+                self.dcfg,
                 dev_capacity=dev,
-                halo_capacity=halo,
-                migration_capacity=mig,
+                halo_capacity=min(halo, self.dcfg.halo_capacity),
+                migration_capacity=min(mig, self.dcfg.migration_capacity),
             )
         else:
-            from tpusph.dist.mesh3d import Mesh3DConfig
-
-            self.dcfg = Mesh3DConfig(
-                mesh_shape=self.dcfg.mesh_shape,
+            self.dcfg = dataclasses.replace(
+                self.dcfg,
                 dev_capacity=dev,
                 halo_capacity=tuple(
                     min(halo, c) for c in self.dcfg.halo_capacity
@@ -469,18 +475,7 @@ class DistSimulator:
                     min(mig, c) for c in self.dcfg.migration_capacity
                 ),
             )
-        self._timed = None
-        self._runners.clear()
-        if self.mesh_shape is None:
-            self._step = make_sharded_step(
-                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
-            )
-        else:
-            from tpusph.dist.mesh3d import make_mesh3d_step
-
-            self._step = make_mesh3d_step(
-                self.cfg, self.dcfg, self.mesh, use_pallas=self.use_pallas
-            )
+        self._rebuild_step()
         self.setup(host0 if restore else self.to_host_state())
 
     def to_host_state(self) -> FluidState:
