@@ -100,14 +100,21 @@ def machinery_tax_fit(kind="FULL"):
     return (lambda n: scale * (n**p)), pts, p
 
 
-def census_stats(n):
+def census_stats(n, variant="bal"):
     """Trajectory-max imbalance / halo / migration per D from the census,
     plus the fraction of checkpoints where ANY device migrates rows (the
-    weight between the always-sort and sort-skipped machinery taxes)."""
+    weight between the always-sort and sort-skipped machinery taxes).
+
+    variant="bal" (default) reads the balance-aware cell-plane partition's
+    sub-census — the partition DistSimulator.setup ships by default
+    (sharded.balanced_slab_planes). variant="eq" reads the legacy
+    equal-width slabs (balance=False)."""
     c = _load(f"census_n{n}.json")
     out = {}
     for d in (2, 4, 8):
         rows = [r[str(d)] for r in c["rows"]]
+        if variant == "bal":
+            rows = [r.get("bal", r) for r in rows]
         out[d] = {
             "lambda": max(r["imbalance"] for r in rows),
             "halo_rows": max(r["max_halo_send"] for r in rows),
@@ -118,9 +125,9 @@ def census_stats(n):
     return out, c
 
 
-def project(n, tax_force, tax_skip):
+def project(n, tax_force, tax_skip, variant="bal"):
     """Strong-scaling rows for global N over D in {1,2,4,8}."""
-    stats, census = census_stats(n)
+    stats, census = census_stats(n, variant)
     t1 = TIER_MS[n]
     rows = [
         {
@@ -171,7 +178,12 @@ def project(n, tax_force, tax_skip):
                 "wire_bytes": wire_bytes,
             }
         )
-    return {"n": n, "census_init": census["init"], "rows": rows}
+    return {
+        "n": n,
+        "census_init": census["init"],
+        "partition": "balanced" if variant == "bal" else "equal_width",
+        "rows": rows,
+    }
 
 
 def main() -> None:
@@ -187,12 +199,17 @@ def main() -> None:
         + f"  -> ~ n^{p_s:.2f}"
     )
     tables = []
+    tables_eq = []
     for n in sorted(TIER_MS):
         if not os.path.exists(os.path.join(SCALING, f"census_n{n}.json")):
             continue
-        tbl = project(n, tax_force, tax_skip)
+        tbl = project(n, tax_force, tax_skip, "bal")
         tables.append(tbl)
-        print(f"\nN = {n:,} (strong scaling, census init={tbl['census_init']}):")
+        tables_eq.append(project(n, tax_force, tax_skip, "eq"))
+        print(
+            f"\nN = {n:,} (strong scaling, census init={tbl['census_init']},"
+            " balanced partition):"
+        )
         print("  D   ms/step  steps/s  speedup  eff    lambda  tax_ms  ici_us")
         for r in tbl["rows"]:
             print(
@@ -214,6 +231,7 @@ def main() -> None:
         },
         "tier_ms_single_chip": {str(k): v for k, v in TIER_MS.items()},
         "tables": tables,
+        "tables_equal_width": tables_eq,
     }
     path = os.path.join(SCALING, "PROJECTION.json")
     with open(path, "w") as f:

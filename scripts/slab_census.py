@@ -55,11 +55,22 @@ from tpusph.engine.step import (
 )
 
 
-def census(z: np.ndarray, vz: np.ndarray, cfg) -> dict:
+def census(
+    z: np.ndarray, vz: np.ndarray, cfg, bal_planes: dict | None = None
+) -> dict:
     """Per-D slab occupancy / halo-band / next-step-crosser counts from one
-    position snapshot (alive rows only)."""
+    position snapshot (alive rows only). If `bal_planes` maps D → the
+    balance-aware cell-plane partition (fixed from the step-0 snapshot —
+    exactly what DistSimulator.setup ships by default), a parallel "bal"
+    census is taken in CELL space, mirroring the engine's plane-based
+    ownership (sharded._migration_predicates) and 2-cell halo bands
+    (sharded._band_thresholds)."""
     out = {}
     band = 2.0 * cfg.h
+    C = cfg.num_cells_per_dim
+    zc = np.clip((z / np.float32(cfg.h)).astype(np.int32), 0, C - 1)
+    z2 = z + vz * cfg.dt
+    zc2 = np.clip((z2 / np.float32(cfg.h)).astype(np.int32), 0, C - 1)
     for d in DS:
         edges = cfg.box_dim * np.arange(1, d) / d
         slab = np.minimum((z / (cfg.box_dim / d)).astype(np.int64), d - 1)
@@ -70,7 +81,6 @@ def census(z: np.ndarray, vz: np.ndarray, cfg) -> dict:
             halo_up = max(halo_up, int(np.sum((z >= e - band) & (z < e))))
             halo_dn = max(halo_dn, int(np.sum((z >= e) & (z < e + band))))
             # exact next-step one-hop crossers at this snapshot
-            z2 = z + vz * cfg.dt
             mig = max(
                 mig,
                 int(np.sum((z < e) & (z2 >= e))),
@@ -83,6 +93,33 @@ def census(z: np.ndarray, vz: np.ndarray, cfg) -> dict:
             "max_halo_send": int(max(halo_up, halo_dn)),
             "max_migration": int(mig),
         }
+        if bal_planes is not None:
+            pl = bal_planes[d]
+            interior = np.asarray(pl[1:-1], np.int64)
+            counts_b = np.bincount(
+                np.searchsorted(interior, zc, side="right"), minlength=d
+            )
+            bh = bm = 0
+            for e in interior:
+                # 2-cell send bands around each interior plane
+                # (sharded._band_thresholds: dn band zc < pl+2, up band
+                # zc >= pl-2 on the neighbors' sides of the cut)
+                bh = max(
+                    bh,
+                    int(np.sum((zc >= e - 2) & (zc < e))),
+                    int(np.sum((zc >= e) & (zc < e + 2))),
+                )
+                bm = max(
+                    bm,
+                    int(np.sum((zc < e) & (zc2 >= e))),
+                    int(np.sum((zc >= e) & (zc2 < e))),
+                )
+            out[str(d)]["bal"] = {
+                "max_slab": int(counts_b.max()),
+                "imbalance": round(float(counts_b.max()) / (len(z) / d), 4),
+                "max_halo_send": int(bh),
+                "max_migration": int(bm),
+            }
     return out
 
 
@@ -142,17 +179,27 @@ def main() -> None:
 
     run_chunk = make_run(cfg)
     rows = []
+    bal_planes = None
     t0 = time.perf_counter()
     for done in range(0, STEPS + 1, CHUNK):
         z, vz, valid = snapshot(carry)
         alive = valid.astype(bool)
+        if bal_planes is None:
+            # balance-aware partition from the INITIAL snapshot, held fixed
+            # over the trajectory — DistSimulator.setup's default semantics
+            from tpusph.dist.sharded import balanced_slab_planes
+
+            bal_planes = {
+                d: balanced_slab_planes(z[alive], cfg, d) for d in DS
+            }
         row = {"step": done, "n_alive": int(alive.sum())}
-        row.update(census(z[alive], vz[alive], cfg))
+        row.update(census(z[alive], vz[alive], cfg, bal_planes))
         rows.append(row)
         print(
             f"step {done:4d}: "
             + "  ".join(
-                f"D={d} imb={row[str(d)]['imbalance']:.3f} "
+                f"D={d} imb={row[str(d)]['imbalance']:.3f}"
+                f"/bal={row[str(d)]['bal']['imbalance']:.3f} "
                 f"halo={row[str(d)]['max_halo_send']} "
                 f"mig={row[str(d)]['max_migration']}"
                 for d in DS
@@ -196,6 +243,7 @@ def main() -> None:
         "backend": backend,
         "init": "random" if random_init else "grid",
         "band_2h": 2.0 * cfg.h,
+        "bal_planes": {str(d): list(p) for d, p in bal_planes.items()},
         "rows": rows,
         "wall_s": round(dt, 1),
     }

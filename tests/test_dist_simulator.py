@@ -228,6 +228,15 @@ def test_dist_balance_default(eight_devices):
     b.setup()
     assert b.dcfg.slab_planes is None
 
+    # 3-D brick mesh: per-axis planes applied by default too
+    c = DistSimulator(cfg, devices=eight_devices, random_init=True, seed=21,
+                      mesh_shape=(2, 2, 2))
+    c.setup()
+    assert c.dcfg.axis_planes is not None
+    assert all(len(p) == 3 for p in c.dcfg.axis_planes)
+    c.run(3)
+    assert c.num_particles_alive() == cfg.num_particles
+
 
 def test_dist_simulator_mesh3d(eight_devices):
     """DistSimulator with a 3-D brick mesh matches the single-chip engine."""

@@ -143,3 +143,62 @@ def test_mesh3d_halo_overflow_detected(eight_devices):
         dstate, aux = step(dstate)
         total += int(aux.halo_overflow)
     assert total > 0
+
+
+def test_mesh3d_balanced_planes_match_single_device(setup, eight_devices):
+    """Explicit per-axis balance-aware brick planes (Mesh3DConfig.axis_planes
+    — cell-space halo bands, ownership and migration predicates) must
+    advance identical physics to the single-chip engine, with migration
+    traffic crossing the plane faces on every axis."""
+    cfg, st = setup
+    from tpusph.dist.mesh3d import balanced_brick_planes, brick_owner
+
+    # diagonal drift so all three axes see real migration + halo traffic
+    vel = np.zeros((st.num_slots, 3), np.float32)
+    vel[:] = np.where(
+        (np.arange(st.num_slots) % 2 == 0)[:, None],
+        np.asarray([2.5, 2.5, 2.5], np.float32),
+        np.asarray([-2.5, -2.5, -2.5], np.float32),
+    )
+    st = st._replace(velocity=np.asarray(vel))
+
+    pos = np.asarray(st.position)[np.asarray(st.valid)]
+    shape = (2, 2, 2)
+    planes = balanced_brick_planes(pos, cfg, shape)
+    assert len(planes) == 3 and all(len(p) == 3 for p in planes)
+    mcfg = Mesh3DConfig(
+        mesh_shape=shape,
+        dev_capacity=512,
+        halo_capacity=(256, 256, 256),
+        migration_capacity=(128, 128, 128),
+        axis_planes=planes,
+    )
+    # host owner map must respect the planes (mirrors the device predicate)
+    owner0 = brick_owner(pos, cfg, mcfg)
+    assert owner0.min() >= 0 and owner0.max() < 8
+
+    steps = 15
+    mesh = make_mesh(eight_devices[:8], shape)
+    dstate = distribute_state_3d(st, cfg, mcfg, mesh)
+    step = make_mesh3d_step(cfg, mcfg, mesh)
+    aux = None
+    for _ in range(steps):
+        dstate, aux = step(dstate)
+    assert int(aux.halo_overflow) == 0
+    assert int(aux.migration_overflow) == 0
+    assert int(aux.misrouted) == 0
+    assert int(aux.num_particles) == cfg.num_particles
+
+    s = st
+    single = make_step(cfg, "cell_list")
+    for _ in range(steps):
+        s, _ = single(s)
+    got = collect_state(dstate, cfg.num_particles)
+    np.testing.assert_allclose(
+        got["position"], np.asarray(s.position)[: cfg.num_particles],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        got["velocity"], np.asarray(s.velocity)[: cfg.num_particles],
+        rtol=1e-3, atol=1e-3,
+    )

@@ -95,3 +95,28 @@ def test_tax_inputs_are_parity_gated():
                 art = json.load(f)
             assert art["parity"] == "pass"
             assert art["full_machinery"] is True
+
+
+def test_balanced_partition_reduces_imbalance(model):
+    """The balance-aware partition (the DistSimulator.setup default) must
+    cut the census-measured load imbalance on the random-init tiers, where
+    equal-width slabs are structurally imbalanced (edge slabs half-empty,
+    lambda = 1.25 at D >= 4), and the headline projection must charge the
+    balanced numbers."""
+    for n in (2_097_152, 4_194_304):
+        bal, _ = model.census_stats(n, "bal")
+        eq, _ = model.census_stats(n, "eq")
+        for d in (2, 4, 8):
+            # never meaningfully worse (cell quantization noise only) ...
+            assert bal[d]["lambda"] <= eq[d]["lambda"] + 0.01
+        # ... and decisively better where equal-width is pathological
+        for d in (4, 8):
+            assert eq[d]["lambda"] > 1.2
+            assert bal[d]["lambda"] < 1.12
+
+    tf, _, _ = model.machinery_tax_fit("FULL")
+    ts, _, _ = model.machinery_tax_fit("FULL_SKIP")
+    tbl = model.project(2_097_152, tf, ts)  # default variant = balanced
+    assert tbl["partition"] == "balanced"
+    eff8 = {r["d"]: r["efficiency"] for r in tbl["rows"]}[8]
+    assert eff8 > 0.8  # equal-width projected 0.74 here

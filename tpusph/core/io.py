@@ -75,9 +75,11 @@ def load_dist_state(path: str, mesh, dcfg=None):
 
     with np.load(path) as data:
         cfg = SimConfig(**json.loads(bytes(data["__config__"]).decode()))
-        saved_dcfg = DistConfig(
-            **json.loads(bytes(data["__dist_config__"]).decode())
-        )
+        saved = json.loads(bytes(data["__dist_config__"]).decode())
+        if saved.get("slab_planes") is not None:
+            # JSON round-trips tuples as lists; DistConfig carries tuples
+            saved["slab_planes"] = tuple(saved["slab_planes"])
+        saved_dcfg = DistConfig(**saved)
         pos = np.asarray(data["position"], np.float32)
         vel = np.asarray(data["velocity"], np.float32)
 

@@ -71,6 +71,14 @@ class Mesh3DConfig:
     dev_capacity: int
     halo_capacity: tuple[int, int, int]  # per-direction rows, per axis phase
     migration_capacity: tuple[int, int, int]
+    # Optional BALANCE-AWARE partition: per mesh axis (z, y, x order), an
+    # ascending tuple of m_ax+1 cell-plane indices giving device d the
+    # interval [planes[d], planes[d+1]) along that axis in CELL space —
+    # the 3-D analog of DistConfig.slab_planes (per-axis occupancy
+    # quantiles fix the structural imbalance of equal-width bricks).
+    # balanced_brick_planes() computes them; DistSimulator.setup applies
+    # them by default. None = equal-width bricks.
+    axis_planes: tuple | None = None
 
     def validate(self) -> None:
         if len(self.mesh_shape) != 3 or any(m < 1 for m in self.mesh_shape):
@@ -146,7 +154,31 @@ def _halo_buffers(x, y, z, vx, vy, vz, send_dn, send_up, h_cap: int,
 
 def _check_brick_widths(cfg: SimConfig, mcfg: Mesh3DConfig) -> None:
     """The 2h ghost layer needs bricks at least 2h wide per axis (see
-    sharded.py's slab-width check)."""
+    sharded.py's slab-width check). With explicit axis planes that is a
+    ≥ 2-cell minimum gap per axis, plus shape/monotonicity validation."""
+    if mcfg.axis_planes is not None:
+        C = cfg.num_cells_per_dim
+        if len(mcfg.axis_planes) != 3:
+            raise ValueError(
+                f"axis_planes must have one plane tuple per mesh axis, got "
+                f"{mcfg.axis_planes}"
+            )
+        for ax_i, (m, pl) in enumerate(
+            zip(mcfg.mesh_shape, mcfg.axis_planes)
+        ):
+            pl = tuple(int(p) for p in pl)
+            if len(pl) != m + 1 or pl[0] != 0 or pl[-1] != C:
+                raise ValueError(
+                    f"axis_planes[{AXES[ax_i]}] must be {m + 1} cell planes "
+                    f"spanning [0, {C}], got {pl}"
+                )
+            gaps = [b - a for a, b in zip(pl, pl[1:])]
+            if min(gaps) < 2:
+                raise ValueError(
+                    f"axis_planes[{AXES[ax_i]}] gaps {gaps}: every brick "
+                    "needs ≥ 2 cells per axis (2h ghost layer)"
+                )
+        return
     for ax_i, m in enumerate(mcfg.mesh_shape):
         if cfg.box_dim / m < 2 * cfg.h:
             raise ValueError(
@@ -157,16 +189,76 @@ def _check_brick_widths(cfg: SimConfig, mcfg: Mesh3DConfig) -> None:
 
 
 def _brick_geometry(cfg: SimConfig, mcfg: Mesh3DConfig):
-    """Per-axis (lo, hi, width) bounds of this device's brick."""
+    """Per-axis (lo, hi, width) bounds of this device's brick. With explicit
+    axis planes the float bounds are plane·h (informational — the halo bands
+    and migration predicates then run in CELL space, see _axis_bands /
+    _axis_migration)."""
     lo, hi, widths = {}, {}, {}
     for ax_i, ax in enumerate(AXES):
         m = mcfg.mesh_shape[ax_i]
-        w = jnp.float32(cfg.box_dim) / m
         d = lax.axis_index(ax)
-        lo[ax] = d.astype(jnp.float32) * w
-        hi[ax] = lo[ax] + w
-        widths[ax] = w
+        if mcfg.axis_planes is not None:
+            pl = jnp.asarray(
+                mcfg.axis_planes[ax_i], jnp.float32
+            ) * jnp.float32(cfg.h)
+            lo[ax] = pl[d]
+            hi[ax] = pl[d + 1]
+            widths[ax] = hi[ax] - lo[ax]
+        else:
+            w = jnp.float32(cfg.box_dim) / m
+            lo[ax] = d.astype(jnp.float32) * w
+            hi[ax] = lo[ax] + w
+            widths[ax] = w
     return lo, hi, widths
+
+
+def _cellspace(coord, cfg: SimConfig):
+    """f32 coordinate → clamped cell index, the exact truncation the build's
+    keys use (neighbors.grid.compute_keys_fields)."""
+    C = cfg.num_cells_per_dim
+    return jnp.clip((coord / jnp.float32(cfg.h)).astype(jnp.int32), 0, C - 1)
+
+
+def _axis_bands(coord, cvalid, ax_i: int, ax: str, cfg: SimConfig,
+                mcfg: Mesh3DConfig, lo, hi):
+    """(send_dn, send_up) 2h-halo-layer masks along one axis. With explicit
+    axis planes the bands are 2-CELL bands at the plane faces (exact integer
+    supersets of the float 2h bands — sharded._band_thresholds' argument);
+    equal-width bricks keep the historical float comparison."""
+    if mcfg.axis_planes is not None:
+        pl = jnp.asarray(mcfg.axis_planes[ax_i], jnp.int32)
+        d = lax.axis_index(ax)
+        cc = _cellspace(coord, cfg)
+        return cvalid & (cc < pl[d] + 2), cvalid & (cc >= pl[d + 1] - 2)
+    halo_w = jnp.float32(2.0 * cfg.h)
+    return cvalid & (coord < lo[ax] + halo_w), cvalid & (
+        coord >= hi[ax] - halo_w
+    )
+
+
+def _axis_migration(coord, lv, ax_i: int, ax: str, cfg: SimConfig,
+                    mcfg: Mesh3DConfig, lo, hi, w):
+    """(mig_dn, mig_up, misrouted_mask) along one axis for post-integration
+    coordinates. With explicit axis planes ownership is decided in CELL
+    space — the truncation the next build's keys use — so migration,
+    distribute_state_3d and the ownership invariant can never disagree at a
+    float brick face; the one-hop bound uses the ADJACENT bricks' exact
+    plane edges. Equal-width bricks keep the float comparison."""
+    if mcfg.axis_planes is not None:
+        m = mcfg.mesh_shape[ax_i]
+        pl = jnp.asarray(mcfg.axis_planes[ax_i], jnp.int32)
+        d = lax.axis_index(ax)
+        cc = _cellspace(coord, cfg)
+        mig_dn = lv & (cc < pl[d])
+        mig_up = lv & (cc >= pl[d + 1])
+        far_lo = pl[jnp.maximum(d - 1, 0)]
+        far_hi = pl[jnp.minimum(d + 2, m)]
+        mis = lv & ((cc < far_lo) | (cc >= far_hi))
+        return mig_dn, mig_up, mis
+    mig_dn = lv & (coord < lo[ax])
+    mig_up = lv & (coord >= hi[ax])
+    mis = lv & ((coord < lo[ax] - w) | (coord >= hi[ax] + w))
+    return mig_dn, mig_up, mis
 
 
 def _device_build3d(pos, vel, valid, pid, cfg: SimConfig,
@@ -175,7 +267,6 @@ def _device_build3d(pos, vel, valid, pid, cfg: SimConfig,
     corner rows forwarded transitively — see module docstring) + cell-key
     payload sort. Returns the sorted comb rows + per-device
     (halo_overflow, oob_count, max_halo_send) scalars (not yet reduced)."""
-    halo_w = jnp.float32(2.0 * cfg.h)
     lo, hi, _widths = _brick_geometry(cfg, mcfg)
 
     rows = [pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2]]
@@ -188,9 +279,16 @@ def _device_build3d(pos, vel, valid, pid, cfg: SimConfig,
         h_cap = mcfg.halo_capacity[ax_i]
         perm_up, perm_dn = _axis_perms(m)
         coord = rows[AXIS_DIM[ax]]
-        send_dn = cvalid & (coord < lo[ax] + halo_w)
-        send_up = cvalid & (coord >= hi[ax] - halo_w)
-        disjoint = cfg.box_dim / m >= 4 * cfg.h  # static
+        send_dn, send_up = _axis_bands(
+            coord, cvalid, ax_i, ax, cfg, mcfg, lo, hi
+        )
+        # dn/up send sets disjoint (one category sort serves both)? static:
+        # 2-cell bands need a ≥ 4-cell gap; float 2h bands need width ≥ 4h
+        if mcfg.axis_planes is not None:
+            pl = mcfg.axis_planes[ax_i]
+            disjoint = min(b - a for a, b in zip(pl, pl[1:])) >= 4
+        else:
+            disjoint = cfg.box_dim / m >= 4 * cfg.h
         dn6, dn_valid, up6, up_valid, ovf, max_send = _halo_buffers(
             *rows, send_dn, send_up, h_cap, disjoint
         )
@@ -277,11 +375,10 @@ def _device_update3d(
         perm_up, perm_dn = _axis_perms(m)
         lv = ctag >= 0
         coord = cr[AXIS_DIM[ax]]
-        mig_dn = lv & (coord < lo[ax])
-        mig_up = lv & (coord >= hi[ax])
-        misrouted = misrouted + jnp.sum(
-            lv & ((coord < lo[ax] - w) | (coord >= hi[ax] + w))
-        ).astype(jnp.int32)
+        mig_dn, mig_up, mis_mask = _axis_migration(
+            coord, lv, ax_i, ax, cfg, mcfg, lo, hi, w
+        )
+        misrouted = misrouted + jnp.sum(mis_mask).astype(jnp.int32)
         n_dn = jnp.sum(mig_dn).astype(jnp.int32)
         n_up = jnp.sum(mig_up).astype(jnp.int32)
         mig_ovf = mig_ovf + jnp.maximum(n_dn - m_cap, 0) + jnp.maximum(
@@ -332,11 +429,10 @@ def _device_update3d(
     perm_up, perm_dn = _axis_perms(m)
     lv = ctag >= 0
     coord = cr[AXIS_DIM[ax]]
-    mig_dn = lv & (coord < lo[ax])
-    mig_up = lv & (coord >= hi[ax])
-    misrouted = misrouted + jnp.sum(
-        lv & ((coord < lo[ax] - w) | (coord >= hi[ax] + w))
-    ).astype(jnp.int32)
+    mig_dn, mig_up, mis_mask = _axis_migration(
+        coord, lv, len(AXES) - 1, ax, cfg, mcfg, lo, hi, w
+    )
+    misrouted = misrouted + jnp.sum(mis_mask).astype(jnp.int32)
     kept = lv & ~mig_dn & ~mig_up
     n_dn = jnp.sum(mig_dn).astype(jnp.int32)
     n_up = jnp.sum(mig_up).astype(jnp.int32)
@@ -633,6 +729,50 @@ def make_mesh(devices, mesh_shape: tuple[int, int, int]) -> Mesh:
     return Mesh(np.asarray(devices).reshape(mz, my, mx), AXES)
 
 
+def brick_owner(
+    pos: np.ndarray, cfg: SimConfig, mcfg: Mesh3DConfig
+) -> np.ndarray:
+    """Host-side owning-device index (flat, (z,y,x)-major like the mesh) per
+    position — the exact mirror of the device step's per-axis migration
+    predicate (_axis_migration): cell-space with explicit axis planes, float
+    equal-width otherwise."""
+    mz, my, mx = mcfg.mesh_shape
+
+    def owner_of(col, ax_i, m):
+        if mcfg.axis_planes is not None:
+            cc = np.clip(
+                (np.asarray(pos[:, col], np.float32) / np.float32(cfg.h))
+                .astype(np.int32),
+                0, cfg.num_cells_per_dim - 1,
+            )
+            interior = np.asarray(mcfg.axis_planes[ax_i][1:-1], np.int64)
+            return np.searchsorted(interior, cc, side="right")
+        w = cfg.box_dim / m
+        return np.clip((pos[:, col] / w).astype(np.int64), 0, m - 1)
+
+    # AXES order (z, y, x) ↔ position columns (2, 1, 0)
+    return (
+        owner_of(2, 0, mz) * my + owner_of(1, 1, my)
+    ) * mx + owner_of(0, 2, mx)
+
+
+def balanced_brick_planes(
+    pos: np.ndarray, cfg: SimConfig, mesh_shape: tuple[int, int, int]
+) -> tuple:
+    """Per-axis occupancy-quantile cell planes for the 3-D brick mesh —
+    the 3-D analog of sharded.balanced_slab_planes (each axis partitioned
+    at its own marginal occupancy quantiles; (z, y, x) order matching
+    Mesh3DConfig.axis_planes). Exact joint balance would need a
+    non-rectilinear partition; per-axis marginals capture the structural
+    skew (e.g. the dam-break lattice filling one corner of the box)."""
+    from tpusph.dist.sharded import balanced_slab_planes
+
+    return tuple(
+        balanced_slab_planes(pos[:, AXIS_DIM[ax]], cfg, mesh_shape[ax_i])
+        for ax_i, ax in enumerate(AXES)
+    )
+
+
 def distribute_state_3d(
     state: FluidState, cfg: SimConfig, mcfg: Mesh3DConfig, mesh: Mesh
 ) -> DistState:
@@ -645,11 +785,7 @@ def distribute_state_3d(
     c_dev = mcfg.dev_capacity
     n_dev = mz * my * mx
 
-    def owner_of(col, m):
-        w = cfg.box_dim / m
-        return np.clip((pos[:, col] / w).astype(np.int64), 0, m - 1)
-
-    owner = (owner_of(2, mz) * my + owner_of(1, my)) * mx + owner_of(0, mx)
+    owner = brick_owner(pos, cfg, mcfg)
 
     gx = np.zeros((n_dev, c_dev, 3), np.float32)
     gv = np.zeros((n_dev, c_dev, 3), np.float32)

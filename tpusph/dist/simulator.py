@@ -109,10 +109,11 @@ class DistSimulator:
     ):
         cfg.validate()
         self.cfg = cfg
-        # balance-aware 1-D partition: setup() re-slabs along the measured
-        # initial z-occupancy (sharded.balanced_slab_planes) unless the
+        # balance-aware partition: setup() re-partitions along the measured
+        # initial occupancy (sharded.balanced_slab_planes for the 1-D mesh,
+        # mesh3d.balanced_brick_planes per axis for 3-D bricks) unless the
         # caller pinned explicit planes or opted out
-        self.balance = balance and mesh_shape is None
+        self.balance = balance
         devices = devices if devices is not None else jax.devices()
         self.random_init = random_init
         self.seed = seed
@@ -158,20 +159,38 @@ class DistSimulator:
             if state is not None
             else init_state(self.cfg, self.random_init, self.seed)
         )
-        if (
-            self.balance
-            and self.dcfg.slab_planes is None
-            and self.dcfg.n_devices > 1
-        ):
-            from tpusph.dist.sharded import balanced_slab_planes
+        if self.balance:
+            pos = np.asarray(host_state.position)[
+                np.asarray(host_state.valid)
+            ]
+            if (
+                self.mesh_shape is None
+                and self.dcfg.slab_planes is None
+                and self.dcfg.n_devices > 1
+            ):
+                from tpusph.dist.sharded import balanced_slab_planes
 
-            z = np.asarray(host_state.position)[:, 2]
-            planes = balanced_slab_planes(
-                z[np.asarray(host_state.valid)], self.cfg,
-                self.dcfg.n_devices,
-            )
-            self.dcfg = dataclasses.replace(self.dcfg, slab_planes=planes)
-            self._rebuild_step()
+                planes = balanced_slab_planes(
+                    pos[:, 2], self.cfg, self.dcfg.n_devices
+                )
+                self.dcfg = dataclasses.replace(
+                    self.dcfg, slab_planes=planes
+                )
+                self._rebuild_step()
+            elif (
+                self.mesh_shape is not None
+                and self.dcfg.axis_planes is None
+                and int(np.prod(self.mesh_shape)) > 1
+            ):
+                from tpusph.dist.mesh3d import balanced_brick_planes
+
+                planes = balanced_brick_planes(
+                    pos, self.cfg, self.mesh_shape
+                )
+                self.dcfg = dataclasses.replace(
+                    self.dcfg, axis_planes=planes
+                )
+                self._rebuild_step()
         self._fit_initial_capacity(host_state)
         if self.mesh_shape is None:
             self.state = distribute_state(
@@ -211,14 +230,10 @@ class DistSimulator:
             owner = slab_owner(pos[:, 2], self.cfg, self.dcfg)[valid]
             n_dev = self.dcfg.n_devices
         else:
-            mz, my, mx = self.mesh_shape
+            from tpusph.dist.mesh3d import brick_owner
 
-            def own(col, m):
-                w = self.cfg.box_dim / m
-                return np.clip((pos[:, col] / w).astype(np.int64), 0, m - 1)
-
-            owner = ((own(2, mz) * my + own(1, my)) * mx + own(0, mx))[valid]
-            n_dev = mz * my * mx
+            owner = brick_owner(pos, self.cfg, self.dcfg)[valid]
+            n_dev = int(np.prod(self.mesh_shape))
         peak = int(np.bincount(owner, minlength=n_dev).max())
         cap = self.dcfg.dev_capacity
         if peak <= cap:
