@@ -255,3 +255,51 @@ def test_dist_simulator_mesh3d(eight_devices):
     np.testing.assert_allclose(
         dsim.get_position(), sim.get_position(), rtol=1e-4, atol=1e-4
     )
+
+
+def test_dist_rebalance(eight_devices):
+    """Dynamic re-partitioning (rebalance): after the fluid drifts away
+    from the setup-time occupancy profile, rebalance() must re-slab along
+    the live occupancy (planes change, max occupancy never worse) WITHOUT
+    perturbing the physics trajectory, and run(rebalance_above=...) must
+    auto-trigger it from the aux census."""
+    import numpy as np_
+    cfg = default_config(512, chunk_size=512)
+
+    def make(seed=3):
+        s = DistSimulator(cfg, devices=eight_devices[:4], random_init=True,
+                          seed=seed)
+        s.setup()
+        # uniform +z drift piles occupancy against the far wall over time,
+        # going stale against the setup-time planes
+        import jax.numpy as jnp
+        vel = np_.zeros((s.to_host_state().num_slots, 3), np_.float32)
+        vel[:, 2] = 3.0
+        host = s.to_host_state()._replace(velocity=jnp.asarray(vel))
+        s.setup(host)
+        return s
+
+    a = make()
+    b = make()
+    a.run(8, chunk=4)
+    b.run(8, chunk=4)
+    planes0 = a.dcfg.slab_planes
+    did = a.rebalance(min_gain=0.0)
+    if did:
+        assert a.dcfg.slab_planes != planes0
+    # physics identical to the never-rebalanced twin
+    a.run(6, chunk=3)
+    b.run(6, chunk=3)
+    assert a.num_particles_alive() == cfg.num_particles
+    np_.testing.assert_allclose(
+        a.get_position(), b.get_position(), rtol=1e-5, atol=1e-5
+    )
+
+    # auto-trigger path: any measured imbalance above 1.0 fires the check;
+    # b has advanced 8 + 6 = 14 steps by now — match it
+    c = make()
+    c.run(14, chunk=2, rebalance_above=1.0)
+    assert c.num_particles_alive() == cfg.num_particles
+    np_.testing.assert_allclose(
+        c.get_position(), b.get_position(), rtol=1e-5, atol=1e-5
+    )

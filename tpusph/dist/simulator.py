@@ -303,7 +303,12 @@ class DistSimulator:
         # capacities changed: re-trace the timed phases + runners
         self._rebuild_step()
 
-    def run(self, steps: int, chunk: int | None = None) -> None:
+    def run(
+        self,
+        steps: int,
+        chunk: int | None = None,
+        rebalance_above: float | None = None,
+    ) -> None:
         """Production loop: scan-chained sharded steps, ONE dispatch per
         `chunk` steps (default: all of them), aux checked once per chunk on
         host instead of every step (the multi-chip analog of the bench's
@@ -311,7 +316,12 @@ class DistSimulator:
         device_get sync). On capacity overflow the chunk is re-run from its
         initial state with doubled capacities, so the physics that lands in
         self.state is never degraded. Works on both the 1-D slab mesh
-        and the 3-D brick mesh."""
+        and the 3-D brick mesh.
+
+        rebalance_above: if set (e.g. 1.15), check the aux occupancy census
+        after each chunk and re-partition (rebalance()) when the measured
+        load imbalance λ = max_dev_particles / (N / n_dev) exceeds it —
+        dynamic load balancing at chunk granularity."""
         assert self.state is not None, "call setup() first"
         if self.mesh_shape is None:
             from tpusph.dist.sharded import make_sharded_run as make_run
@@ -358,6 +368,19 @@ class DistSimulator:
             self.state = new_state
             self.last_aux = aux_host
             done += k
+            if rebalance_above is not None and done < steps:
+                n_dev = (
+                    self.dcfg.n_devices if self.mesh_shape is None
+                    else int(np.prod(self.mesh_shape))
+                )
+                lam = (
+                    int(aux_host.max_dev_particles)
+                    * n_dev / self.cfg.num_particles
+                )
+                if lam >= rebalance_above:
+                    # rebalance() rebuilds the step and clears self._runners
+                    # (the same dict as `runners`) when it re-partitions
+                    self.rebalance()
 
     def simulate_and_time(self, times: Times) -> None:
         """Per-phase timed step — the reference's three-phase protocol
@@ -492,6 +515,55 @@ class DistSimulator:
             )
         self._rebuild_step()
         self.setup(host0 if restore else self.to_host_state())
+
+    def rebalance(self, min_gain: float = 0.05) -> bool:
+        """Re-partition the mesh along the CURRENT occupancy. The
+        balance-aware planes are computed once from the initial state
+        (setup), and drift as the fluid moves — the 2M census measures
+        trajectory-max λ 1.10 at D=8 against 1.0 at t=0
+        (scaling/census_n2097152.json). This recomputes the occupancy-
+        quantile planes from the live state and redistributes iff the
+        re-partition would cut the max per-device occupancy by more than
+        `min_gain` (relative). Pure re-assignment — the physics trajectory
+        is unchanged (tested). Costs a host round-trip plus a step re-trace
+        (the planes are jit constants), so it is for occasional use at
+        drift scale, not per step: run(rebalance_above=...) automates the
+        trigger from the aux census. Returns True if re-partitioned."""
+        assert self.state is not None, "call setup() first"
+        n_dev = (
+            self.dcfg.n_devices if self.mesh_shape is None
+            else int(np.prod(self.mesh_shape))
+        )
+        if n_dev == 1:
+            return False
+        host = self.to_host_state()
+        pos = np.asarray(host.position)[np.asarray(host.valid)]
+        if self.mesh_shape is None:
+            from tpusph.dist.sharded import balanced_slab_planes, slab_owner
+
+            planes = balanced_slab_planes(pos[:, 2], self.cfg, n_dev)
+            if planes == self.dcfg.slab_planes:
+                return False
+            new_dcfg = dataclasses.replace(self.dcfg, slab_planes=planes)
+            owner_cur = slab_owner(pos[:, 2], self.cfg, self.dcfg)
+            owner_new = slab_owner(pos[:, 2], self.cfg, new_dcfg)
+        else:
+            from tpusph.dist.mesh3d import balanced_brick_planes, brick_owner
+
+            planes = balanced_brick_planes(pos, self.cfg, self.mesh_shape)
+            if planes == self.dcfg.axis_planes:
+                return False
+            new_dcfg = dataclasses.replace(self.dcfg, axis_planes=planes)
+            owner_cur = brick_owner(pos, self.cfg, self.dcfg)
+            owner_new = brick_owner(pos, self.cfg, new_dcfg)
+        cur = int(np.bincount(owner_cur, minlength=n_dev).max())
+        new = int(np.bincount(owner_new, minlength=n_dev).max())
+        if cur < (1.0 + min_gain) * new:
+            return False
+        self.dcfg = new_dcfg
+        self._rebuild_step()
+        self.setup(host)  # redistribute under the new partition
+        return True
 
     def to_host_state(self) -> FluidState:
         """Collect the sharded state into a single-chip FluidState on host —
