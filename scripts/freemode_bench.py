@@ -27,7 +27,7 @@ from tpusph.engine.simulator import Simulator
 from tpusph.viz.render import run_free_mode
 
 
-def run(n, frames, sync: bool, chunk: int = 0, pack: bool = True):
+def run(n, frames, sync: bool, chunk: int = 0, pack="1"):
     if sync:
         os.environ["TPUSPH_VIZ_SYNC"] = "1"
     else:
@@ -39,7 +39,9 @@ def run(n, frames, sync: bool, chunk: int = 0, pack: bool = True):
         frames -= frames % chunk
     else:
         os.environ.pop("TPUSPH_VIZ_CHUNK", None)
-    os.environ["TPUSPH_VIZ_PACK"] = "1" if pack else "0"
+    os.environ["TPUSPH_VIZ_PACK"] = pack if isinstance(pack, str) else (
+        "1" if pack else "0"
+    )
     sim = Simulator(tuned_config(n))
     sim.setup()
     with tempfile.TemporaryDirectory() as d:
@@ -53,9 +55,11 @@ def run(n, frames, sync: bool, chunk: int = 0, pack: bool = True):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-    modes = [("sync    ", True, 0, True), ("async   ", False, 0, True)] + [
-        (f"chunk{s:<2d}  ", False, s, True) for s in (4, 8, 16)
-    ] + [("chunk8 xyz", False, 8, False)]
+    modes = [("sync    ", True, 0, "1"), ("async   ", False, 0, "1")] + [
+        (f"chunk{s:<2d}  ", False, s, "1") for s in (4, 8, 16)
+    ] + [("chunk8 xyz", False, 8, "0")] + [
+        (f"chunk{s:<2d} bitmap", False, s, "bitmap") for s in (8, 16)
+    ]
     for name, sync, chunk, pack in modes:
         per = run(n, frames, sync, chunk, pack)
         print(f"{name} frame time: {per * 1e3:7.2f} ms "

@@ -248,3 +248,54 @@ def test_device_projection_matches_host():
     np.testing.assert_array_equal(
         (packed[inside] >> 10) & 0x3FF, px[inside, 1].astype(np.int32)
     )
+
+
+def test_bitmap_frame_matches_packed():
+    """The device-rasterized occupancy bitmap (project_bitmap +
+    render_frame_bitmap) must reproduce the packed-pixel frame
+    bit-identically: uniform 3-px blue points carry only pixel occupancy,
+    so the 60 KB N-independent bitmap loses nothing."""
+    import jax.numpy as jnp
+
+    from tpusph.viz.project import project_bitmap, project_pixels_packed
+    from tpusph.viz.render import render_frame_bitmap, render_frame_packed
+
+    rng = np.random.default_rng(5)
+    pos = rng.uniform(-2.0, 12.0, size=(4096, 3)).astype(np.float32)
+    packed = np.asarray(project_pixels_packed(jnp.asarray(pos)))
+    bits = np.asarray(project_bitmap(jnp.asarray(pos)))
+    assert bits.nbytes == 600 * 100  # 60 KB/frame regardless of N
+    np.testing.assert_array_equal(
+        render_frame_bitmap(bits), render_frame_packed(packed)
+    )
+
+
+def test_chunked_bitmap_stream_matches_sequential():
+    """dispatch_chunk(pack_pixels='bitmap') must emit per-step bitmaps
+    identical to rasterizing the sequential loop's positions (the chunked
+    free-mode path at the headline N ships these 60 KB frames)."""
+    import jax.numpy as jnp
+
+    from tpusph.viz.project import project_bitmap
+    from tpusph.viz.render import render_frame_bitmap, render_frame
+
+    cfg = default_config(512, chunk_size=512)
+    sim = Simulator(cfg)
+    sim.setup()
+    h = sim.dispatch_chunk(3, pack_pixels="bitmap")
+    frames, ovf = h.fetch.wait()
+    assert ovf == 0
+    assert frames.shape == (3, 600, 100) and frames.dtype == np.uint8
+
+    ref = Simulator(cfg)
+    ref.setup()
+    for k in range(3):
+        ref.simulate()
+        want = np.asarray(
+            project_bitmap(jnp.asarray(ref.get_position()))
+        )
+        np.testing.assert_array_equal(frames[k], want, err_msg=str(k))
+        # and the rasterized image equals the raw-position render
+        np.testing.assert_array_equal(
+            render_frame_bitmap(frames[k]), render_frame(ref.get_position())
+        )

@@ -76,10 +76,10 @@ class AsyncChunkFetch:
     """In-flight device→host copy of one chunk's stacked per-step positions
     plus its summed overflow counter. wait() → (f32[S, N, 3], int)."""
 
-    def __init__(self, pos_stack, overflow, num_particles: int):
+    def __init__(self, pos_stack, overflow, num_particles: int | None):
         self._pos = pos_stack
         self._ovf = overflow
-        self._n = num_particles
+        self._n = num_particles  # None: frame stack is not per-particle
         self._host: tuple[np.ndarray, int] | None = None
         try:
             pos_stack.copy_to_host_async()
@@ -88,7 +88,9 @@ class AsyncChunkFetch:
 
     def wait(self) -> tuple[np.ndarray, int]:
         if self._host is None:
-            pos = np.asarray(jax.device_get(self._pos))[:, : self._n]
+            pos = np.asarray(jax.device_get(self._pos))
+            if self._n is not None:
+                pos = pos[:, : self._n]
             self._host = (pos, int(jax.device_get(self._ovf)))
         return self._host
 
@@ -260,7 +262,11 @@ class Simulator:
         pack_pixels=True emits DEVICE-projected packed pixel coords
         (int32[S, N], tpusph/viz/project.py) instead of raw positions —
         4 bytes/particle/frame instead of 12 through the transfer-bound
-        relay, the analog of the reference rendering on-device."""
+        relay, the analog of the reference rendering on-device.
+        pack_pixels="bitmap" goes further and rasterizes ON DEVICE into a
+        bit-packed occupancy bitmap (uint8[S, H, W//8] — 60 KB/frame,
+        N-independent; project.py::project_bitmap), the full analog of the
+        reference's on-device render."""
         fn = self._chunk_cache.get((n_steps, pack_pixels))
         if fn is not None:
             return fn
@@ -285,7 +291,15 @@ class Simulator:
                     s.position,
                     s2,
                 )
-                if pack_pixels:
+                if pack_pixels == "bitmap":
+                    from tpusph.viz.project import project_bitmap
+
+                    # padding slots park at the origin, which projects
+                    # inside the frame — rasterize the live rows only
+                    snap = project_bitmap(
+                        s2.position[: cfg.num_particles]
+                    )
+                elif pack_pixels:
                     from tpusph.viz.project import project_pixels_packed
 
                     snap = project_pixels_packed(s2.position)
@@ -322,7 +336,10 @@ class Simulator:
         self._pending_fetch = None
         return ChunkHandle(
             pre_state=pre,
-            fetch=AsyncChunkFetch(pos, ovf, self.cfg.num_particles),
+            fetch=AsyncChunkFetch(
+                pos, ovf,
+                None if pack_pixels == "bitmap" else self.cfg.num_particles,
+            ),
             n_steps=n_steps,
         )
 

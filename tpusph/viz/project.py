@@ -28,6 +28,33 @@ from tpusph.viz.render import FRUSTUM_HALF, HEIGHT, NEAR, WIDTH
 PACK_INSIDE = 1 << 20
 
 
+def project_bitmap(position: jnp.ndarray) -> jnp.ndarray:
+    """f32[N, 3] world positions → bit-packed uint8[HEIGHT, WIDTH//8]
+    occupancy bitmap (little bit order): the frame stream whose size is
+    N-INDEPENDENT — 60 KB at 800×600 versus 4·N bytes for packed pixel
+    coords (1 MB at 262k). The reference draws uniform 3-px blue
+    GL_POINTS (display.cpp:83-91), so pixel occupancy IS the frame: point
+    multiplicity never changes a pixel's color, and
+    render.render_frame_bitmap reproduces render_frame_packed's output
+    bit-identically (tested). Pass positions of VALID particles only
+    (padding slots park at the origin, which projects inside the frame).
+
+    Device cost: one N-index scatter of ones (~1-2 ms at 262k — the same
+    primitive as the build histogram) + a 480k-lane bit-pack reduce;
+    through the ~25-40 MB/s axon relay the 17× transfer cut dominates at
+    the headline N (scripts/freemode_bench.py)."""
+    packed = project_pixels_packed(position)
+    inside = (packed & PACK_INSIDE) != 0
+    xi = packed & 0x3FF
+    yi = (packed >> 10) & 0x3FF
+    flat = yi * WIDTH + xi
+    idx = jnp.where(inside, flat, HEIGHT * WIDTH)  # outside → scratch slot
+    grid = jnp.zeros((HEIGHT * WIDTH + 1,), jnp.uint8).at[idx].set(1)
+    bits = grid[: HEIGHT * WIDTH].reshape(HEIGHT, WIDTH // 8, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    return (bits.astype(jnp.int32) * weights).sum(axis=-1).astype(jnp.uint8)
+
+
 def project_pixels_packed(position: jnp.ndarray) -> jnp.ndarray:
     """f32[N, 3] world positions -> packed int32[N] pixel coords (see module
     docstring for the layout). Mirrors render.py::project + the inside test

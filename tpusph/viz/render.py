@@ -135,6 +135,27 @@ def render_frame_packed(packed: np.ndarray) -> np.ndarray:
     return img
 
 
+def render_frame_bitmap(bits: np.ndarray) -> np.ndarray:
+    """Rasterize one frame from a DEVICE-rasterized occupancy bitmap
+    (tpusph/viz/project.py::project_bitmap — bit-packed uint8[H, W//8],
+    little bit order). Bit-identical output to render_frame_packed on the
+    same positions: occupancy is all the uniform 3-px blue point style
+    carries (multiplicity never changes a pixel)."""
+    img = _wireframe_layer().copy()
+    mask = np.unpackbits(
+        np.asarray(bits, np.uint8), axis=-1, bitorder="little"
+    ).astype(bool)
+    yi, xi = np.nonzero(mask)
+    # project_bitmap only sets pixels with 1 <= x < W-1, 1 <= y < H-1
+    # (the packed inside test), so the ±1 dilation stays in bounds
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            img[yi + dy, xi + dx, 2] = 255
+            img[yi + dy, xi + dx, 0] = 0
+            img[yi + dy, xi + dx, 1] = 0
+    return img
+
+
 def save_png(img: np.ndarray, path: str) -> None:
     """PNG encode; PIL if present, else a minimal stdlib encoder."""
     try:
@@ -246,9 +267,14 @@ def _run_chunked(sim, frames: int, chunk: int, clicks, out_dir: str) -> None:
     loop — scripted clicks fire at their exact frame inside the scan. On
     overflow the oldest chunk rewinds to its pre-state (speculative newer
     chunks are discarded) and replays with grown capacity."""
-    # Device-side pixel projection (4 bytes/particle/frame instead of 12)
-    # is the default — TPUSPH_VIZ_PACK=0 ships raw positions instead.
-    pack = os.environ.get("TPUSPH_VIZ_PACK", "1") != "0"
+    # Device-side frame encoding: TPUSPH_VIZ_PACK=bitmap rasterizes on
+    # device into a bit-packed occupancy bitmap (60 KB/frame,
+    # N-independent — the default at the headline N, where packed coords
+    # are 1 MB/frame through the ~25-40 MB/s relay); =1 ships packed pixel
+    # coords (4 B/particle); =0 ships raw positions (12 B/particle).
+    default_pack = "bitmap" if sim.cfg.num_particles >= 65536 else "1"
+    mode = os.environ.get("TPUSPH_VIZ_PACK", default_pack)
+    pack = {"0": False, "1": True}.get(mode, "bitmap")
     inflight: list[tuple[int, object]] = []  # (start frame, ChunkHandle)
     k = 0  # next frame to dispatch
 
@@ -271,7 +297,12 @@ def _run_chunked(sim, frames: int, chunk: int, clicks, out_dir: str) -> None:
             k = start
             continue
         for j in range(h.n_steps):
-            img = render_frame_packed(pos[j]) if pack else render_frame(pos[j])
+            if pack == "bitmap":
+                img = render_frame_bitmap(pos[j])
+            elif pack:
+                img = render_frame_packed(pos[j])
+            else:
+                img = render_frame(pos[j])
             save_png(img, os.path.join(out_dir, f"frame_{start + j:05d}.png"))
             done += 1
     print(f"wrote {frames} frames to {out_dir}/")
