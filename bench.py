@@ -386,10 +386,13 @@ def main_dist() -> None:
     # mesh-1 with the degenerate-mesh elisions disabled) gets its own
     # artifact so it never shadows the production number
     name = (
-        "DIST_BENCH_FULL.json"
+        "DIST_BENCH_FULL"
         if os.environ.get("TPUSPH_DIST_FULL_MACHINERY") == "1"
-        else "DIST_BENCH.json"
+        else "DIST_BENCH"
     )
+    if n != 262_144:  # non-headline tiers get their own artifact
+        name += f"_n{n}"
+    name += ".json"
     artifact["full_machinery"] = (
         os.environ.get("TPUSPH_DIST_FULL_MACHINERY") == "1"
     )

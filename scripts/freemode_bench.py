@@ -5,7 +5,8 @@ The async loop dispatches step k+1 before waiting on step k's position
 transfer, so frame time ≈ max(step, fetch + render) instead of their sum
 (the reference stalls on its D2H copy every frame, simulator.cu:479-480).
 
-Usage: python scripts/freemode_bench.py [N] [frames]
+Usage: python scripts/freemode_bench.py [N] [frames] [mode-substring]
+(the optional third arg filters the mode list by substring, e.g. "bitmap")
 """
 
 from __future__ import annotations
@@ -52,6 +53,38 @@ def run(n, frames, sync: bool, chunk: int = 0, pack="1"):
     return dt / frames
 
 
+def run_interactive(n, frames, sync: bool):
+    """Interactive-window cadence: real FuncAnimation ticks driven under the
+    matplotlib Agg backend (tick + full canvas draw — everything the live
+    window pays except the OS blit)."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    import matplotlib.pyplot as plt
+
+    from tpusph.viz.render import _build_interactive
+
+    if sync:
+        os.environ["TPUSPH_VIZ_SYNC"] = "1"
+    else:
+        os.environ.pop("TPUSPH_VIZ_SYNC", None)
+    sim = Simulator(tuned_config(n))
+    sim.setup()
+    fig, tick, _pending = _build_interactive(sim)
+    try:
+        for k in range(3):  # compile + warm the pipeline
+            tick(k)
+            fig.canvas.draw()
+        t0 = time.perf_counter()
+        for k in range(frames):
+            tick(k)
+            fig.canvas.draw()
+        dt = time.perf_counter() - t0
+    finally:
+        plt.close(fig)
+    return dt / frames
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 60
@@ -60,10 +93,18 @@ def main():
     ] + [("chunk8 xyz", False, 8, "0")] + [
         (f"chunk{s:<2d} bitmap", False, s, "bitmap") for s in (8, 16)
     ]
+    if len(sys.argv) > 3:
+        modes = [m for m in modes if sys.argv[3] in m[0]]
     for name, sync, chunk, pack in modes:
         per = run(n, frames, sync, chunk, pack)
         print(f"{name} frame time: {per * 1e3:7.2f} ms "
               f"({1 / per:6.1f} fps) at N={n}", flush=True)
+    if len(sys.argv) > 3 and "interactive" in sys.argv[3]:
+        for name, sync in (("interactive sync", True),
+                           ("interactive pipe", False)):
+            per = run_interactive(n, frames, sync)
+            print(f"{name} tick time: {per * 1e3:7.2f} ms "
+                  f"({1 / per:6.1f} fps) at N={n}", flush=True)
 
 
 if __name__ == "__main__":

@@ -31,6 +31,51 @@ def test_interactive_fallback_without_display(monkeypatch, capsys):
     assert "--frames" in out
 
 
+@pytest.mark.parametrize("depth", [1, 2])
+def test_interactive_pipelined_matches_sync(monkeypatch, depth):
+    """The pipelined interactive tick (default) must run the exact same
+    step+click trajectory as the synchronous tick (TPUSPH_VIZ_SYNC=1), with
+    the displayed image lagging the physics by exactly `depth` frames."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    import matplotlib.pyplot as plt
+
+    from tpusph.viz.render import _build_interactive
+
+    click_at = {1: (400, 300)}
+
+    monkeypatch.setenv("TPUSPH_VIZ_SYNC", "1")
+    ref = _make_sim()
+    fig_r, tick_r, pend_r = _build_interactive(ref)
+    ref_frames = []
+    for k in range(5):
+        pend_r["click"] = click_at.get(k)
+        (im_r,) = tick_r(k)
+        ref_frames.append(np.asarray(im_r.get_array()).copy())
+    plt.close(fig_r)
+
+    monkeypatch.delenv("TPUSPH_VIZ_SYNC")
+    monkeypatch.setenv("TPUSPH_VIZ_DEPTH", str(depth))
+    sim = _make_sim()
+    fig, tick, pending = _build_interactive(sim)
+    try:
+        for k in range(5):
+            pending["click"] = click_at.get(k)
+            (im,) = tick(k)
+            if k >= depth:  # displays step (k - depth)'s frame
+                np.testing.assert_array_equal(
+                    np.asarray(im.get_array()), ref_frames[k - depth],
+                    err_msg=f"tick {k}",
+                )
+        # the physics itself is not lagged: both sims ran 5 identical steps
+        np.testing.assert_array_equal(
+            sim.get_position(), ref.get_position()
+        )
+    finally:
+        plt.close(fig)
+
+
 def test_interactive_tick_under_agg():
     """One real FuncAnimation tick under Agg: the callback must advance the
     simulation, consume the queued click exactly once (mouseClicked-global

@@ -135,6 +135,22 @@ def render_frame_packed(packed: np.ndarray) -> np.ndarray:
     return img
 
 
+def _paint_blue_3px(img: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Dilate the pixel-occupancy mask by the uniform 3×3 point footprint
+    (separable shift-OR — ~0.2 ms at 800×600 vs ~12 ms for per-point fancy
+    indexing) and paint the result blue over img, in place. Shifts clip at
+    the frame edge, matching the per-point loops (the inside test keeps
+    point centers ≥1 px from the border, so nothing ever clipped there)."""
+    v = mask.copy()
+    v[:-1] |= mask[1:]
+    v[1:] |= mask[:-1]
+    d = v.copy()
+    d[:, :-1] |= v[:, 1:]
+    d[:, 1:] |= v[:, :-1]
+    img[d] = (0, 0, 255)
+    return img
+
+
 def render_frame_bitmap(bits: np.ndarray) -> np.ndarray:
     """Rasterize one frame from a DEVICE-rasterized occupancy bitmap
     (tpusph/viz/project.py::project_bitmap — bit-packed uint8[H, W//8],
@@ -145,23 +161,20 @@ def render_frame_bitmap(bits: np.ndarray) -> np.ndarray:
     mask = np.unpackbits(
         np.asarray(bits, np.uint8), axis=-1, bitorder="little"
     ).astype(bool)
-    yi, xi = np.nonzero(mask)
-    # project_bitmap only sets pixels with 1 <= x < W-1, 1 <= y < H-1
-    # (the packed inside test), so the ±1 dilation stays in bounds
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            img[yi + dy, xi + dx, 2] = 255
-            img[yi + dy, xi + dx, 0] = 0
-            img[yi + dy, xi + dx, 1] = 0
-    return img
+    return _paint_blue_3px(img, mask)
 
 
 def save_png(img: np.ndarray, path: str) -> None:
-    """PNG encode; PIL if present, else a minimal stdlib encoder."""
+    """PNG encode; PIL if present, else a minimal stdlib encoder.
+    compress_level=1: PNG is lossless at every level, and at zlib's default
+    6 the encode alone costs ~40 ms/frame at 800×600 — more than the 262k
+    physics step — making the headless frame dump encoder-bound
+    (scripts/freemode_bench.py). Level 1 is ~4× faster for ~1.3× the bytes
+    on these mostly-black frames."""
     try:
         from PIL import Image
 
-        Image.fromarray(img).save(path)
+        Image.fromarray(img).save(path, compress_level=1)
     except ImportError:
         _save_png_stdlib(img, path)
 
@@ -278,6 +291,16 @@ def _run_chunked(sim, frames: int, chunk: int, clicks, out_dir: str) -> None:
     inflight: list[tuple[int, object]] = []  # (start frame, ChunkHandle)
     k = 0  # next frame to dispatch
 
+    # PNG encode on worker threads: zlib releases the GIL, and the encode
+    # (~15-25 ms/frame at level 1) otherwise serializes against the next
+    # chunk's fetch — with it overlapped the loop is step-bound. Encodes
+    # are only ever submitted for COMMITTED chunks (overflowed chunks
+    # rewind before rendering), so no file needs un-writing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    saves: list = []
+
     def dispatch():
         nonlocal k
         s = min(chunk, frames - k)
@@ -303,8 +326,14 @@ def _run_chunked(sim, frames: int, chunk: int, clicks, out_dir: str) -> None:
                 img = render_frame_packed(pos[j])
             else:
                 img = render_frame(pos[j])
-            save_png(img, os.path.join(out_dir, f"frame_{start + j:05d}.png"))
+            saves.append(pool.submit(
+                save_png, img,
+                os.path.join(out_dir, f"frame_{start + j:05d}.png"),
+            ))
             done += 1
+    for s in saves:
+        s.result()  # propagate encode errors; all files on disk past here
+    pool.shutdown()
     print(f"wrote {frames} frames to {out_dir}/")
 
 
@@ -314,12 +343,22 @@ def _render_to(positions: np.ndarray, k: int, out_dir: str) -> None:
 
 def _build_interactive(sim):
     """Construct the interactive window pieces: (fig, tick, pending).
-    `tick` is the per-frame FuncAnimation callback (simulate → render, with
-    the queued click consumed exactly like the reference's mouseClicked
-    global, display.cpp:59-61); `pending["click"]` injects a click the way
-    the mpl button_press_event handler does. Split from _run_interactive so
-    a headless test (matplotlib Agg) can drive real ticks without a
-    display."""
+    `tick` is the per-frame FuncAnimation callback (the queued click is
+    consumed exactly like the reference's mouseClicked global,
+    display.cpp:59-61); `pending["click"]` injects a click the way the mpl
+    button_press_event handler does. Split from _run_interactive so a
+    headless test (matplotlib Agg) can drive real ticks without a display.
+
+    The default tick is PIPELINED: it dispatches this tick's step (with
+    the click — it applies to the step dispatched at the tick it was
+    queued, reference parity) and then rasters/displays the PREVIOUS
+    tick's device-encoded frame while the new step runs on device. Frame
+    time ≈ max(step, small fetch + raster) instead of step + full-position
+    fetch + raster — through the ~25 ms-RTT relay the synchronous loop
+    pays ~3·4·N B/frame of transfer (3 MB at 262k). The window therefore
+    displays one frame behind the physics. TPUSPH_VIZ_SYNC=1 restores the
+    sequential simulate→fetch→render tick; TPUSPH_VIZ_PACK picks the frame
+    encoding as in _run_chunked."""
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(8, 6))
@@ -335,10 +374,51 @@ def _build_interactive(sim):
 
     fig.canvas.mpl_connect("button_press_event", on_click)
 
+    sync = os.environ.get("TPUSPH_VIZ_SYNC") == "1" or not hasattr(
+        sim, "dispatch_chunk"  # DistSimulator: synchronous collect only
+    )
+    default_pack = "bitmap" if sim.cfg.num_particles >= 65536 else "1"
+    mode = os.environ.get("TPUSPH_VIZ_PACK", default_pack)
+    pack = {"0": False, "1": True}.get(mode, "bitmap")
+    # Pipeline depth: frames the display lags the physics. At depth 2 the
+    # popped handle has had two full ticks in flight, so its 60 KB fetch
+    # has already landed — the tick pays ONE relay round-trip (its own
+    # dispatch) instead of dispatch + fetch (262k: 77 → ~55 ms/tick).
+    depth = max(1, int(os.environ.get("TPUSPH_VIZ_DEPTH", "2")))
+    inflight: list = []  # oldest-first (ChunkHandle, click)
+
+    def _raster(snap):
+        if pack == "bitmap":
+            return render_frame_bitmap(snap)
+        if pack:
+            return render_frame_packed(snap)
+        return render_frame(snap)
+
+    def _dispatch(c):
+        return sim.dispatch_chunk(1, {0: c} if c else None, pack_pixels=pack)
+
     def tick(_frame):
-        sim.simulate(click=pending["click"])
+        click = pending["click"]
         pending["click"] = None
-        im.set_data(render_frame(sim.get_position()))
+        if sync:
+            sim.simulate(click=click)
+            im.set_data(render_frame(sim.get_position()))
+            return (im,)
+        inflight.append((_dispatch(click), click))
+        if len(inflight) > depth:
+            prev, prev_click = inflight.pop(0)
+            snaps, ovf = prev.fetch.wait()
+            if ovf:
+                # prev overflowed, so every younger dispatch consumed a
+                # clipped state: rewind to prev's pre-state, replay prev
+                # through simulate()'s grow-and-retry, then re-dispatch the
+                # younger steps in order to refill the pipeline.
+                sim.rewind_chunk(prev)
+                sim.simulate(click=prev_click)
+                im.set_data(render_frame(sim.get_position()))
+                inflight[:] = [(_dispatch(c), c) for _, c in inflight]
+            else:
+                im.set_data(_raster(snaps[0]))
         return (im,)
 
     return fig, tick, pending
