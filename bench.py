@@ -396,8 +396,11 @@ def main_dist() -> None:
     artifact["full_machinery"] = (
         os.environ.get("TPUSPH_DIST_FULL_MACHINERY") == "1"
     )
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           name), "w") as f:
+    # tests point this at a tmp dir so smoke runs don't litter the repo root
+    art_dir = os.environ.get("TPUSPH_BENCH_ARTIFACT_DIR") or os.path.dirname(
+        os.path.abspath(__file__)
+    )
+    with open(os.path.join(art_dir, name), "w") as f:
         json.dump(artifact, f, indent=1)
 
 

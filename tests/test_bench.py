@@ -36,7 +36,7 @@ def test_bench_emits_json_line():
 
 
 @pytest.mark.slow  # ~18 s: dist bench subprocess
-def test_bench_dist_mode_smoke():
+def test_bench_dist_mode_smoke(tmp_path):
     """TPUSPH_BENCH_DIST runs the scan-chained sharded loop on a virtual
     CPU mesh and emits the dist metric line."""
     env = dict(
@@ -47,6 +47,7 @@ def test_bench_dist_mode_smoke():
         TPUSPH_BENCH_DIST="2",
         TPUSPH_BENCH_N="512",
         TPUSPH_BENCH_STEPS="3",
+        TPUSPH_BENCH_ARTIFACT_DIR=str(tmp_path),
     )
     r = subprocess.run(
         [
